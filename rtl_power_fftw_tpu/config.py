@@ -1,0 +1,391 @@
+"""Configuration: value parsers and the ``Params`` flag system.
+
+Re-implements the reference's option surface and validation semantics
+(/root/reference/src/params.{h,cxx}) on top of ``argparse`` instead of TCLAP.
+All defaults, derived values, rounding rules and mutual-exclusion checks
+follow the reference exactly, because they define the output numerology
+(bin frequencies, repeat counts, buffer sizes).
+
+Extensions beyond the reference (all optional, all default-off) are kept in
+a separate block at the end of ``Params`` and documented in README.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import math
+import re
+import sys
+from typing import List, Optional
+
+from .exceptions import ReturnValue, RPFexception
+
+# Reference constants (params.h:26-27). USB transfers from librtlsdr must be
+# multiples of 16384 bytes; we keep the constraint for recorded-stream parity.
+BASE_BUF = 16384
+DEFAULT_BUF_MULTIPLIER = 100
+
+_NUM_RE = re.compile(r"\s*([+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?)")
+
+
+def parse_frequency(s: str) -> int:
+    """Parse a frequency with optional k/M/G suffix; -1 on error.
+
+    Mirrors params.cxx:29-43: read a double, then an optional multiplier
+    token (whitespace between them is allowed), truncate to int.
+    """
+    m = _NUM_RE.match(s)
+    if not m:
+        # C++11 zero-initializes the double on extraction failure and skips
+        # the multiplier read, returning 0. We deliberately return -1 so that
+        # garbage is rejected instead of silently meaning "0 Hz".
+        return -1
+    f = float(m.group(1))
+    multiplier = s[m.end():].strip()
+    if multiplier == "k":
+        f *= 1e3
+    elif multiplier == "M":
+        f *= 1e6
+    elif multiplier == "G":
+        f *= 1e9
+    elif multiplier != "":
+        return -1
+    return int(f)
+
+
+def parse_time(s: str) -> float:
+    """Parse a compound duration like ``1d2h3m4s``; -1 on error.
+
+    Mirrors params.cxx:45-88: a unitless trailing number means seconds;
+    each unit may appear at most once; unconsumed input is an error.
+    """
+    if not s:
+        return -1.0
+    if s[-1] not in "dhms":
+        s = s + "s"
+
+    seconds_per = {"d": 86400.0, "h": 3600.0, "m": 60.0, "s": 1.0}
+    consumed = set()
+    t = 0.0
+    pos = 0
+    while True:
+        m = _NUM_RE.match(s, pos)
+        if not m or m.end() >= len(s):
+            # `ss >> value` failed or no unit char followed. The C++ loop then
+            # returns t if the stream is at EOF (only whitespace left before
+            # the failed extraction), else -1.
+            return t if s[pos:].strip() == "" else -1.0
+        value = float(m.group(1))
+        unit = s[m.end()]
+        pos = m.end() + 1
+        if unit in seconds_per and unit not in consumed:
+            t += value * seconds_per[unit]
+            consumed.add(unit)
+        else:
+            return -1.0
+
+
+class _ArgparseError(Exception):
+    def __init__(self, message: str):
+        super().__init__(message)
+        self.message = message
+
+
+class _Parser(argparse.ArgumentParser):
+    """argparse that raises instead of exiting, for TCLAP-parity exit codes."""
+
+    def error(self, message):  # noqa: D102
+        raise _ArgparseError(message)
+
+
+@dataclasses.dataclass
+class Params:
+    """All session options; field defaults mirror params.h:33-66."""
+
+    N: int = 512
+    dev_index: int = 0
+    gain: int = 372
+    cfreq: int = 1420405752
+    startfreq: int = 0
+    stopfreq: int = 0
+    sample_rate: int = 2000000
+    integration_time: float = 0.0
+    integration_time_isSet: bool = False
+    buffers: int = 5
+    buf_length: int = BASE_BUF * DEFAULT_BUF_MULTIPLIER
+    buf_length_isSet: bool = False
+    min_overlap: float = 0.0
+    ppm_error: int = 0
+    endless: bool = False
+    strict_time: bool = False
+    baseline: bool = False
+    baseline_file: str = ""
+    window: bool = False
+    window_file: str = ""
+    freq_hopping_isSet: bool = False
+    repeats: int = (BASE_BUF * DEFAULT_BUF_MULTIPLIER) // (2 * 512)
+    outcnt: int = 0
+    session_duration: float = 0.0
+    session_duration_isSet: bool = False
+    linear: bool = False
+    talkless: bool = False
+    matrixMode: bool = False
+    finalfreq: int = 0
+    matrix_file: str = ""
+    bin_file: str = ""
+    freq_file: str = ""
+    meta_file: str = ""
+
+    # --- TPU-framework extensions (not present in the reference) ---
+    # IQ source specification: "synthetic[:spec]", "file:<path>",
+    # "rtl_tcp:<host>:<port>". Empty string means "real device", which in
+    # this build resolves through the registered device table.
+    source: str = ""
+    # Built-in window generator (hann/hamming/blackman/blackman-harris/
+    # flattop/bartlett/boxcar); alternative to --window file input.
+    window_function: str = ""
+    # Welch-style overlap between successive FFT frames, in percent of N.
+    welch_overlap: float = 0.0
+    # Number of parallel IQ streams sharded over the device mesh.
+    streams: int = 1
+    # Device-step frame batch (0 = derive from buffer length).
+    frames_per_step: int = 0
+    # FFT backend: "auto" | "xla" | "matmul" | "fourstep" | "pallas".
+    fft_backend: str = "auto"
+
+    @classmethod
+    def from_argv(cls, argv: List[str]) -> "Params":
+        return parse_args(argv)
+
+
+def _build_parser() -> _Parser:
+    p = _Parser(
+        prog="rtl_power_fftw_tpu",
+        description="Obtain power spectrum from IQ sources using TPU-accelerated FFTs.",
+        add_help=True,
+    )
+    # Option surface mirrors params.cxx:103-143 (same short/long names).
+    p.add_argument("--buffers", type=int, default=None,
+                   help="Number of read buffers (don't touch unless running out of memory).")
+    p.add_argument("-w", "--window", type=str, default=None, metavar="file|-",
+                   help="Use window function, from file or stdin.")
+    p.add_argument("-t", "--time", type=str, default=None, metavar="seconds",
+                   help="Integration time (incompatible with -n).")
+    p.add_argument("-T", "--strict-time", action="store_true",
+                   help="End measurement when the time set with --time option is up, "
+                        "regardless of gathered samples.")
+    p.add_argument("-s", "--buffer-size", type=int, default=None, metavar="bytes",
+                   help="Size of read buffers (leave it unless you know what you are doing).")
+    p.add_argument("-r", "--rate", type=int, default=None, metavar="samples/s",
+                   help="Sample rate of the receiver.")
+    p.add_argument("-q", "--quiet", action="store_true", help="Limit verbosity.")
+    p.add_argument("-p", "--ppm", type=int, default=None, metavar="ppm",
+                   help="Set custom ppm error in RTL-SDR device.")
+    p.add_argument("-o", "--overlap", type=float, default=None, metavar="percent",
+                   help="Define lower boundary for overlap when frequency hopping "
+                        "(otherwise meaningless).")
+    p.add_argument("-m", "--matrix", type=str, default=None, metavar="filename",
+                   help="Output data in binary matrix format plus separate metadata text file.")
+    p.add_argument("-n", "--repeats", type=int, default=None, metavar="repeats",
+                   help="Number of scans for averaging (incompatible with -t).")
+    p.add_argument("-l", "--linear", action="store_true",
+                   help="Calculate linear power values instead of logarithmic.")
+    p.add_argument("-g", "--gain", type=int, default=None, metavar="1/10th of dB",
+                   help="Receiver gain.")
+    p.add_argument("-f", "--freq", type=str, default=None, metavar="Hz|Hz:Hz",
+                   help="Center frequency of the receiver or frequency range to scan.")
+    p.add_argument("-e", "--elapsed", type=str, default=None, metavar="seconds",
+                   help="Scan session duration.")
+    p.add_argument("-d", "--device", type=int, default=None, metavar="device index",
+                   help="RTL-SDR device index.")
+    p.add_argument("-c", "--continue", dest="endless", action="store_true",
+                   help="Repeat the same measurement endlessly.")
+    p.add_argument("-b", "--bins", type=int, default=None, metavar="bins",
+                   help="Number of bins in FFT spectrum (must be even number).")
+    p.add_argument("-B", "--baseline", type=str, default=None, metavar="file|-",
+                   help="Subtract baseline, read baseline data from file or stdin.")
+    p.add_argument("--version", action="version", version="rtl_power_fftw_tpu 0.1.0")
+
+    # Extensions.
+    p.add_argument("--source", type=str, default="",
+                   help="IQ source: synthetic[:spec] | file:<path> | rtl_tcp:<host>:<port>.")
+    p.add_argument("--window-function", type=str, default="",
+                   help="Built-in window generator (hann, hamming, blackman, "
+                        "blackman-harris, flattop, bartlett, boxcar).")
+    p.add_argument("--welch-overlap", type=float, default=0.0,
+                   help="Welch overlap between FFT frames in percent of N (0 = Bartlett).")
+    p.add_argument("--streams", type=int, default=1,
+                   help="Parallel IQ streams sharded across the TPU mesh.")
+    p.add_argument("--frames-per-step", type=int, default=0,
+                   help="FFT frames per device step (0 = auto).")
+    p.add_argument("--fft-backend", type=str, default="auto",
+                   choices=["auto", "xla", "matmul", "fourstep", "pallas"],
+                   help="FFT implementation used on device.")
+    return p
+
+
+def _ensure_positive(name: str, value) -> None:
+    """ensure_positive_arg (params.cxx:90-99): reject negatives (zero is OK)."""
+    if value is not None and value < 0:
+        raise RPFexception(
+            f"Argument to '{name}' must be a positive number.",
+            ReturnValue.InvalidArgument)
+
+
+def parse_args(argv: List[str], stderr=None) -> Params:
+    """Parse argv into a validated Params (reference Params::Params,
+    params.cxx:101-272). Raises RPFexception with the reference's exit codes.
+    """
+    err = stderr if stderr is not None else sys.stderr
+    parser = _build_parser()
+    try:
+        ns = parser.parse_args(argv)
+    except _ArgparseError as e:
+        # TCLAP parse errors exit with code 4 (params.cxx:267-271).
+        raise RPFexception(f"Error: {e.message}", ReturnValue.TCLAPerror)
+
+    params = Params()
+
+    _ensure_positive("bins", ns.bins)
+    _ensure_positive("rate", ns.rate)
+    _ensure_positive("gain", ns.gain)
+    _ensure_positive("device", ns.device)
+    _ensure_positive("buffers", ns.buffers)
+    _ensure_positive("buffer-size", ns.buffer_size)
+    _ensure_positive("repeats", ns.repeats)
+
+    if ns.device is not None:
+        params.dev_index = ns.device
+    if ns.bins is not None:
+        params.N = ns.bins
+    # Bins must be even so the shifted spectrum aligns cleanly
+    # (params.cxx:151-155).
+    if params.N % 2 != 0:
+        params.N += 1
+        print(f"Number of bins should be even, changing to {params.N}.", file=err)
+    params.linear = bool(ns.linear)
+    if ns.gain is not None:
+        params.gain = ns.gain
+    if ns.rate is not None:
+        params.sample_rate = ns.rate
+    if ns.buffers is not None:
+        params.buffers = ns.buffers
+    if ns.buffer_size is not None:
+        params.buf_length = ns.buffer_size
+    params.endless = bool(ns.endless)
+    params.talkless = bool(ns.quiet)
+    params.strict_time = bool(ns.strict_time)
+    if ns.overlap is not None:
+        params.min_overlap = ns.overlap
+
+    # Reads from recorded RTL streams keep the USB granularity constraint:
+    # buffer length must be a multiple of 16384 (params.cxx:167-175),
+    # rounded half-up.
+    if params.buf_length % BASE_BUF != 0:
+        params.buf_length = int(math.floor(params.buf_length / BASE_BUF + 0.5)) * BASE_BUF
+        print(f"Buffer length should be multiple of {BASE_BUF}, "
+              f"changing to {params.buf_length}.", file=err)
+
+    if ns.ppm is not None:
+        params.ppm_error = ns.ppm
+
+    if ns.freq is not None:
+        a_freq = ns.freq
+        if ":" in a_freq:
+            start_s, _, stop_s = a_freq.partition(":")
+            if start_s != "" and stop_s != "":
+                params.startfreq = parse_frequency(start_s)
+                params.stopfreq = parse_frequency(stop_s)
+                if (params.startfreq < 0 or params.stopfreq < 0
+                        or params.stopfreq < params.startfreq):
+                    raise RPFexception(
+                        f"Invalid frequency range given to --freq: {a_freq}.\n"
+                        "Expecting positive numbers in ascending order, allowing "
+                        "the k,M,G multipliers. Exiting.",
+                        ReturnValue.InvalidArgument)
+                params.freq_hopping_isSet = True
+                params.cfreq = (params.startfreq + params.stopfreq) // 2
+            else:
+                raise RPFexception(
+                    f"Could not parse frequency range given to --freq: {a_freq}.\n"
+                    "Expecting form startfreq:stopfreq. Exiting.",
+                    ReturnValue.InvalidArgument)
+        else:
+            params.cfreq = parse_frequency(a_freq)
+            if params.cfreq < 0:
+                raise RPFexception(
+                    f"Invalid frequency given to --freq: {params.cfreq}.\n"
+                    "Expecting a positive number, allowing the k,M,G multipliers. "
+                    "Exiting.",
+                    ReturnValue.InvalidArgument)
+
+    if ns.repeats is not None:
+        params.repeats = ns.repeats
+    else:
+        # "It is senseless to waste a full buffer of data unless instructed
+        # to do so" (params.h:54-55); derived default uses the adjusted
+        # buf_length and N (params.cxx:214-217).
+        params.repeats = params.buf_length // (2 * params.N)
+
+    if ns.time is not None:
+        params.integration_time = parse_time(ns.time)
+        if params.integration_time <= 0:
+            raise RPFexception(
+                "Could not parse the value given to --time. "
+                "Expecting format [WdXhYm]Z[s]. Exiting.",
+                ReturnValue.InvalidArgument)
+        params.integration_time_isSet = True
+
+    if ns.time is not None and ns.repeats is not None:
+        raise RPFexception(
+            "Options -n and -t are mutually exclusive. Exiting.",
+            ReturnValue.InvalidArgument)
+
+    if ns.strict_time and ns.time is None:
+        print("Warning: option --strict-time has no effect without --time.", file=err)
+        params.strict_time = False
+
+    if ns.buffer_size is not None:
+        params.buf_length_isSet = True
+
+    params.baseline = ns.baseline is not None
+    if params.baseline:
+        params.baseline_file = ns.baseline
+
+    params.window = ns.window is not None
+    if params.window:
+        params.window_file = ns.window
+
+    params.matrixMode = ns.matrix is not None
+    if params.matrixMode:
+        params.matrix_file = ns.matrix
+        params.bin_file = params.matrix_file + ".bin"
+        params.meta_file = params.matrix_file + ".met"
+
+    if ns.elapsed is not None:
+        params.session_duration = parse_time(ns.elapsed)
+        if params.session_duration <= 0:
+            raise RPFexception(
+                "Could not parse the value given to --time. "
+                "Expecting format [WdXhYm]Z[s]. Exiting.",
+                ReturnValue.InvalidArgument)
+        params.session_duration_isSet = True
+
+    # Extensions.
+    params.source = ns.source
+    params.window_function = ns.window_function.lower()
+    params.welch_overlap = ns.welch_overlap
+    params.streams = max(1, ns.streams)
+    params.frames_per_step = ns.frames_per_step
+    params.fft_backend = ns.fft_backend
+    if params.window and params.window_function:
+        raise RPFexception(
+            "Options --window and --window-function are mutually exclusive. Exiting.",
+            ReturnValue.InvalidArgument)
+    if not (0.0 <= params.welch_overlap < 100.0):
+        raise RPFexception(
+            "--welch-overlap must be in [0, 100). Exiting.",
+            ReturnValue.InvalidArgument)
+
+    return params

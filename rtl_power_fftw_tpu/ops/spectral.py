@@ -1,0 +1,211 @@
+"""The spectral core: fused dequant → window → FFT → |X|² accumulation.
+
+TPU-first re-design of the reference's FFT worker (datastore.cxx:48-96).
+Instead of one N-point FFT at a time in a mutex-guarded thread, the whole
+buffer is processed as ONE jitted device step over a fixed-shape batch of
+frames, so XLA fuses the u8 dequantization and window multiply into the
+transform and the batch axis keeps the MXU/VPU saturated.
+
+Semantics preserved from the reference:
+
+* dequantization is ``(u8 − 127)`` (datastore.cxx:75);
+* the reference multiplies samples by (−1)^n so spectra come out
+  pre-shifted (datastore.cxx:69-75).  FFT(x·(−1)^n) = fftshift(FFT(x)) for
+  even N, and fftshift commutes with |·|² and accumulation — so we
+  accumulate *unshifted* power and apply one fftshift at finalization.
+  Bit-for-bit the same result, one whole multiply pass cheaper;
+* the window multiplies the dequantized samples (order is irrelevant since
+  multiplication commutes) (datastore.cxx:76-77);
+* accumulation in the reference is float64 (datastore.h:53).  TPUs have no
+  fast f64, so each device step reduces its frames with a two-stage f32
+  tree sum (error ≈ √(chunk)·ε instead of F·ε) and the HOST accumulates
+  the per-step partial sums in float64.  Relative error stays ≪1e-5 over
+  arbitrarily many averaged spectra;
+* frames carry across buffer boundaries (datastore.cxx:52,66-80):
+  ``FrameSlicer`` keeps the remainder bytes between buffers;
+* processing stops at exactly ``repeats`` frames even if more data was
+  read (datastore.cxx:67): the caller clamps ``n_valid``.
+
+Finalization (DC-bin interpolation, normalization, dB, baseline) follows
+acquisition.cxx:376-399 in float64 on the host.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .dft import dft_power_fourstep, dft_power_matmul
+
+# Frames are reduced in chunks of this size before the cross-chunk sum;
+# two-stage summation keeps f32 rounding error at ~(CHUNK + F/CHUNK)·ε.
+_SUM_CHUNK = 64
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _power_backend(backend: str, N: int) -> Callable[[jax.Array, jax.Array], jax.Array]:
+    """Return fn(re, im) -> |FFT|² for (F, N) float32 inputs."""
+    if backend == "matmul":
+        return dft_power_matmul
+    if backend == "fourstep":
+        return dft_power_fourstep
+    if backend in ("xla", "auto", "pallas"):
+        # "pallas" currently routes power computation to the fused Pallas
+        # kernel at the PsdStep level; the plain backends land here.
+        def xla_fft_power(re, im):
+            x = jax.lax.complex(re, im)
+            X = jnp.fft.fft(x, axis=-1)
+            return jnp.real(X) * jnp.real(X) + jnp.imag(X) * jnp.imag(X)
+        return xla_fft_power
+    raise ValueError(f"unknown fft backend: {backend}")
+
+
+class PsdStep:
+    """A jitted device step: (F, 2N) u8 frames → (N,) f32 partial power sum.
+
+    One instance owns one compiled executable per (N, F, windowed) signature.
+    ``n_valid`` masks out padding rows so the step shape never changes
+    (static shapes: one compilation, no retraces).
+    """
+
+    def __init__(self, N: int, frames_per_step: int,
+                 window: Optional[np.ndarray] = None,
+                 backend: str = "auto"):
+        if N % 2 != 0:
+            raise ValueError("N must be even")
+        self.N = N
+        self.F = _round_up(max(int(frames_per_step), 1), _SUM_CHUNK)
+        self.backend = backend
+        self.window = None
+        if window is not None:
+            w = np.asarray(window, dtype=np.float32)
+            if w.shape != (N,):
+                raise ValueError(f"window must have shape ({N},), got {w.shape}")
+            self.window = w
+        self._power = _power_backend(backend, N)
+        self._step = jax.jit(self._make_step())
+
+    def _make_step(self):
+        N, F = self.N, self.F
+        window = None if self.window is None else jnp.asarray(self.window)
+        power_fn = self._power
+
+        def step(raw: jax.Array, n_valid: jax.Array) -> jax.Array:
+            # raw: (F, 2N) uint8 interleaved IQ; n_valid: scalar int32.
+            x = raw.astype(jnp.float32) - 127.0
+            iq = x.reshape(F, N, 2)
+            re, im = iq[..., 0], iq[..., 1]
+            if window is not None:
+                re = re * window
+                im = im * window
+            pwr = power_fn(re, im)  # (F, N) f32, unshifted bins
+            mask = (jax.lax.broadcasted_iota(jnp.int32, (F, 1), 0)
+                    < n_valid).astype(jnp.float32)
+            pwr = pwr * mask
+            # Two-stage tree sum for f32 accuracy.
+            g = F // _SUM_CHUNK
+            partial = pwr.reshape(g, _SUM_CHUNK, N).sum(axis=1).sum(axis=0)
+            return partial
+
+        return step
+
+    def __call__(self, raw: np.ndarray, n_valid: int) -> jax.Array:
+        """Dispatch one step. ``raw`` is (F, 2N) u8 (padded), ``n_valid``
+        the number of real frames. Returns the device array (async)."""
+        return self._step(raw, jnp.int32(n_valid))
+
+    def lowered_fn(self):
+        """The raw jitted function, for entry-point/compile checks."""
+        return self._step
+
+    def example_args(self) -> Tuple[np.ndarray, np.ndarray]:
+        raw = np.zeros((self.F, 2 * self.N), dtype=np.uint8)
+        return raw, np.int32(0)
+
+
+class FrameSlicer:
+    """Splits an arbitrary byte stream into (F, 2N) u8 frame batches.
+
+    Host-side replacement for the reference's carry of ``fft_pointer``
+    across buffers (datastore.cxx:52,66-80): remainder bytes from one
+    buffer prepend the next. Optionally frames overlap (Welch mode,
+    an extension): ``hop_bytes`` < frame_bytes keeps a tail overlap.
+    """
+
+    def __init__(self, N: int, hop: Optional[int] = None):
+        self.frame_bytes = 2 * N
+        hop = N if hop is None else int(hop)
+        if not (0 < hop):
+            raise ValueError("hop must be positive")
+        self.hop_bytes = 2 * hop
+        self._carry = np.zeros(0, dtype=np.uint8)
+
+    def reset(self) -> None:
+        self._carry = np.zeros(0, dtype=np.uint8)
+
+    def push(self, data: np.ndarray, max_frames: Optional[int] = None) -> np.ndarray:
+        """Append bytes; return all complete frames as (n, 2N) u8.
+
+        ``max_frames`` caps the frames produced (reference stops filling
+        FFTs once ``repeats`` is reached, datastore.cxx:67 — remaining
+        bytes are discarded by the caller simply by not pushing more).
+        """
+        buf = np.concatenate([self._carry, np.asarray(data, dtype=np.uint8).ravel()])
+        fb, hb = self.frame_bytes, self.hop_bytes
+        if len(buf) < fb:
+            self._carry = buf
+            return np.zeros((0, fb), dtype=np.uint8)
+        n = 1 + (len(buf) - fb) // hb
+        if max_frames is not None:
+            n = min(n, int(max_frames))
+        if n <= 0:
+            self._carry = buf
+            return np.zeros((0, fb), dtype=np.uint8)
+        if hb == fb:
+            flat = buf[:n * fb]
+            frames = flat.reshape(n, fb)
+        else:
+            idx = (np.arange(n)[:, None] * hb) + np.arange(fb)[None, :]
+            frames = buf[idx]
+        self._carry = buf[n * hb:]
+        return frames
+
+
+def bin_frequencies(tuned_freq: int, N: int, actual_samplerate: int) -> np.ndarray:
+    """Per-bin frequency axis (acquisition.cxx:391):
+    freq_i = tuned_freq + (i − N/2.0)·actual_samplerate/N, in float64."""
+    i = np.arange(N, dtype=np.float64)
+    return tuned_freq + (i - N / 2.0) * actual_samplerate / N
+
+
+def finalize_psd(pwr: np.ndarray, repeats_done: int, actual_samplerate: int,
+                 linear: bool = False,
+                 baseline: Optional[np.ndarray] = None,
+                 already_shifted: bool = False) -> np.ndarray:
+    """Turn an accumulated (unshifted) power vector into output PSD values.
+
+    Mirrors acquisition.cxx:376-399 in float64:
+      fftshift → DC-bin interpolation → /repeats/N/rate → 10·log10 (unless
+      linear) → baseline subtraction (baseline is in *output* units, i.e.
+      subtracted after the dB conversion).
+    Returns the per-bin values; the caller formats/writes them.
+    """
+    pwr = np.asarray(pwr, dtype=np.float64)
+    N = pwr.shape[-1]
+    shifted = pwr.copy() if already_shifted else np.fft.fftshift(pwr, axes=-1)
+    # Interpolate the central point to cancel DC bias (acquisition.cxx:376-377).
+    shifted[..., N // 2] = (shifted[..., N // 2 - 1] + shifted[..., N // 2 + 1]) / 2.0
+    psd = shifted / repeats_done / N / actual_samplerate
+    if not linear:
+        with np.errstate(divide="ignore"):
+            psd = 10.0 * np.log10(psd)
+    if baseline is not None:
+        psd = psd - np.asarray(baseline, dtype=np.float64)
+    return psd

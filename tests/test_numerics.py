@@ -1,0 +1,165 @@
+"""Golden parity tests: TPU-native spectral core vs a literal float64
+transcription of the reference compute path (datastore.cxx:69-87 +
+acquisition.cxx:376-399). Tolerance: 1e-5 relative (BASELINE.json)."""
+
+import numpy as np
+import pytest
+
+from rtl_power_fftw_tpu.ops import (
+    FrameSlicer, PsdStep, bin_frequencies, finalize_psd,
+)
+from rtl_power_fftw_tpu.auxdata import make_window
+
+from golden import golden_accumulate, golden_finalize
+
+
+def make_stream(n_bytes: int, seed: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    # Tone + noise, quantized around 127 like an RTL dongle.
+    t = np.arange(n_bytes // 2)
+    sig = (127.0
+           + 30.0 * np.cos(2 * np.pi * 0.123 * t)
+           + 10.0 * rng.standard_normal(n_bytes // 2))
+    iq = np.empty(n_bytes)
+    iq[0::2] = sig
+    iq[1::2] = (127.0 + 30.0 * np.sin(2 * np.pi * 0.123 * t)
+                + 10.0 * rng.standard_normal(n_bytes // 2))
+    return np.clip(np.rint(iq), 0, 255).astype(np.uint8)
+
+
+def run_pipeline(stream, N, repeats, window=None, backend="xla", F=None,
+                 linear=False, baseline=None, rate=2_048_000):
+    """End-to-end: slice → device steps → f64 host accumulate → finalize."""
+    step = PsdStep(N, F or max(1, repeats), window=window, backend=backend)
+    slicer = FrameSlicer(N)
+    pwr = np.zeros(N, dtype=np.float64)
+    done = 0
+    frames = slicer.push(stream, max_frames=repeats)
+    for start in range(0, len(frames), step.F):
+        batch = frames[start:start + step.F]
+        n_valid = len(batch)
+        if n_valid < step.F:
+            batch = np.concatenate(
+                [batch, np.zeros((step.F - n_valid, 2 * N), np.uint8)])
+        pwr += np.asarray(step(batch, n_valid), dtype=np.float64)
+        done += n_valid
+    out = finalize_psd(pwr, done, rate, linear=linear, baseline=baseline)
+    return out, done
+
+
+@pytest.mark.parametrize("backend", ["xla", "matmul", "fourstep"])
+@pytest.mark.parametrize("N", [64, 512, 500])
+def test_psd_matches_golden(backend, N):
+    repeats = 20
+    stream = make_stream(2 * N * repeats, seed=N)
+    got, done = run_pipeline(stream, N, repeats, backend=backend)
+    pwr_ref, done_ref = golden_accumulate(stream, N, repeats)
+    want = golden_finalize(pwr_ref, done_ref, 2_048_000)
+    assert done == done_ref == repeats
+    # dB-domain comparison: 1e-5 in linear power ≈ 4.3e-6 dB absolute.
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-4)
+
+
+@pytest.mark.parametrize("backend", ["xla", "matmul"])
+def test_psd_linear_matches_golden(backend):
+    N, repeats = 256, 16
+    stream = make_stream(2 * N * repeats, seed=7)
+    got, done = run_pipeline(stream, N, repeats, backend=backend, linear=True)
+    pwr_ref, done_ref = golden_accumulate(stream, N, repeats)
+    want = golden_finalize(pwr_ref, done_ref, 2_048_000, linear=True)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_windowed_psd_matches_golden():
+    N, repeats = 512, 12
+    window = make_window("hann", N)
+    stream = make_stream(2 * N * repeats, seed=3)
+    got, _ = run_pipeline(stream, N, repeats, window=window)
+    pwr_ref, done_ref = golden_accumulate(stream, N, repeats, window=window)
+    want = golden_finalize(pwr_ref, done_ref, 2_048_000)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-4)
+
+
+def test_baseline_subtraction():
+    N, repeats = 128, 8
+    stream = make_stream(2 * N * repeats, seed=11)
+    baseline = np.linspace(-5, 5, N)
+    got, _ = run_pipeline(stream, N, repeats, baseline=baseline)
+    pwr_ref, done_ref = golden_accumulate(stream, N, repeats)
+    want = golden_finalize(pwr_ref, done_ref, 2_048_000, baseline=baseline)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-4)
+
+
+def test_repeats_cap_discards_extra_data():
+    """The reference stops at `repeats` even if more data remains
+    (datastore.cxx:67)."""
+    N, repeats = 64, 5
+    stream = make_stream(2 * N * (repeats + 7), seed=5)
+    got, done = run_pipeline(stream, N, repeats)
+    assert done == repeats
+    pwr_ref, done_ref = golden_accumulate(stream, N, repeats)
+    want = golden_finalize(pwr_ref, done_ref, 2_048_000)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-4)
+
+
+def test_frame_carry_across_buffers():
+    """Frames must carry across buffer boundaries (datastore.cxx:52,66-80)."""
+    N = 100  # non-power-of-2, like the doc example -b 500
+    repeats = 9
+    stream = make_stream(2 * N * repeats, seed=9)
+    slicer = FrameSlicer(N)
+    # Feed in awkward chunk sizes that never align with 2N.
+    chunks = np.array_split(stream, [37, 150, 151, 900, 901])
+    frames = [slicer.push(c) for c in chunks]
+    all_frames = np.concatenate([f for f in frames if len(f)])
+    assert all_frames.shape == (repeats, 2 * N)
+    np.testing.assert_array_equal(all_frames.ravel(), stream[:repeats * 2 * N])
+
+
+def test_frame_slicer_welch_overlap():
+    N = 8
+    slicer = FrameSlicer(N, hop=N // 2)  # 50% overlap
+    data = np.arange(64, dtype=np.uint8)
+    frames = slicer.push(data)
+    assert frames.shape == (7, 16)
+    np.testing.assert_array_equal(frames[0], data[0:16])
+    np.testing.assert_array_equal(frames[1], data[8:24])
+
+
+def test_bin_frequencies_formula():
+    """freq_i = tuned + (i − N/2.0)·rate/N (acquisition.cxx:391)."""
+    N, rate, tuned = 512, 2_048_000, 1_420_405_752
+    f = bin_frequencies(tuned, N, rate)
+    assert f[0] == tuned + (0 - N / 2.0) * rate / N
+    assert f[N // 2] == tuned
+    assert f[-1] == tuned + ((N - 1) - N / 2.0) * rate / N
+
+
+def test_dc_interpolation():
+    N = 16
+    pwr = np.zeros(N)
+    pwr[0] = 1000.0  # DC lands at bin 0 unshifted → N/2 after shift
+    shifted_neighbors = np.fft.fftshift(np.arange(N, dtype=float))
+    out = finalize_psd(np.arange(N, dtype=float), 1, 1, linear=True)
+    expect_center = (shifted_neighbors[N // 2 - 1] + shifted_neighbors[N // 2 + 1]) / 2
+    assert out[N // 2] == expect_center / N
+
+
+def test_fourstep_split():
+    from rtl_power_fftw_tpu.ops import best_fourstep_split
+    for n in [64, 500, 2048, 8192, 1 << 20]:
+        n1, n2 = best_fourstep_split(n)
+        assert n1 * n2 == n
+        assert n1 <= n2
+
+
+def test_large_prime_bins():
+    """Arbitrary even N must work (doc example uses -b 500); 2·prime is the
+    worst case for FFT decomposition."""
+    N = 2 * 241
+    repeats = 4
+    stream = make_stream(2 * N * repeats, seed=42)
+    got, _ = run_pipeline(stream, N, repeats, backend="matmul")
+    pwr_ref, done_ref = golden_accumulate(stream, N, repeats)
+    want = golden_finalize(pwr_ref, done_ref, 2_048_000)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-4)
