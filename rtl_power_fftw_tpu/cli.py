@@ -1,0 +1,41 @@
+"""Command-line entry point.
+
+The ``main`` equivalent (rtl_power_fftw.cxx:50-233): parse → aux data →
+open device → run session → map exceptions to exit codes.  Run as
+``python -m rtl_power_fftw_tpu [options]`` or via the ``rtl_power_fftw_tpu``
+console script.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import List, Optional
+
+from .auxdata import AuxData
+from .config import parse_args
+from .exceptions import ReturnValue, RPFexception
+from .session import run_session
+from .sources.registry import open_device
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    final_retval = ReturnValue.Success
+    source = None
+    try:
+        params = parse_args(argv)
+        aux = AuxData(params)
+        source = open_device(params)
+        final_retval = run_session(params, source, aux)
+    except RPFexception as exception:
+        print(str(exception), file=sys.stderr)
+        final_retval = exception.return_value
+    finally:
+        if source is not None:
+            source.close()
+    return int(final_retval)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

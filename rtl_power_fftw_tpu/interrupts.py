@@ -1,0 +1,67 @@
+"""Graceful-stop state machine: SIGINT escalation.
+
+Mirrors /root/reference/src/interrupts.{h,cxx}: the first Ctrl+C finishes
+the current pass, the second stops acquisition as soon as possible, and the
+third is left to the default handler (killing the process) because the
+custom handler uninstalls itself at level two (interrupts.cxx:28-31).
+"""
+
+from __future__ import annotations
+
+import enum
+import signal
+import sys
+import threading
+
+
+class InterruptState(enum.IntEnum):
+    Neutral = 0
+    FinishPass = 1
+    FinishNow = 2
+
+
+_lock = threading.Lock()
+_interrupts = 0
+_reported = 0
+
+
+def _handler(signum, frame):
+    global _interrupts
+    with _lock:
+        _interrupts += 1
+        if _interrupts == int(InterruptState.FinishNow):
+            set_ctrl_c_handler(False)
+
+
+def set_ctrl_c_handler(install: bool) -> None:
+    """Install/uninstall the SIGINT handler (interrupts.cxx:33-43)."""
+    signal.signal(signal.SIGINT, _handler if install else signal.SIG_DFL)
+
+
+def reset() -> None:
+    """Clear state (test support; the reference process never needs this)."""
+    global _interrupts, _reported
+    with _lock:
+        _interrupts = 0
+        _reported = 0
+
+
+def raise_interrupt() -> None:
+    """Programmatic escalation (test/fault-injection support)."""
+    _handler(signal.SIGINT, None)
+
+
+def check_interrupt(check_level: InterruptState, stderr=None) -> bool:
+    """Poll the interrupt level; print each newly observed level once
+    (interrupts.cxx:45-60)."""
+    global _reported
+    err = stderr if stderr is not None else sys.stderr
+    with _lock:
+        current = _interrupts
+    while _reported < current:
+        _reported += 1
+        if _reported == int(InterruptState.FinishPass):
+            print("Interrupted, will try to finish this pass.", file=err)
+        elif _reported == int(InterruptState.FinishNow):
+            print("Interrupted, finishing now.", file=err)
+    return current >= int(check_level)

@@ -1,0 +1,194 @@
+"""The compute pipeline: host buffer pool feeding asynchronous device steps.
+
+TPU-native redesign of the reference's ``Datastore``
+(/root/reference/src/datastore.{h,cxx}).  The shape is the same —
+a bounded pool of reusable byte buffers connecting an acquisition producer
+to a spectral consumer, with backpressure and a queue-depth histogram —
+but the consumer is not a CPU FFT loop: it slices buffers into fixed-shape
+frame batches and dispatches ONE jitted TPU step per batch
+(dequant → window → batched FFT → masked |X|² partial sum).  JAX's async
+dispatch pipelines host slicing, host↔device transfer and device compute;
+a small in-flight window bounds device memory.
+
+Reference-parity details preserved:
+* producer blocks when no buffer is free; the number of free buffers is
+  histogrammed at every grab (acquisition.cxx:278-285, the documented
+  "first number nonzero ⇒ compute too slow" diagnostic);
+* frames carry across buffer boundaries (FrameSlicer);
+* processing stops at exactly ``repeats`` frames (datastore.cxx:67);
+* partial sums accumulate into float64 on the host — matching the
+  reference's double accumulator (datastore.h:53) without TPU f64.
+"""
+
+from __future__ import annotations
+
+import collections
+import dataclasses
+import threading
+from typing import Deque, List, Optional
+
+import numpy as np
+
+from ..config import Params
+from ..ops.spectral import FrameSlicer, PsdStep, _SUM_CHUNK
+
+
+@dataclasses.dataclass
+class AcquisitionResult:
+    pwr: np.ndarray            # (N,) float64, unshifted bins
+    repeats_done: int
+
+
+class Datastore:
+    """Buffer pool + device-step consumer.
+
+    One instance is reused across all hops of a session (like the
+    reference's single Datastore constructed at rtl_power_fftw.cxx:112),
+    so the jitted step compiles once.
+    """
+
+    def __init__(self, params: Params, window: Optional[np.ndarray] = None,
+                 max_in_flight: int = 4):
+        self.params = params
+        self.N = params.N
+        hop = None
+        if params.welch_overlap > 0.0:
+            hop = max(1, int(round(params.N * (1.0 - params.welch_overlap / 100.0))))
+        self._hop = hop
+
+        frames_per_step = params.frames_per_step
+        if frames_per_step <= 0:
+            # Default: one buffer's worth of frames per device step, capped
+            # to keep step latency and padding waste balanced.
+            frames_per_step = max(1, min(params.buf_length // (2 * params.N), 4096))
+        self.step = PsdStep(params.N, frames_per_step, window=window,
+                            backend=params.fft_backend)
+        self.slicer = FrameSlicer(params.N, hop=hop)
+        self.max_in_flight = max_in_flight
+
+        # Buffer pool bookkeeping (datastore.h:40-47). Buffers here are just
+        # numpy arrays owned by the queue; the pool bound provides the
+        # backpressure and the histogram provides the diagnostics.
+        self.n_buffers = params.buffers
+        self.queue_histogram: List[int] = [0] * (params.buffers + 1)
+        self._occupied: Deque[np.ndarray] = collections.deque()
+        self._lock = threading.Lock()
+        self._status_change = threading.Condition(self._lock)
+        self._acquisition_finished = False
+
+        # Accumulator state (reset per acquisition).
+        self.pwr = np.zeros(self.N, dtype=np.float64)
+        self.repeats_done = 0
+        self._consumer: Optional[threading.Thread] = None
+        self._consumer_error: Optional[BaseException] = None
+
+    # --- producer interface (called by Acquisition) ---
+
+    def begin_acquisition(self) -> None:
+        """Reset accumulator and start the consumer thread (the reference
+        spawns fftThread per acquisition, acquisition.cxx:256)."""
+        self.pwr = np.zeros(self.N, dtype=np.float64)
+        self.repeats_done = 0
+        self.slicer.reset()
+        self._acquisition_finished = False
+        self._consumer_error = None
+        self._consumer = threading.Thread(target=self._consume, daemon=True)
+        self._consumer.start()
+
+    def acquire_slot(self) -> None:
+        """Block until a pool slot is free; histogram the free count
+        (acquisition.cxx:278-285). Re-raises a consumer failure instead of
+        deadlocking the producer against a dead consumer."""
+        with self._status_change:
+            free = self.n_buffers - len(self._occupied)
+            self.queue_histogram[max(0, min(free, self.n_buffers))] += 1
+            while (self.n_buffers - len(self._occupied) <= 0
+                   and self._consumer_error is None):
+                self._status_change.wait()
+            if self._consumer_error is not None:
+                raise self._consumer_error
+
+    def push_buffer(self, data: np.ndarray) -> None:
+        """Producer hands over a filled buffer (acquisition.cxx:317-324)."""
+        with self._status_change:
+            self._occupied.append(data)
+            self._status_change.notify_all()
+
+    def finish_acquisition(self) -> AcquisitionResult:
+        """Signal end-of-data and join the consumer
+        (acquisition.cxx:343-347)."""
+        with self._status_change:
+            self._acquisition_finished = True
+            self._status_change.notify_all()
+        assert self._consumer is not None
+        self._consumer.join()
+        if self._consumer_error is not None:
+            raise self._consumer_error
+        return AcquisitionResult(pwr=self.pwr, repeats_done=self.repeats_done)
+
+    # --- consumer (device dispatch) ---
+
+    def _consume(self) -> None:
+        try:
+            pending: Deque = collections.deque()  # in-flight device partials
+
+            def drain(to_len: int) -> None:
+                while len(pending) > to_len:
+                    partial = pending.popleft()
+                    # np.asarray blocks until the device step is done.
+                    self.pwr += np.asarray(partial, dtype=np.float64)
+
+            F = self.step.F
+            frame_bytes = 2 * self.N
+            staging = np.zeros((F, frame_bytes), dtype=np.uint8)
+            staged = 0
+
+            def flush_staging() -> None:
+                nonlocal staged
+                if staged == 0:
+                    return
+                if staged < F:
+                    staging[staged:] = 0
+                pending.append(self.step(staging.copy(), staged))
+                self.repeats_done += staged
+                staged = 0
+
+            while True:
+                with self._status_change:
+                    while not self._occupied and not self._acquisition_finished:
+                        self._status_change.wait()
+                    if not self._occupied and self._acquisition_finished:
+                        break
+                    buffer = self._occupied.popleft()
+                    self._status_change.notify_all()
+
+                remaining = self.params.repeats - self.repeats_done - staged
+                frames = self.slicer.push(buffer, max_frames=max(0, remaining))
+                # Pack frames into full fixed-shape batches; a partial batch
+                # stays staged so consecutive small buffers coalesce into one
+                # device step instead of one step per buffer.
+                pos = 0
+                while pos < len(frames):
+                    take = min(F - staged, len(frames) - pos)
+                    staging[staged:staged + take] = frames[pos:pos + take]
+                    staged += take
+                    pos += take
+                    if staged == F:
+                        flush_staging()
+                    drain(self.max_in_flight)
+
+            flush_staging()
+            drain(0)
+        except BaseException as e:  # surfaced to the producer
+            with self._status_change:
+                self._consumer_error = e
+                self._status_change.notify_all()
+
+    # --- diagnostics ---
+
+    def print_queue_histogram(self, stderr=None) -> None:
+        """datastore.cxx:98-103."""
+        import sys
+        err = stderr if stderr is not None else sys.stderr
+        print("Buffer queue histogram: "
+              + " ".join(str(v) for v in self.queue_histogram) + " ", file=err)

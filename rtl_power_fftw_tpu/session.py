@@ -1,0 +1,314 @@
+"""Session driver: per-hop acquisition and the outer measurement loop.
+
+Re-implements the reference's ``Acquisition`` controller
+(acquisition.cxx:211-441) and ``main``'s session loop
+(rtl_power_fftw.cxx:50-233): tune-with-retries, the producer read loop with
+dropped-sample retry and strict-time deadline, per-hop output, frequency
+hopping with TuneError dropping, endless/duration-bounded sessions, SIGINT
+escalation, and the matrix-mode metadata lifecycle.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+from typing import IO, Optional
+
+import numpy as np
+
+from .auxdata import AuxData
+from .config import BASE_BUF, Params
+from .exceptions import ReturnValue, RPFexception, TuneError
+from .interrupts import InterruptState, check_interrupt, set_ctrl_c_handler
+from .ops.spectral import bin_frequencies, finalize_psd
+from .output.matrix import MatrixWriter
+from .output.stats import SessionStats
+from .output.text import TextWriter
+from .pipeline.datastore import Datastore
+from .planning import Plan
+from .sources.base import IQSource
+
+
+def current_datetime() -> str:
+    """UTC timestamp "YYYY-MM-DD HH:MM:SS UTC" (acquisition.cxx:436-441)."""
+    return time.strftime("%Y-%m-%d %H:%M:%S UTC", time.gmtime())
+
+
+def _chatty(params: Params) -> bool:
+    """The reference's verbosity gate, repeated at every printout:
+    ``(outcnt == 0 && talkless) || !talkless`` (e.g. acquisition.cxx:233)."""
+    return (params.outcnt == 0 and params.talkless) or not params.talkless
+
+
+class Acquisition:
+    """One data acquisition at one tuned frequency (acquisition.cxx:211-348)."""
+
+    def __init__(self, params: Params, aux: AuxData, source: IQSource,
+                 data: Datastore, actual_samplerate: int, freq: int,
+                 stats: SessionStats, stderr: Optional[IO[str]] = None):
+        self.params = params
+        self.aux = aux
+        self.source = source
+        self.data = data
+        self.actual_samplerate = actual_samplerate
+        self.freq = freq
+        self.stats = stats
+        self.err = stderr if stderr is not None else sys.stderr
+        self.tuned_freq = 0
+        self.startAcqTimestamp = ""
+        self.endAcqTimestamp = ""
+        self.deviceReadouts = 0
+        self.successfulReadouts = 0
+        self.repeats_done = 0
+        self.pwr: Optional[np.ndarray] = None
+
+    def run(self) -> None:
+        params = self.params
+        # Tune with up to 3 tries (acquisition.cxx:229-249): hardware can be
+        # stubborn; a zero readback also counts as failure.
+        max_tune_tries = 3
+        success = False
+        for tune_try in range(max_tune_tries):
+            if success:
+                break
+            if _chatty(params):
+                print(f"Tuning to {self.freq} Hz (try {tune_try + 1})", file=self.err)
+            try:
+                self.source.set_frequency(self.freq)
+                self.tuned_freq = self.source.frequency()
+                if self.tuned_freq != 0:
+                    success = True
+            except RPFexception:
+                pass
+        if not success:
+            raise TuneError(self.freq)
+
+        if _chatty(params):
+            print(f"Device tuned to: {self.tuned_freq} Hz", file=self.err)
+
+        self.data.begin_acquisition()
+
+        self.startAcqTimestamp = current_datetime()
+        self.stats.begin_scan(self.startAcqTimestamp)
+        if _chatty(params):
+            print(f"Acquisition started at {self.startAcqTimestamp}", file=self.err)
+
+        # Strict-time deadline (acquisition.cxx:267-269).
+        stop_time = time.monotonic() + params.integration_time
+
+        data_total = 2 * params.N * params.repeats
+        data_read = 0
+
+        while data_read < data_total:
+            self.data.acquire_slot()
+
+            # Figure out how much data to read (acquisition.cxx:287-302):
+            # full buffers while possible; the final partial read rounds up
+            # to the next multiple of BASE_BUF.
+            data_needed = data_total - data_read
+            if data_needed >= params.buf_length:
+                data_needed = params.buf_length
+            else:
+                data_needed = BASE_BUF * int(math.ceil(data_needed / BASE_BUF))
+                if data_needed > params.buf_length:
+                    data_needed = params.buf_length
+
+            buffer, read_success = self.source.read(data_needed)
+            self.deviceReadouts += 1
+
+            if not read_success:
+                print("Error: dropped samples.", file=self.err)
+                # No data in this buffer — the slot was never handed over,
+                # so simply retry (acquisition.cxx:307-316).
+            else:
+                self.successfulReadouts += 1
+                data_read += data_needed
+                self.data.push_buffer(buffer)
+
+            if params.strict_time and time.monotonic() >= stop_time:
+                break
+            if check_interrupt(InterruptState.FinishNow, stderr=self.err):
+                break
+
+        self.endAcqTimestamp = current_datetime()
+        self.stats.end_scan(self.endAcqTimestamp)
+        if _chatty(params):
+            print(f"Acquisition done at {self.endAcqTimestamp}", file=self.err)
+
+        result = self.data.finish_acquisition()
+        self.pwr = result.pwr
+        self.repeats_done = result.repeats_done
+
+    def print_summary(self) -> None:
+        """acquisition.cxx:350-358."""
+        p, err = self.params, self.err
+        print(f"Actual number of (complex) samples collected: "
+              f"{p.N * self.repeats_done}", file=err)
+        print(f"Actual number of device readouts: {self.deviceReadouts}", file=err)
+        print(f"Number of successful readouts: {self.successfulReadouts}", file=err)
+        print(f"Actual number of averaged spectra: {self.repeats_done}", file=err)
+        eff = float(p.N) * self.repeats_done / self.actual_samplerate
+        print(f"Effective integration time: {eff:g} seconds", file=err)
+
+    def compute_output(self) -> np.ndarray:
+        """Finalize the accumulated spectrum into output values
+        (acquisition.cxx:376-399): fftshift + DC interp + normalize +
+        dB/linear + baseline."""
+        baseline = self.aux.baseline_values if self.params.baseline else None
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return finalize_psd(self.pwr, self.repeats_done,
+                                self.actual_samplerate,
+                                linear=self.params.linear,
+                                baseline=baseline)
+
+    def write_data(self, text_writer: TextWriter,
+                   matrix_writer: Optional[MatrixWriter]) -> None:
+        """acquisition.cxx:360-433."""
+        values = self.compute_output()
+        if self.params.matrixMode:
+            assert matrix_writer is not None
+            matrix_writer.append_row(values, self.tuned_freq, self.params.finalfreq)
+        else:
+            freqs = bin_frequencies(self.tuned_freq, self.params.N,
+                                    self.actual_samplerate)
+            text_writer.write_spectrum(
+                freqs, values, self.startAcqTimestamp, self.endAcqTimestamp,
+                self.tuned_freq, self.actual_samplerate, self.params.N)
+
+
+def run_session(params: Params, source: IQSource, aux: AuxData,
+                stdout: Optional[IO[str]] = None,
+                stderr: Optional[IO[str]] = None,
+                install_sigint: bool = True,
+                datastore: Optional[Datastore] = None) -> ReturnValue:
+    """The measurement session (rtl_power_fftw.cxx:50-233 after device setup).
+
+    Returns the final ReturnValue; raises RPFexception for fatal errors
+    (the CLI converts both to exit codes).
+    """
+    err = stderr if stderr is not None else sys.stderr
+    out = stdout if stdout is not None else sys.stdout
+    stats = SessionStats()
+
+    # endless takes precedence over session duration (rtl_power_fftw.cxx:69).
+    if params.endless:
+        params.session_duration_isSet = False
+    if params.session_duration_isSet:
+        print(f"Scan session duration: {int(params.session_duration)} seconds",
+              file=err)
+
+    # Gain setup (rtl_power_fftw.cxx:77-82).
+    source.print_gains(stderr=err)
+    gain = source.nearest_gain(params.gain)
+    print(f"Selected nearest available gain: {gain} ({0.1 * gain:g} dB)", file=err)
+    source.set_gain(gain)
+
+    # Throwaway pre-tune so the sample-rate setting has a valid frequency
+    # (rtl_power_fftw.cxx:84-91).
+    try:
+        source.set_frequency(params.cfreq)
+    except RPFexception:
+        pass
+
+    if params.ppm_error != 0:
+        source.set_freq_correction(params.ppm_error)
+        print(f"PPM error set to: {params.ppm_error}", file=err)
+
+    source.set_sample_rate(params.sample_rate)
+    actual_samplerate = source.sample_rate()
+    print(f"Actual sample rate: {actual_samplerate} Hz", file=err)
+
+    plan = Plan(params, actual_samplerate)
+    plan.print(file=err)
+
+    data = datastore if datastore is not None else Datastore(
+        params, window=aux.window_values)
+
+    if install_sigint:
+        set_ctrl_c_handler(True)
+
+    exit_time = None
+    if params.session_duration_isSet:
+        exit_time = time.time() + int(params.session_duration)
+
+    text_writer = TextWriter(out)
+    matrix_writer = None
+    if params.matrixMode:
+        matrix_writer = MatrixWriter(params.bin_file, params.meta_file, stats)
+        matrix_writer.truncate()
+
+    params.finalfreq = plan.freqs_to_tune[-1]
+    freqs_meta_needed = True
+    do_exit = False
+
+    while not do_exit:
+        i = 0
+        while i < len(plan.freqs_to_tune):
+            freq = plan.freqs_to_tune[i]
+            acquisition = Acquisition(params, aux, source, data,
+                                      actual_samplerate, freq, stats, stderr=err)
+            try:
+                acquisition.run()
+                i += 1
+            except TuneError as e:
+                # Dead spot of the receiver: drop the frequency and continue
+                # (rtl_power_fftw.cxx:141-147).
+                print(f"Unable to tune to {e.frequency()}. "
+                      "Dropping from frequency list.", file=err)
+                del plan.freqs_to_tune[i]
+                continue
+
+            if _chatty(params):
+                acquisition.print_summary()
+
+            # Matrix-mode frequency extents, once per run
+            # (rtl_power_fftw.cxx:153-163).
+            if params.matrixMode and freqs_meta_needed:
+                tunfreq = plan.freqs_to_tune[0]
+                stats.startFreq = int(
+                    tunfreq + (0 - params.N / 2.0) * actual_samplerate / params.N)
+                tunfreq = plan.freqs_to_tune[-1]
+                stats.endFreq = int(
+                    tunfreq + ((params.N - 1) - params.N / 2.0)
+                    * actual_samplerate / params.N)
+                stats.stepFreq = actual_samplerate // params.N
+                freqs_meta_needed = False
+
+            acquisition.write_data(text_writer, matrix_writer)
+
+            if _chatty(params):
+                data.print_queue_histogram(stderr=err)
+
+            if check_interrupt(InterruptState.FinishNow, stderr=err):
+                break
+
+        if params.outcnt == 0 and params.talkless:
+            params.outcnt += 1
+
+        # The measurement-set separator blank line is written to stdout
+        # unconditionally — even in matrix mode (rtl_power_fftw.cxx:184-194).
+        if params.session_duration_isSet:
+            if time.time() >= exit_time:
+                do_exit = True
+                print("Session duration elapsed.", file=err)
+                text_writer.end_measurement_set()
+        else:
+            text_writer.end_measurement_set()
+
+        if params.endless:
+            do_exit = False
+        if not params.session_duration_isSet and not params.endless:
+            do_exit = True
+        if check_interrupt(InterruptState.FinishPass, stderr=err):
+            do_exit = True
+
+    if params.matrixMode and matrix_writer is not None:
+        repeats_done = data.repeats_done
+        matrix_writer.write_meta(params.N, repeats_done, actual_samplerate)
+
+    if len(plan.freqs_to_tune) == 0:
+        raise RPFexception("No valid frequencies left.",
+                           ReturnValue.AcquisitionError)
+
+    return ReturnValue.Success

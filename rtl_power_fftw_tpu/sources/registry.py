@@ -1,0 +1,71 @@
+"""Source construction and device-index resolution.
+
+Replaces the reference's librtlsdr device enumeration (device.cxx:30-50)
+with a registry: the ``--source`` spec names a backend, and ``-d`` keeps the
+reference's index/validation semantics and exit codes.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from ..config import Params
+from ..exceptions import ReturnValue, RPFexception
+from .base import IQSource
+from .file import FileSource
+from .synthetic import SyntheticSource, parse_synthetic_spec
+
+
+def make_source(spec: str, sample_rate: int = 2_048_000) -> IQSource:
+    """Build an IQSource from a CLI spec string.
+
+    Specs: ``synthetic[:opts]`` | ``file:<path>[:loop]`` |
+    ``rtl_tcp:<host>[:<port>]`` | ``rtlsdr[:<index>]``.
+    """
+    kind, _, rest = spec.partition(":")
+    kind = kind.strip().lower()
+    if kind == "synthetic":
+        try:
+            return parse_synthetic_spec(rest)
+        except ValueError as e:
+            raise RPFexception(f"Bad --source synthetic spec: {e}",
+                               ReturnValue.InvalidArgument)
+    if kind == "file":
+        path, _, opt = rest.partition(":")
+        if not path:
+            raise RPFexception("file source needs a path: file:<path>",
+                               ReturnValue.InvalidArgument)
+        return FileSource(path, sample_rate=sample_rate, loop=(opt == "loop"))
+    if kind == "rtl_tcp":
+        host, _, port = rest.partition(":")
+        from .rtl_tcp import RtlTcpSource
+        return RtlTcpSource(host or "127.0.0.1", int(port) if port else 1234)
+    if kind == "rtlsdr":
+        try:
+            from .rtlsdr import RtlSdrSource  # optional dependency
+        except ImportError:
+            raise RPFexception(
+                "rtlsdr source requires the pyrtlsdr package, which is not "
+                "installed.", ReturnValue.NoDeviceFound)
+        return RtlSdrSource(int(rest) if rest else 0)
+    raise RPFexception(f"Unknown --source kind: {kind!r}.",
+                       ReturnValue.InvalidArgument)
+
+
+def open_device(params: Params,
+                devices: Optional[List[IQSource]] = None) -> IQSource:
+    """Resolve ``-d <index>`` against available sources with the reference's
+    enumeration semantics (device.cxx:30-50): no devices → exit code 1,
+    index out of range → exit code 2."""
+    if devices is None:
+        devices = []
+        if params.source:
+            devices.append(make_source(params.source, params.sample_rate))
+    if len(devices) == 0:
+        raise RPFexception("No RTL-SDR compatible devices found.",
+                           ReturnValue.NoDeviceFound)
+    if params.dev_index >= len(devices):
+        raise RPFexception(
+            f"Invalid RTL device number. Only {len(devices)} devices available.",
+            ReturnValue.InvalidDeviceIndex)
+    return devices[params.dev_index]

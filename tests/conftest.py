@@ -3,16 +3,25 @@
 Multi-chip sharding is validated without a pod via
 ``--xla_force_host_platform_device_count`` — the standard JAX trick
 (the TPU-world analogue of testing multi-node without a cluster).
-Must set the env vars before jax initializes, hence this conftest.
+
+This image force-registers a remote TPU backend ("axon") from
+sitecustomize at interpreter start and pins JAX_PLATFORMS=axon in the
+environment, so plain env vars here are not enough: the platform must be
+overridden through jax.config after import.
 """
 
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", jax.devices()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -1,0 +1,244 @@
+"""End-to-end session tests: the full pipeline from IQ source to formatted
+output, exercising hop lists, fault paths, matrix mode, and interrupts."""
+
+import io
+import math
+import os
+
+import numpy as np
+import pytest
+
+import rtl_power_fftw_tpu.interrupts as interrupts
+from rtl_power_fftw_tpu.auxdata import AuxData
+from rtl_power_fftw_tpu.config import parse_args
+from rtl_power_fftw_tpu.exceptions import ReturnValue, RPFexception
+from rtl_power_fftw_tpu.output.matrix import read_matrix
+from rtl_power_fftw_tpu.session import run_session
+from rtl_power_fftw_tpu.sources import SyntheticSource
+
+from golden import golden_accumulate, golden_finalize
+
+
+@pytest.fixture(autouse=True)
+def _reset_interrupts():
+    interrupts.reset()
+    yield
+    interrupts.reset()
+
+
+def parse(argv):
+    return parse_args(argv, stderr=io.StringIO())
+
+
+def run(argv, source, stdin=None):
+    params = parse(argv)
+    aux = AuxData(params, stdin=stdin, stderr=io.StringIO())
+    out, err = io.StringIO(), io.StringIO()
+    rv = run_session(params, source, aux, stdout=out, stderr=err,
+                     install_sigint=False)
+    return rv, out.getvalue(), err.getvalue(), params
+
+
+def test_basic_session_output_structure():
+    src = SyntheticSource(tones=[(100_050_000, 30.0)], noise=5.0, seed=1)
+    rv, out, err, params = run(["-f", "100M", "-n", "32", "-b", "128",
+                                "--source", "synthetic:"], src)
+    assert rv == ReturnValue.Success
+    lines = out.split("\n")
+    assert lines[0] == "# rtl-power-fftw output"
+    data_lines = [l for l in lines if l and not l.startswith("#")]
+    assert len(data_lines) == 128
+    # Ends with spectrum blank + set blank + final newline split artifact.
+    assert out.endswith("\n\n\n") or out.endswith("\n\n")
+    assert "Device tuned to: 100000000 Hz" in err
+    assert "Buffer queue histogram:" in err
+
+
+def test_session_matches_golden_numerics():
+    """Full session vs golden float64 pipeline on the same byte stream."""
+    N, repeats, rate = 256, 50, 2_048_000
+    seed = 77
+    src = SyntheticSource(tones=[(100_200_000, 35.0)], noise=6.0, seed=seed)
+    rv, out, err, params = run(
+        ["-f", "100M", "-n", str(repeats), "-b", str(N), "-r", str(rate),
+         "--source", "synthetic:"], src)
+    assert rv == ReturnValue.Success
+
+    # Regenerate the identical stream (deterministic source).
+    src2 = SyntheticSource(tones=[(100_200_000, 35.0)], noise=6.0, seed=seed)
+    src2.set_sample_rate(rate)
+    try:
+        src2.set_frequency(params.cfreq)
+    except RPFexception:
+        pass
+    src2.set_frequency(100_000_000)
+    stream, _ = src2.read(2 * N * repeats)
+    pwr, done = golden_accumulate(stream, N, repeats)
+    want = golden_finalize(pwr, done, rate)
+
+    got = np.array([float(l.split()[1]) for l in out.split("\n")
+                    if l and not l.startswith("#")])
+    # Text output has 6 significant digits; compare at that precision.
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-4)
+
+
+def test_frequency_scan_hops_and_stitching():
+    rate = 2_048_000
+    src = SyntheticSource(noise=5.0, seed=2)
+    rv, out, err, params = run(
+        ["-f", "100M:104M", "-n", "16", "-b", "64", "-r", str(rate),
+         "--source", "synthetic:"], src)
+    assert rv == ReturnValue.Success
+    spectra = [s for s in out.split("\n\n") if "frequency" in s or
+               any(l and not l.startswith("#") for l in s.split("\n"))]
+    span = 104_000_000 - 100_000_000
+    hops = math.ceil(span / rate)
+    headers = out.count("# rtl-power-fftw output")
+    assert headers == hops == 2
+    # First hop center per the reference formula.
+    assert f"Device tuned to: {int(100_000_000 + rate / 2.0)} Hz" in err
+
+
+def test_tune_error_drops_frequency():
+    rate = 2_048_000
+    # Kill the second hop's frequency.
+    start = 100_000_000
+    hop2 = int(start + rate / 2.0) + rate - _overhang(rate, 6_000_000, 3)
+    src = SyntheticSource(noise=5.0, seed=3, dead_freqs=[hop2])
+    rv, out, err, params = run(
+        ["-f", "100M:106M", "-n", "8", "-b", "64", "-r", str(rate),
+         "--source", "synthetic:"], src)
+    assert rv == ReturnValue.Success
+    assert f"Unable to tune to {hop2}. Dropping from frequency list." in err
+    assert out.count("# rtl-power-fftw output") == 2  # 3 hops − 1 dropped
+
+
+def _overhang(rate, span, hops):
+    return (hops * rate - span) // (hops - 1)
+
+
+def test_all_frequencies_dead_is_acquisition_error():
+    rate = 2_048_000
+    src = SyntheticSource(noise=5.0, dead_freqs=[100_000_000])
+    params = parse(["-f", "100M", "-n", "8", "-b", "64",
+                    "--source", "synthetic:"])
+    aux = AuxData(params, stderr=io.StringIO())
+    with pytest.raises(RPFexception) as e:
+        run_session(params, src, aux, stdout=io.StringIO(),
+                    stderr=io.StringIO(), install_sigint=False)
+    assert e.value.retval == ReturnValue.AcquisitionError
+
+
+def test_flaky_tune_retries_succeed():
+    # 3 transient failures: the session's throwaway pre-tune consumes one
+    # (rtl_power_fftw.cxx:84-91), the retry loop eats two and succeeds on
+    # its third try.
+    src = SyntheticSource(noise=5.0, seed=4, flaky_freqs={100_000_000: 3})
+    rv, out, err, params = run(["-f", "100M", "-n", "8", "-b", "64",
+                                "--source", "synthetic:"], src)
+    assert rv == ReturnValue.Success
+    assert "Tuning to 100000000 Hz (try 3)" in err
+
+
+def test_dropped_samples_are_retried():
+    src = SyntheticSource(noise=5.0, seed=5, drop_every=2)
+    # Explicit -s pins the buffer size so the measurement needs 4 reads;
+    # every 2nd read reports dropped samples and must be retried.
+    rv, out, err, params = run(["-f", "100M", "-n", "512", "-b", "64",
+                                "-s", "16384", "--source", "synthetic:"], src)
+    assert rv == ReturnValue.Success
+    assert "Error: dropped samples." in err
+    assert "Actual number of averaged spectra: 512" in err
+
+
+def test_matrix_mode_files(tmp_path):
+    rate = 2_048_000
+    base = str(tmp_path / "scan")
+    src = SyntheticSource(tones=[(100_100_000, 30.0)], noise=5.0, seed=6)
+    rv, out, err, params = run(
+        ["-f", "100M:104M", "-n", "16", "-b", "64", "-r", str(rate),
+         "-m", base, "--source", "synthetic:"], src)
+    assert rv == ReturnValue.Success
+    data, meta = read_matrix(base + ".bin", base + ".met")
+    assert meta["cols"] == "128"  # 2 hops × 64 bins
+    assert meta["rows"] == "1"
+    assert data.shape == (1, 128)
+    assert int(meta["stepFreq"]) == rate // 64
+    # startFreq/endFreq per rtl_power_fftw.cxx:155-163.
+    first_hop = int(100_000_000 + rate / 2.0)
+    assert int(meta["startFreq"]) == int(first_hop + (0 - 32.0) * rate / 64)
+    # Text-mode spectra must NOT be on stdout in matrix mode, but the set
+    # separator blank line is (rtl_power_fftw.cxx:184-194).
+    assert "# rtl-power-fftw output" not in out
+
+
+def test_quiet_mode_prints_once():
+    src = SyntheticSource(noise=5.0, seed=8)
+    params = parse(["-f", "100M", "-n", "4", "-b", "64", "-e", "0.001",
+                    "-q", "--source", "synthetic:"])
+    aux = AuxData(params, stderr=io.StringIO())
+    out, err = io.StringIO(), io.StringIO()
+    run_session(params, src, aux, stdout=out, stderr=err, install_sigint=False)
+    # Session duration path: at least one pass, summaries only once.
+    assert err.getvalue().count("Device tuned to:") == 1
+
+
+def test_integration_time_path():
+    rate = 100_000
+    src = SyntheticSource(noise=5.0, seed=9)
+    rv, out, err, params = run(
+        ["-f", "1M", "-t", "0.1", "-b", "100", "-r", str(rate),
+         "--source", "synthetic:"], src)
+    assert rv == ReturnValue.Success
+    assert params.repeats == math.ceil(rate * 0.1 / 100)
+    assert f"Actual number of averaged spectra: {params.repeats}" in err
+
+
+def test_finish_pass_interrupt_stops_endless():
+    src = SyntheticSource(noise=5.0, seed=10)
+    params = parse(["-f", "1M", "-n", "4", "-b", "64", "-c",
+                    "--source", "synthetic:"])
+    aux = AuxData(params, stderr=io.StringIO())
+    interrupts.raise_interrupt()  # first SIGINT → finish this pass then stop
+    out, err = io.StringIO(), io.StringIO()
+    rv = run_session(params, src, aux, stdout=out, stderr=err,
+                     install_sigint=False)
+    assert rv == ReturnValue.Success
+    assert "Interrupted, will try to finish this pass." in err.getvalue()
+    assert out.getvalue().count("# rtl-power-fftw output") == 1
+
+
+def test_finish_now_interrupt_breaks_hop_loop():
+    src = SyntheticSource(noise=5.0, seed=11)
+    params = parse(["-f", "100M:110M", "-n", "4", "-b", "64",
+                    "--source", "synthetic:"])
+    aux = AuxData(params, stderr=io.StringIO())
+    interrupts.raise_interrupt()
+    interrupts.raise_interrupt()  # second SIGINT → stop ASAP
+    out, err = io.StringIO(), io.StringIO()
+    rv = run_session(params, src, aux, stdout=out, stderr=err,
+                     install_sigint=False)
+    assert rv == ReturnValue.Success
+    assert "Interrupted, finishing now." in err.getvalue()
+    # Only the first hop got written before the break.
+    assert out.getvalue().count("# rtl-power-fftw output") == 1
+
+
+def test_welch_overlap_extension():
+    src = SyntheticSource(tones=[(100_050_000, 30.0)], noise=5.0, seed=12)
+    rv, out, err, params = run(
+        ["-f", "100M", "-n", "31", "-b", "128", "--welch-overlap", "50",
+         "--window-function", "hann", "--source", "synthetic:"], src)
+    assert rv == ReturnValue.Success
+    assert "Actual number of averaged spectra: 31" in err
+
+
+def test_cli_main_no_device_exit_code():
+    from rtl_power_fftw_tpu.cli import main
+    assert main(["-n", "1"]) == 1  # NoDeviceFound
+
+
+def test_cli_main_bad_arg_exit_code():
+    from rtl_power_fftw_tpu.cli import main
+    assert main(["--bogus"]) == 4
+    assert main(["-b", "-5"]) == 3

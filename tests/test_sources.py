@@ -1,0 +1,125 @@
+"""IQ source tests: synthetic signal correctness, fault injection,
+file sources, registry semantics."""
+
+import io
+
+import numpy as np
+import pytest
+
+from rtl_power_fftw_tpu.config import parse_args
+from rtl_power_fftw_tpu.exceptions import ReturnValue, RPFexception
+from rtl_power_fftw_tpu.sources import FileSource, SyntheticSource, make_source, open_device
+from rtl_power_fftw_tpu.sources.synthetic import parse_synthetic_spec
+
+
+def parse(argv):
+    return parse_args(argv, stderr=io.StringIO())
+
+
+def test_synthetic_tone_lands_in_expected_bin():
+    rate, N = 2_048_000, 512
+    tone = 100_000_000 + 64 * (rate // N)  # exactly bin +64 from center
+    src = SyntheticSource(tones=[(tone, 40.0)], noise=1.0, seed=1)
+    src.set_sample_rate(rate)
+    src.set_frequency(100_000_000)
+    data, ok = src.read(2 * N * 64)
+    assert ok
+    iq = data.astype(np.float64)
+    z = (iq[0::2] - 127.0) + 1j * (iq[1::2] - 127.0)
+    frames = z.reshape(64, N)
+    pwr = np.abs(np.fft.fft(frames, axis=1)) ** 2
+    avg = pwr.mean(axis=0)
+    assert avg.argmax() == 64  # unshifted bin index for +64 bins offset
+
+
+def test_synthetic_phase_continuity():
+    src = SyntheticSource(tones=[(1000, 50.0)], noise=0.0)
+    src.set_sample_rate(10_000)
+    src.set_frequency(0)
+    a, _ = src.read(2000)
+    src2 = SyntheticSource(tones=[(1000, 50.0)], noise=0.0)
+    src2.set_sample_rate(10_000)
+    src2.set_frequency(0)
+    b1, _ = src2.read(1000)
+    b2, _ = src2.read(1000)
+    np.testing.assert_array_equal(a, np.concatenate([b1, b2]))
+
+
+def test_synthetic_dead_frequency_raises():
+    src = SyntheticSource(dead_freqs=[100_000_000])
+    with pytest.raises(RPFexception):
+        src.set_frequency(100_000_000)
+    assert src.frequency() == 0  # readback reports failure
+
+
+def test_synthetic_flaky_frequency_recovers():
+    src = SyntheticSource(flaky_freqs={50_000_000: 2})
+    for _ in range(2):
+        with pytest.raises(RPFexception):
+            src.set_frequency(50_000_000)
+    src.set_frequency(50_000_000)  # third try succeeds
+    assert src.frequency() == 50_000_000
+
+
+def test_synthetic_drop_every():
+    src = SyntheticSource(drop_every=3)
+    src.set_frequency(1_000_000)
+    oks = [src.read(100)[1] for _ in range(6)]
+    assert oks == [True, True, False, True, True, False]
+
+
+def test_file_source_reads_and_eof(tmp_path):
+    p = tmp_path / "iq.bin"
+    p.write_bytes(bytes(range(100)))
+    src = FileSource(str(p))
+    data, ok = src.read(60)
+    assert ok and list(data) == list(range(60))
+    with pytest.raises(RPFexception) as e:
+        src.read(60)  # only 40 left
+    assert e.value.retval == ReturnValue.AcquisitionError
+
+
+def test_file_source_loop(tmp_path):
+    p = tmp_path / "iq.bin"
+    p.write_bytes(bytes([1, 2, 3, 4]))
+    src = FileSource(str(p), loop=True)
+    data, ok = src.read(10)
+    assert ok
+    assert list(data) == [1, 2, 3, 4, 1, 2, 3, 4, 1, 2]
+
+
+def test_nearest_gain():
+    src = SyntheticSource()
+    assert src.nearest_gain(372) == 372
+    assert src.nearest_gain(371) == 372
+    assert src.nearest_gain(-100) == 0
+    assert src.nearest_gain(10_000) == 496
+
+
+def test_registry_no_device_exit_code_1():
+    p = parse([])
+    with pytest.raises(RPFexception) as e:
+        open_device(p)
+    assert e.value.retval == ReturnValue.NoDeviceFound
+
+
+def test_registry_invalid_index_exit_code_2():
+    p = parse(["-d", "3", "--source", "synthetic:"])
+    with pytest.raises(RPFexception) as e:
+        open_device(p)
+    assert e.value.retval == ReturnValue.InvalidDeviceIndex
+
+
+def test_make_source_specs():
+    s = make_source("synthetic:tone=100M/25,noise=2,seed=7")
+    assert isinstance(s, SyntheticSource)
+    assert s.tones == [(100_000_000.0, 25.0)]
+    assert s.noise == 2.0
+    with pytest.raises(RPFexception) as e:
+        make_source("warp-drive:")
+    assert e.value.retval == ReturnValue.InvalidArgument
+
+
+def test_parse_synthetic_spec_defaults():
+    s = parse_synthetic_spec("")
+    assert s.tones == [] and s.noise == 8.0
