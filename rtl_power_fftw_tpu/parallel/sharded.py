@@ -1,0 +1,101 @@
+"""Multi-stream sharded PSD accumulation over a device mesh.
+
+TPU-native replacement for "average many spectra" at scale
+(BASELINE.json config 5: 16 parallel IQ streams sharded across a TPU mesh
+with psum-reduced averaged spectra).  Streams are laid out on a 1-D
+``stream`` mesh axis with ``shard_map``; each device runs the same fused
+dequant→window→FFT→|X|² step on its local streams, and the cross-stream
+average is ONE ``psum`` of the (N,)-shaped partial sums over ICI — the
+collective-equivalent of the reference's serial accumulation loop
+(datastore.cxx:82-87).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # stable API (jax >= 0.4.35)
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from ..ops.spectral import _SUM_CHUNK, _power_backend, _round_up
+
+
+class ShardedPsdStep:
+    """Jitted multi-device step: (S, F, 2N) u8 → per-stream (S, N) partials
+    and/or a psum-combined (N,) partial, with streams sharded on the mesh.
+
+    ``n_valid`` is (S,) — per-stream valid-frame counts, so streams may
+    progress unevenly (e.g. different drop rates) without reshape.
+    """
+
+    def __init__(self, mesh: Mesh, N: int, frames_per_step: int,
+                 streams: int, window: Optional[np.ndarray] = None,
+                 backend: str = "auto", combine: bool = True):
+        if N % 2 != 0:
+            raise ValueError("N must be even")
+        axis = mesh.axis_names[0]
+        n_dev = mesh.devices.size
+        if streams % n_dev != 0:
+            raise ValueError(
+                f"streams ({streams}) must be divisible by mesh size ({n_dev})")
+        self.mesh = mesh
+        self.axis = axis
+        self.N = N
+        self.S = streams
+        self.F = _round_up(max(int(frames_per_step), 1), _SUM_CHUNK)
+        self.combine = combine
+        window_arr = None
+        if window is not None:
+            window_arr = jnp.asarray(np.asarray(window, dtype=np.float32))
+        power_fn = _power_backend(backend, N)
+        N_, F_ = self.N, self.F
+
+        def local_step(raw, n_valid, *w):
+            # raw: (S_local, F, 2N) u8; n_valid: (S_local,) i32.
+            S_local = raw.shape[0]
+            x = raw.astype(jnp.float32) - 127.0
+            iq = x.reshape(S_local, F_, N_, 2)
+            re, im = iq[..., 0], iq[..., 1]
+            if w:
+                re = re * w[0]
+                im = im * w[0]
+            pwr = power_fn(re.reshape(S_local * F_, N_),
+                           im.reshape(S_local * F_, N_)).reshape(S_local, F_, N_)
+            mask = (jax.lax.broadcasted_iota(jnp.int32, (S_local, F_, 1), 1)
+                    < n_valid[:, None, None]).astype(jnp.float32)
+            pwr = pwr * mask
+            g = F_ // _SUM_CHUNK
+            per_stream = pwr.reshape(S_local, g, _SUM_CHUNK, N_).sum(2).sum(1)
+            # Cross-stream reduction: local sum then one psum over ICI.
+            combined = jax.lax.psum(per_stream.sum(axis=0), axis)
+            return per_stream, combined
+
+        in_specs = (P(axis), P(axis)) + ((P(),) if window_arr is not None else ())
+        out_specs = (P(axis), P())
+        sharded = shard_map(local_step, mesh=mesh,
+                            in_specs=in_specs, out_specs=out_specs)
+        self._window = window_arr
+        self._step = jax.jit(sharded)
+        self._raw_sharding = NamedSharding(mesh, P(axis))
+
+    def __call__(self, raw: np.ndarray, n_valid: np.ndarray) -> Tuple[jax.Array, jax.Array]:
+        """raw: (S, F, 2N) u8, n_valid: (S,) int32.
+        Returns (per_stream (S,N) f32 — sharded, combined (N,) f32 — replicated)."""
+        args = (raw, np.asarray(n_valid, dtype=np.int32))
+        if self._window is not None:
+            return self._step(*args, self._window)
+        return self._step(*args)
+
+    def example_args(self):
+        raw = np.zeros((self.S, self.F, 2 * self.N), dtype=np.uint8)
+        nv = np.zeros((self.S,), dtype=np.int32)
+        return (raw, nv) + ((np.asarray(self._window),)
+                            if self._window is not None else ())

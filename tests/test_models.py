@@ -1,0 +1,83 @@
+"""Estimator-family tests: Bartlett (reference semantics), Welch, spectrogram."""
+
+import numpy as np
+import pytest
+
+from rtl_power_fftw_tpu.auxdata import make_window
+from rtl_power_fftw_tpu.models import bartlett_psd, spectrogram, welch_psd
+
+from golden import golden_accumulate, golden_finalize
+from test_numerics import make_stream
+
+
+def test_bartlett_matches_golden():
+    N, repeats, rate = 128, 25, 2_048_000
+    stream = make_stream(2 * N * repeats, seed=21)
+    freqs, psd = bartlett_psd(stream, N, rate, center_freq=10_000_000)
+    pwr, done = golden_accumulate(stream, N, repeats)
+    want = golden_finalize(pwr, done, rate)
+    np.testing.assert_allclose(psd, want, rtol=0, atol=1e-4)
+    assert freqs[N // 2] == 10_000_000
+
+
+def test_bartlett_repeats_cap():
+    N, rate = 64, 1_000_000
+    stream = make_stream(2 * N * 20, seed=22)
+    _, psd_all = bartlett_psd(stream, N, rate)
+    _, psd_five = bartlett_psd(stream, N, rate, repeats=5)
+    pwr, done = golden_accumulate(stream, N, 5)
+    want = golden_finalize(pwr, done, rate)
+    np.testing.assert_allclose(psd_five, want, rtol=0, atol=1e-4)
+    assert not np.allclose(psd_all, psd_five)
+
+
+def test_welch_overlap_reduces_variance():
+    """On a pure-noise stream, 50%-overlap Welch should have lower
+    bin-to-bin variance than Bartlett with the same data and window."""
+    N, rate = 128, 1_000_000
+    rng = np.random.default_rng(23)
+    stream = rng.integers(0, 256, 2 * N * 64, dtype=np.uint8)
+    w = make_window("hann", N)
+    _, bart = bartlett_psd(stream, N, rate, window=w, linear=True)
+    _, welch = welch_psd(stream, N, rate, overlap_percent=50.0, window=w,
+                         linear=True)
+    assert np.var(welch) < np.var(bart)
+
+
+def test_welch_zero_overlap_equals_bartlett():
+    N, rate = 64, 1_000_000
+    stream = make_stream(2 * N * 10, seed=24)
+    w = make_window("hann", N)
+    _, bart = bartlett_psd(stream, N, rate, window=w)
+    _, welch = welch_psd(stream, N, rate, overlap_percent=0.0, window=w)
+    np.testing.assert_allclose(bart, welch, rtol=1e-6)
+
+
+def test_welch_rejects_bad_overlap():
+    with pytest.raises(ValueError):
+        welch_psd(np.zeros(1024, np.uint8), 64, 1_000_000,
+                  overlap_percent=100.0)
+
+
+def test_spectrogram_shape_and_values():
+    N, rate = 64, 1_000_000
+    n_rows = 12
+    stream = make_stream(2 * N * n_rows, seed=25)
+    times, freqs, S = spectrogram(stream, N, rate, linear=True)
+    assert S.shape == (n_rows, N)
+    assert len(times) == n_rows and times[0] == 0.0
+    assert times[1] == N / rate
+    # Row 0 equals the single-frame golden accumulation (shifted), without
+    # DC interpolation (spectrogram keeps raw bins).
+    pwr, _ = golden_accumulate(stream[:2 * N], N, 1)
+    want = pwr / 1 / N / rate
+    np.testing.assert_allclose(S[0], want, rtol=2e-5)
+
+
+def test_spectrogram_group_averaging():
+    N, rate = 32, 500_000
+    stream = make_stream(2 * N * 8, seed=26)
+    t1, f1, S1 = spectrogram(stream, N, rate, average=4, linear=True)
+    assert S1.shape == (2, N)
+    t2, f2, S2 = spectrogram(stream, N, rate, average=1, linear=True)
+    np.testing.assert_allclose(S1[0], S2[:4].mean(axis=0), rtol=1e-6)
