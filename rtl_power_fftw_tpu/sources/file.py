@@ -16,8 +16,17 @@ from .base import IQSource
 
 
 class FileSource(IQSource):
+    """Raw u8 IQ from a file.
+
+    When the native C++ loader is available (rtl_power_fftw_tpu.native),
+    reads are served from its buffer pool: a C++ reader thread prefetches
+    ahead of the Python consumer, so the byte-moving path stays out of
+    Python (set ``use_native=False`` to force the plain path).
+    """
+
     def __init__(self, path: str, sample_rate: int = 2_048_000,
-                 loop: bool = False):
+                 loop: bool = False, use_native: bool = True,
+                 native_buf_bytes: int = 1 << 20, native_buffers: int = 4):
         self.path = path
         self._rate = int(sample_rate)
         self.loop = loop
@@ -28,6 +37,17 @@ class FileSource(IQSource):
                 f"Could not open IQ file {path}: {e}", ReturnValue.InvalidInput)
         self._freq = 0
         self._gain = 0
+        self._native = None
+        self._pending = []          # list of numpy chunks from the native pool
+        self._pending_bytes = 0
+        if use_native:
+            try:
+                from ..native import NativeLoader, native_available
+                if native_available():
+                    self._native = NativeLoader(native_buf_bytes, native_buffers)
+                    self._native.start_fd(self._file.fileno(), loop=loop)
+            except Exception:
+                self._native = None  # silent fallback to the Python path
 
     def gains(self) -> List[int]:
         return [0]
@@ -49,7 +69,35 @@ class FileSource(IQSource):
     def set_gain(self, gain: int) -> None:
         self._gain = int(gain)
 
+    def _eof(self):
+        raise RPFexception(
+            f"End of recorded IQ stream {self.path}.",
+            ReturnValue.AcquisitionError)
+
+    def _read_native(self, nbytes: int) -> Tuple[np.ndarray, bool]:
+        while self._pending_bytes < nbytes:
+            item = self._native.acquire(timeout_ms=30_000)
+            if item is None:
+                self._eof()
+            slot, view = item
+            # Copy out so the pool slot recycles immediately; the copy is a
+            # single memcpy of a large chunk, still far cheaper than Python
+            # per-read file IO.
+            self._pending.append(view.copy())
+            self._pending_bytes += len(view)
+            self._native.release(slot)
+        buf = self._pending[0] if (len(self._pending) == 1
+                                   and len(self._pending[0]) == nbytes) \
+            else np.concatenate(self._pending)
+        out = buf[:nbytes]
+        rest = buf[nbytes:]
+        self._pending = [rest] if len(rest) else []
+        self._pending_bytes = len(rest)
+        return out, True
+
     def read(self, nbytes: int) -> Tuple[np.ndarray, bool]:
+        if self._native is not None:
+            return self._read_native(nbytes)
         chunks = []
         remaining = nbytes
         while remaining > 0:
@@ -60,12 +108,14 @@ class FileSource(IQSource):
                     continue
                 # End of the recording: a definite stop, not a transient
                 # dropped-samples condition.
-                raise RPFexception(
-                    f"End of recorded IQ stream {self.path}.",
-                    ReturnValue.AcquisitionError)
+                self._eof()
             chunks.append(np.frombuffer(data, dtype=np.uint8))
             remaining -= len(data)
         return np.concatenate(chunks) if len(chunks) > 1 else chunks[0], True
 
     def close(self) -> None:
+        if self._native is not None:
+            self._native.stop()
+            self._native.close()
+            self._native = None
         self._file.close()

@@ -123,3 +123,36 @@ def test_make_source_specs():
 def test_parse_synthetic_spec_defaults():
     s = parse_synthetic_spec("")
     assert s.tones == [] and s.noise == 8.0
+
+
+def test_file_source_native_path(tmp_path):
+    from rtl_power_fftw_tpu.native import native_available
+    if not native_available():
+        pytest.skip("native loader unavailable")
+    p = tmp_path / "iq2.bin"
+    data = (np.arange(300000) % 256).astype(np.uint8)
+    p.write_bytes(data.tobytes())
+    src = FileSource(str(p), use_native=True, native_buf_bytes=65536)
+    assert src._native is not None
+    got1, ok1 = src.read(100000)
+    got2, ok2 = src.read(150000)
+    assert ok1 and ok2
+    np.testing.assert_array_equal(np.concatenate([got1, got2]), data[:250000])
+    with pytest.raises(RPFexception):
+        src.read(100000)  # only 50000 left
+    src.close()
+
+
+def test_file_source_native_loop(tmp_path):
+    from rtl_power_fftw_tpu.native import native_available
+    if not native_available():
+        pytest.skip("native loader unavailable")
+    p = tmp_path / "iq3.bin"
+    data = (np.arange(4096) % 256).astype(np.uint8)
+    p.write_bytes(data.tobytes())
+    src = FileSource(str(p), loop=True, use_native=True,
+                     native_buf_bytes=4096, native_buffers=2)
+    got, ok = src.read(4096 * 3)
+    assert ok
+    np.testing.assert_array_equal(got, np.tile(data, 3))
+    src.close()
