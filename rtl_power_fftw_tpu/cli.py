@@ -27,7 +27,17 @@ def main(argv: Optional[List[str]] = None) -> int:
         params = parse_args(argv)
         aux = AuxData(params)
         source = open_device(params)
-        final_retval = run_session(params, source, aux)
+        if params.profile_dir:
+            # Tracing hook (the reference's only perf instrument is the
+            # queue histogram; this adds full device/host timelines).
+            import contextlib
+            import jax
+            profile_cm = jax.profiler.trace(params.profile_dir)
+        else:
+            import contextlib
+            profile_cm = contextlib.nullcontext()
+        with profile_cm:
+            final_retval = run_session(params, source, aux)
     except RPFexception as exception:
         print(str(exception), file=sys.stderr)
         final_retval = exception.return_value

@@ -153,6 +153,8 @@ class Params:
     frames_per_step: int = 0
     # FFT backend: "auto" | "xla" | "matmul" | "fourstep" | "pallas".
     fft_backend: str = "auto"
+    # Write a jax.profiler trace of the session to this directory.
+    profile_dir: str = ""
 
     @classmethod
     def from_argv(cls, argv: List[str]) -> "Params":
@@ -222,6 +224,9 @@ def _build_parser() -> _Parser:
     p.add_argument("--fft-backend", type=str, default="auto",
                    choices=["auto", "xla", "matmul", "fourstep", "pallas"],
                    help="FFT implementation used on device.")
+    p.add_argument("--profile", type=str, default="", metavar="dir",
+                   help="Capture a jax.profiler trace of the session into "
+                        "this directory (view with TensorBoard/Perfetto).")
     return p
 
 
@@ -379,6 +384,7 @@ def parse_args(argv: List[str], stderr=None) -> Params:
     params.streams = max(1, ns.streams)
     params.frames_per_step = ns.frames_per_step
     params.fft_backend = ns.fft_backend
+    params.profile_dir = ns.profile
     if params.window and params.window_function:
         raise RPFexception(
             "Options --window and --window-function are mutually exclusive. Exiting.",

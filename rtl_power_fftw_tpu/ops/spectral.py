@@ -97,6 +97,26 @@ class PsdStep:
         window = None if self.window is None else jnp.asarray(self.window)
         power_fn = self._power
 
+        if self.backend == "pallas":
+            from .kernels.fused_psd import fused_psd_available, make_fused_psd_fn
+            if not fused_psd_available(N):
+                raise ValueError(
+                    f"pallas backend unavailable for N={N} (needs a power of "
+                    "two >= 256); use backend='auto'")
+            tile = 128 if F % 128 == 0 else 64
+            fused = make_fused_psd_fn(N, F, windowed=window is not None,
+                                      tile_f=tile)
+
+            def pallas_step(raw: jax.Array, n_valid: jax.Array) -> jax.Array:
+                # Interleaved (re, im) u8 pair == one little-endian u16 lane.
+                raw16 = jax.lax.bitcast_convert_type(
+                    raw.reshape(F, N, 2), jnp.uint16)
+                if window is not None:
+                    return fused(raw16, n_valid, window)
+                return fused(raw16, n_valid)
+
+            return pallas_step
+
         def step(raw: jax.Array, n_valid: jax.Array) -> jax.Array:
             # raw: (F, 2N) uint8 interleaved IQ; n_valid: scalar int32.
             x = raw.astype(jnp.float32) - 127.0

@@ -46,7 +46,8 @@ class Acquisition:
 
     def __init__(self, params: Params, aux: AuxData, source: IQSource,
                  data: Datastore, actual_samplerate: int, freq: int,
-                 stats: SessionStats, stderr: Optional[IO[str]] = None):
+                 stats: SessionStats, stderr: Optional[IO[str]] = None,
+                 multistream=None):
         self.params = params
         self.aux = aux
         self.source = source
@@ -62,6 +63,7 @@ class Acquisition:
         self.successfulReadouts = 0
         self.repeats_done = 0
         self.pwr: Optional[np.ndarray] = None
+        self.multistream = multistream
 
     def run(self) -> None:
         params = self.params
@@ -86,6 +88,25 @@ class Acquisition:
 
         if _chatty(params):
             print(f"Device tuned to: {self.tuned_freq} Hz", file=self.err)
+
+        if self.multistream is not None:
+            # Parallel streams sharded over the device mesh: the engine
+            # drives its own per-stream producers and psum reduction.
+            self.startAcqTimestamp = current_datetime()
+            self.stats.begin_scan(self.startAcqTimestamp)
+            if _chatty(params):
+                print(f"Acquisition started at {self.startAcqTimestamp}",
+                      file=self.err)
+            result = self.multistream.run(self.freq)
+            self.endAcqTimestamp = current_datetime()
+            self.stats.end_scan(self.endAcqTimestamp)
+            if _chatty(params):
+                print(f"Acquisition done at {self.endAcqTimestamp}",
+                      file=self.err)
+            self.pwr = result.pwr
+            self.repeats_done = int(result.repeats_done.sum())
+            self.deviceReadouts = self.successfulReadouts = 0
+            return
 
         self.data.begin_acquisition()
 
@@ -225,6 +246,23 @@ def run_session(params: Params, source: IQSource, aux: AuxData,
     data = datastore if datastore is not None else Datastore(
         params, window=aux.window_values)
 
+    # Parallel IQ streams over the device mesh (extension; BASELINE
+    # config 5). Stream 0 is the primary source (keeps tune/retry
+    # semantics); extra streams come from the same --source spec.
+    multistream = None
+    if params.streams > 1:
+        from .parallel.multistream import MultiStreamAcquisition
+        from .sources.registry import make_sources
+        extra = make_sources(params.source, params.streams - 1,
+                             params.sample_rate)
+        all_sources = [source] + extra
+        for s in extra:
+            s.set_sample_rate(params.sample_rate)
+        multistream = MultiStreamAcquisition(
+            params, all_sources, window=aux.window_values)
+        print(f"Parallel streams: {params.streams} "
+              f"(mesh size {multistream.step.mesh.devices.size})", file=err)
+
     if install_sigint:
         set_ctrl_c_handler(True)
 
@@ -247,7 +285,8 @@ def run_session(params: Params, source: IQSource, aux: AuxData,
         while i < len(plan.freqs_to_tune):
             freq = plan.freqs_to_tune[i]
             acquisition = Acquisition(params, aux, source, data,
-                                      actual_samplerate, freq, stats, stderr=err)
+                                      actual_samplerate, freq, stats,
+                                      stderr=err, multistream=multistream)
             try:
                 acquisition.run()
                 i += 1

@@ -52,6 +52,29 @@ def make_source(spec: str, sample_rate: int = 2_048_000) -> IQSource:
                        ReturnValue.InvalidArgument)
 
 
+def make_sources(spec: str, n: int, sample_rate: int = 2_048_000) -> List[IQSource]:
+    """Build ``n`` parallel stream sources from one spec (--streams).
+
+    Synthetic streams get distinct seeds (independent noise, same signal
+    model); file streams are independent handles on the same recording;
+    rtl_tcp streams are separate connections (requires a server per
+    stream in practice).
+    """
+    sources: List[IQSource] = []
+    kind = spec.partition(":")[0].strip().lower()
+    for i in range(n):
+        if kind == "synthetic" and i > 0:
+            rest = spec.partition(":")[2]
+            try:
+                sources.append(parse_synthetic_spec(rest, seed_offset=i))
+            except ValueError as e:
+                raise RPFexception(f"Bad --source synthetic spec: {e}",
+                                   ReturnValue.InvalidArgument)
+        else:
+            sources.append(make_source(spec, sample_rate))
+    return sources
+
+
 def open_device(params: Params,
                 devices: Optional[List[IQSource]] = None) -> IQSource:
     """Resolve ``-d <index>`` against available sources with the reference's

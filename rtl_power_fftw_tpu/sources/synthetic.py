@@ -119,7 +119,7 @@ class SyntheticSource(IQSource):
         return buf, True
 
 
-def parse_synthetic_spec(spec: str) -> SyntheticSource:
+def parse_synthetic_spec(spec: str, seed_offset: int = 0) -> SyntheticSource:
     """Build a SyntheticSource from a CLI spec string.
 
     Format: ``key=value`` pairs separated by commas.  Keys:
@@ -162,4 +162,6 @@ def parse_synthetic_spec(spec: str) -> SyntheticSource:
                 kwargs["dead_tolerance"] = float(val)
             else:
                 raise ValueError(f"unknown synthetic spec key: {key}")
+    if seed_offset:
+        kwargs["seed"] = kwargs.get("seed", 0) + seed_offset
     return SyntheticSource(tones=tones, dead_freqs=dead, **kwargs)

@@ -242,3 +242,20 @@ def test_cli_main_bad_arg_exit_code():
     from rtl_power_fftw_tpu.cli import main
     assert main(["--bogus"]) == 4
     assert main(["-b", "-5"]) == 3
+
+
+def test_multistream_session():
+    """--streams 8: psum-reduced average across parallel synthetic streams."""
+    src = SyntheticSource(tones=[(100_100_000, 30.0)], noise=5.0, seed=0)
+    rv, out, err, params = run(
+        ["-f", "100M", "-n", "16", "-b", "64", "--streams", "8",
+         "--source", "synthetic:tone=100.1M/30,noise=5,seed=0"], src)
+    assert rv == ReturnValue.Success
+    assert "Parallel streams: 8 (mesh size 8)" in err
+    assert "Actual number of averaged spectra: 128" in err  # 8 x 16
+    # Spectrum is a proper average (tone visible at the same bin as 1-stream).
+    vals = np.array([float(l.split()[1]) for l in out.split("\n")
+                     if l and not l.startswith("#")])
+    freqs = np.array([float(l.split()[0]) for l in out.split("\n")
+                      if l and not l.startswith("#")])
+    assert abs(freqs[vals.argmax()] - 100_100_000) < 2_048_000 / 64

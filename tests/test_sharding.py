@@ -82,3 +82,37 @@ def test_mesh_subset():
     assert np.asarray(combined).shape == (32,)
     np.testing.assert_allclose(np.asarray(per_stream).sum(0),
                                np.asarray(combined), rtol=1e-6)
+
+
+def test_multistream_acquisition_matches_sum_of_streams():
+    """16 synthetic streams on the 8-device mesh: combined psum result must
+    equal the float64 sum of per-stream golden accumulations."""
+    import io
+    from rtl_power_fftw_tpu.config import parse_args
+    from rtl_power_fftw_tpu.parallel.multistream import MultiStreamAcquisition
+    from rtl_power_fftw_tpu.sources import SyntheticSource
+    from golden import golden_accumulate
+
+    S, N, repeats, rate = 16, 64, 12, 2_048_000
+    params = parse_args(["-b", str(N), "-n", str(repeats), "-r", str(rate)],
+                        stderr=io.StringIO())
+
+    def mk(seed):
+        s = SyntheticSource(tones=[(100_200_000, 30.0)], noise=5.0, seed=seed)
+        s.set_sample_rate(rate)
+        return s
+
+    sources = [mk(seed) for seed in range(S)]
+    acq = MultiStreamAcquisition(params, sources)
+    res = acq.run(freq=100_000_000)
+    assert res.repeats_done.tolist() == [repeats] * S
+
+    want = np.zeros(N)
+    for seed in range(S):
+        src = mk(seed)
+        src.set_frequency(100_000_000)
+        stream, _ = src.read(2 * N * repeats)
+        pwr, _ = golden_accumulate(stream, N, repeats)
+        want += np.fft.ifftshift(pwr)  # golden is pre-shifted; ours isn't
+    np.testing.assert_allclose(res.pwr, want, rtol=1e-5)
+    np.testing.assert_allclose(res.per_stream_pwr.sum(0), want, rtol=1e-5)
