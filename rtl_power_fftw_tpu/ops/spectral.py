@@ -81,7 +81,13 @@ class PsdStep:
         if N % 2 != 0:
             raise ValueError("N must be even")
         self.N = N
-        self.F = _round_up(max(int(frames_per_step), 1), _SUM_CHUNK)
+        # Small batches (e.g. the 1M-point long-integration mode) keep a
+        # small F; the two-stage sum chunk adapts to the largest
+        # power-of-two divisor so padding waste stays bounded.
+        self.F = _round_up(max(int(frames_per_step), 1), 8)
+        self._chunk = _SUM_CHUNK
+        while self.F % self._chunk != 0:
+            self._chunk //= 2
         self.backend = backend
         self.window = None
         if window is not None:
@@ -103,7 +109,7 @@ class PsdStep:
                 raise ValueError(
                     f"pallas backend unavailable for N={N} (needs a power of "
                     "two >= 256); use backend='auto'")
-            tile = 128 if F % 128 == 0 else 64
+            tile = next(t for t in (128, 64, 32, 16, 8) if F % t == 0)
             fused = make_fused_psd_fn(N, F, windowed=window is not None,
                                       tile_f=tile)
 
@@ -130,8 +136,9 @@ class PsdStep:
                     < n_valid).astype(jnp.float32)
             pwr = pwr * mask
             # Two-stage tree sum for f32 accuracy.
-            g = F // _SUM_CHUNK
-            partial = pwr.reshape(g, _SUM_CHUNK, N).sum(axis=1).sum(axis=0)
+            chunk = self._chunk
+            g = F // chunk
+            partial = pwr.reshape(g, chunk, N).sum(axis=1).sum(axis=0)
             return partial
 
         return step

@@ -279,6 +279,7 @@ def run_session(params: Params, source: IQSource, aux: AuxData,
     params.finalfreq = plan.freqs_to_tune[-1]
     freqs_meta_needed = True
     do_exit = False
+    last_repeats_done = 0
 
     while not do_exit:
         i = 0
@@ -298,6 +299,7 @@ def run_session(params: Params, source: IQSource, aux: AuxData,
                 del plan.freqs_to_tune[i]
                 continue
 
+            last_repeats_done = acquisition.repeats_done
             if _chatty(params):
                 acquisition.print_summary()
 
@@ -342,9 +344,16 @@ def run_session(params: Params, source: IQSource, aux: AuxData,
         if check_interrupt(InterruptState.FinishPass, stderr=err):
             do_exit = True
 
+        # Checkpoint extension (SURVEY §5): the reference only writes the
+        # .met sidecar at clean exit (rtl_power_fftw.cxx:207-220), so a
+        # killed session leaves .bin rows without metadata. Refresh the
+        # sidecar after every completed pass — same final bytes, crash-safe.
+        if params.matrixMode and matrix_writer is not None and not do_exit:
+            matrix_writer.write_meta(params.N, last_repeats_done,
+                                     actual_samplerate)
+
     if params.matrixMode and matrix_writer is not None:
-        repeats_done = data.repeats_done
-        matrix_writer.write_meta(params.N, repeats_done, actual_samplerate)
+        matrix_writer.write_meta(params.N, last_repeats_done, actual_samplerate)
 
     if len(plan.freqs_to_tune) == 0:
         raise RPFexception("No valid frequencies left.",

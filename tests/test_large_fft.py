@@ -1,0 +1,45 @@
+"""Large-N modes: the 1M-point long-integration FFT (BASELINE config 3)
+and other big transforms, on the CPU harness."""
+
+import numpy as np
+import pytest
+
+from rtl_power_fftw_tpu.ops import PsdStep, FrameSlicer, finalize_psd
+from rtl_power_fftw_tpu.ops.dft import best_fourstep_split
+
+
+def test_1m_point_psd():
+    N = 1 << 20
+    F = 2  # two spectra, long-integration style
+    rng = np.random.default_rng(31)
+    raw = rng.integers(0, 256, (F, 2 * N), dtype=np.uint8)
+    step = PsdStep(N, F, backend="xla")
+    assert step.F == 8  # small-batch mode: padded to 8, not 64
+    padded = np.concatenate([raw, np.zeros((step.F - F, 2 * N), np.uint8)])
+    got = np.asarray(step(padded, F), dtype=np.float64)
+    assert got.shape == (N,)
+    # Spot-check against numpy float64 on the same frames.
+    want = np.zeros(N)
+    for f in range(F):
+        z = (raw[f, 0::2].astype(np.float64) - 127.0) \
+            + 1j * (raw[f, 1::2].astype(np.float64) - 127.0)
+        X = np.fft.fft(z)
+        want += X.real ** 2 + X.imag ** 2
+    np.testing.assert_allclose(got, want, rtol=2e-4)  # f32 FFT @ 1M points
+    out = finalize_psd(got, F, 2_048_000)
+    assert np.isfinite(out).all()
+
+
+def test_1m_point_fourstep_split():
+    n1, n2 = best_fourstep_split(1 << 20)
+    assert n1 == n2 == 1024
+
+
+def test_frame_slicer_1m_frames():
+    N = 1 << 20
+    slicer = FrameSlicer(N)
+    a = np.zeros(2 * N - 100, np.uint8)
+    assert len(slicer.push(a)) == 0          # not a full frame yet
+    b = np.zeros(150, np.uint8)
+    frames = slicer.push(b)
+    assert frames.shape == (1, 2 * N)
