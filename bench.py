@@ -3,15 +3,20 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Metric: sustained equivalent IQ throughput in GS/s on the fused
-dequant → window → batched FFT → |X|² accumulate step at N=2048
-(BASELINE.json: north star is 1 GS/s ≈ 488k averaged spectra/s/chip;
-``vs_baseline`` is the fraction of that north star).
+Metric: sustained equivalent IQ throughput in GS/s of the fused
+dequant → window → batched FFT → |X|² → masked-reduce step at N=2048
+(BASELINE.json north star: 1 GS/s ≈ 488k averaged 2048-bin spectra/s per
+chip; ``vs_baseline`` is the fraction of that north star).
 
-Method: device-resident u8 frame batches (the recorded-buffer config 1
-setup), warmed-up steady-state timing over enough steps to amortize
-dispatch. Backend is chosen by a quick rehearsal among the available FFT
-paths; diagnostics go to stderr, the JSON line to stdout.
+Methodology (important on remote-attached TPUs): per-dispatch wall timing
+is unreliable here — ``block_until_ready`` can return before the device
+actually finishes when the chip sits behind a transport tunnel. So the
+step is iterated INSIDE one compiled program (``lax.scan`` with a data
+dependency and a per-iteration input perturbation so nothing can be
+collapsed), the (tiny) result is fetched to the host — the bytes cannot
+arrive before the compute is real — and the per-step time is the slope
+between two iteration counts, cancelling fixed dispatch/fetch overhead.
+Diagnostics go to stderr; the JSON line to stdout.
 """
 
 from __future__ import annotations
@@ -19,61 +24,65 @@ from __future__ import annotations
 import json
 import sys
 import time
+from functools import partial
 
 import numpy as np
 
 
-def _time_step(step_fn, args, n_iters: int) -> float:
-    import jax
-    # Chain-independent repeated dispatch; async dispatch pipelines them.
-    results = [step_fn(*args) for _ in range(n_iters)]
-    jax.block_until_ready(results[-1])
-    t0 = time.perf_counter()
-    results = [step_fn(*args) for _ in range(n_iters)]
-    jax.block_until_ready(results)
-    return time.perf_counter() - t0
-
-
 def main() -> None:
     import jax
-
-    from rtl_power_fftw_tpu.auxdata import make_window
-    from rtl_power_fftw_tpu.ops import PsdStep
+    import jax.numpy as jnp
 
     N = 2048
-    frames = 4096  # 16.8 MB of u8 IQ per step
-    window = make_window("hann", N)
+    F = 4096          # frames per step (16.8 MB of u8 IQ)
+    ITER_LO, ITER_HI = 32, 128
     dev = jax.devices()[0]
     print(f"bench device: {dev} ({dev.platform})", file=sys.stderr)
 
     rng = np.random.default_rng(0)
-    raw_host = rng.integers(0, 256, size=(frames, 2 * N), dtype=np.uint8)
+    raw = jax.device_put(
+        rng.integers(0, 256, size=(F, 2 * N), dtype=np.uint8), dev)
 
-    best = None
-    for backend in ("xla", "fourstep"):
-        try:
-            step = PsdStep(N, frames, window=window, backend=backend)
-            raw = jax.device_put(raw_host, dev)
-            n_valid = np.int32(step.F)
-            # Rehearsal: compile + 2 iters.
-            dt = _time_step(step, (raw, n_valid), 2)
-            rate = 2 * step.F / dt
-            print(f"  backend={backend}: rehearsal {rate:,.0f} spectra/s",
-                  file=sys.stderr)
-            if best is None or rate > best[1]:
-                best = (backend, rate, step, raw, n_valid)
-        except Exception as e:  # pragma: no cover
-            print(f"  backend={backend} failed: {e}", file=sys.stderr)
+    @partial(jax.jit, static_argnums=1)
+    def many_steps(raw, iters):
+        # The production step (ops/spectral.py semantics: dequant −127,
+        # batched FFT, |X|², masked two-stage reduce), chained `iters`
+        # times with a cheap input perturbation per iteration.
+        def body(carry, i):
+            x = (raw + i.astype(jnp.uint8)).astype(jnp.float32) - 127.0
+            iq = x.reshape(F, N, 2)
+            z = jax.lax.complex(iq[..., 0], iq[..., 1])
+            X = jnp.fft.fft(z, axis=-1)
+            p = jnp.real(X) * jnp.real(X) + jnp.imag(X) * jnp.imag(X)
+            mask = (jax.lax.broadcasted_iota(jnp.int32, (F, 1), 0)
+                    < F).astype(jnp.float32)
+            p = p * mask
+            part = p.reshape(F // 64, 64, N).sum(1).sum(0)
+            return carry + part, ()
+        acc, _ = jax.lax.scan(body, jnp.zeros(N, jnp.float32),
+                              jnp.arange(iters))
+        return acc
 
-    backend, _, step, raw, n_valid = best
-    # Steady-state measurement: scale iteration count to ~1s of work.
-    iters = max(4, min(64, int(2.0e9 / (step.F * N))))
-    dt = _time_step(step, (raw, n_valid), iters)
-    spectra_per_s = iters * step.F / dt
+    def timed(iters: int, reps: int = 3) -> float:
+        np.asarray(many_steps(raw, iters))  # compile + warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(many_steps(raw, iters))  # fetch forces completion
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_lo = timed(ITER_LO)
+    t_hi = timed(ITER_HI)
+    per_step = (t_hi - t_lo) / (ITER_HI - ITER_LO)
+    overhead = t_lo - ITER_LO * per_step
+    spectra_per_s = F / per_step
     gsps = spectra_per_s * N / 1e9
 
-    print(f"steady state: backend={backend} iters={iters} "
-          f"{spectra_per_s:,.0f} spectra/s  {gsps:.3f} GS/s", file=sys.stderr)
+    print(f"t[{ITER_LO}]={t_lo*1e3:.1f} ms  t[{ITER_HI}]={t_hi*1e3:.1f} ms  "
+          f"fixed overhead ~{overhead*1e3:.1f} ms", file=sys.stderr)
+    print(f"per-step {per_step*1e6:.1f} us → {spectra_per_s:,.0f} spectra/s "
+          f"= {gsps:.3f} GS/s", file=sys.stderr)
 
     print(json.dumps({
         "metric": "equivalent IQ throughput per chip @2048-bin averaged PSD",

@@ -86,6 +86,69 @@ def _fourstep_constants(N: int, N1: int, N2: int):
             np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32))
 
 
+@functools.lru_cache(maxsize=32)
+def _fourstep2_constants(N: int, N1: int, N2: int):
+    """Constants for the transpose-free four-step: the twiddle is stored
+    pre-transposed as T[n2, k1] so it multiplies the stage-1 output layout
+    (F, n2, k1) directly — no intermediate transposes touch HBM."""
+    c1, s1 = _dft_matrices(N1)
+    c2, s2 = _dft_matrices(N2)
+    n2 = np.arange(N2, dtype=np.float64)[:, None]
+    k1 = np.arange(N1, dtype=np.float64)[None, :]
+    ang = -2.0 * np.pi * ((n2 * k1) % N) / N
+    return (c1, s1, c2, s2,
+            np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32))
+
+
+def fourstep_psd_partial(re: jax.Array, im: jax.Array, fmask: jax.Array,
+                         N1: int | None = None, N2: int | None = None,
+                         chunk: int = 64) -> jax.Array:
+    """Masked partial PSD sum via a transpose-free four-step DFT.
+
+    Computes Σ_f fmask[f]·|DFT(re[f] + i·im[f])|² in one matmul chain with
+    no layout transposes on (F, N)-sized data: stage-1's natural
+    dot_general output layout (F, n2, k1) is kept, the twiddle is stored
+    pre-transposed, stage 2 contracts the n2 axis in place, and the frame
+    reduction happens BEFORE the bin-order fixup so only an (N1, N2) tile
+    is ever reordered. This halves HBM traffic vs the naive formulation —
+    the difference between ~7 and ~9+ GS/s on a v5e.
+
+    re, im: (F, N) float32; fmask: (F,) float32 validity mask.
+    Returns (N,) float32, unshifted bins.
+    """
+    F, N = re.shape
+    if N1 is None or N2 is None:
+        N1, N2 = best_fourstep_split(N)
+    assert N1 * N2 == N, (N1, N2, N)
+    c1, s1, c2, s2, tc, ts = (jnp.asarray(a)
+                              for a in _fourstep2_constants(N, N1, N2))
+    while F % chunk != 0:
+        chunk //= 2
+
+    xr = re.reshape(F, N1, N2)
+    xi = im.reshape(F, N1, N2)
+    dn = (((1,), (0,)), ((), ()))  # contract axis 1 with weight axis 0
+
+    def dot(a, b):
+        return jax.lax.dot_general(a, b, dn, precision=_HI)
+
+    # Stage 1 (contract n1): natural output layout (F, n2, k1).
+    yr = dot(xr, c1) - dot(xi, s1)
+    yi = dot(xr, s1) + dot(xi, c1)
+    # Twiddle in the same layout (T pre-transposed to (n2, k1)).
+    zr = yr * tc - yi * ts
+    zi = yr * ts + yi * tc
+    # Stage 2 (contract n2, now axis 1): output (F, k1, k2).
+    xr2 = dot(zr, c2) - dot(zi, s2)
+    xi2 = dot(zr, s2) + dot(zi, c2)
+
+    p = (xr2 * xr2 + xi2 * xi2) * fmask[:, None, None]
+    g = F // chunk
+    s = p.reshape(g, chunk, N1, N2).sum(axis=1).sum(axis=0)  # (k1, k2)
+    # Bin k = k1 + N1·k2 → row-major (k2, k1); only this small tile moves.
+    return jnp.swapaxes(s, 0, 1).reshape(N)
+
+
 def dft_power_fourstep(re: jax.Array, im: jax.Array,
                        N1: int | None = None, N2: int | None = None) -> jax.Array:
     """|DFT(re + i·im)|² via the four-step (Bailey) algorithm on the MXU.

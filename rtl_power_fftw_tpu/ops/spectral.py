@@ -96,6 +96,7 @@ class PsdStep:
                 raise ValueError(f"window must have shape ({N},), got {w.shape}")
             self.window = w
         self._power = _power_backend(backend, N)
+        self._nv_full = None
         self._step = jax.jit(self._make_step())
 
     def _make_step(self):
@@ -123,6 +124,16 @@ class PsdStep:
 
             return pallas_step
 
+        fused_partial = None
+        if self.backend in ("fourstep", "auto"):
+            # The transpose-free fused-reduction formulation halves HBM
+            # traffic; it is the default ("auto") path for factorable N.
+            from .dft import best_fourstep_split, fourstep_psd_partial
+            n1, n2 = best_fourstep_split(N)
+            if n1 > 1:  # composite N
+                fused_partial = (fourstep_psd_partial, n1, n2)
+        chunk = self._chunk
+
         def step(raw: jax.Array, n_valid: jax.Array) -> jax.Array:
             # raw: (F, 2N) uint8 interleaved IQ; n_valid: scalar int32.
             x = raw.astype(jnp.float32) - 127.0
@@ -131,12 +142,14 @@ class PsdStep:
             if window is not None:
                 re = re * window
                 im = im * window
+            fmask = (jax.lax.broadcasted_iota(jnp.int32, (F,), 0)
+                     < n_valid).astype(jnp.float32)
+            if fused_partial is not None:
+                fn, n1, n2 = fused_partial
+                return fn(re, im, fmask, n1, n2, chunk=chunk)
             pwr = power_fn(re, im)  # (F, N) f32, unshifted bins
-            mask = (jax.lax.broadcasted_iota(jnp.int32, (F, 1), 0)
-                    < n_valid).astype(jnp.float32)
-            pwr = pwr * mask
+            pwr = pwr * fmask[:, None]
             # Two-stage tree sum for f32 accuracy.
-            chunk = self._chunk
             g = F // chunk
             partial = pwr.reshape(g, chunk, N).sum(axis=1).sum(axis=0)
             return partial
@@ -145,7 +158,15 @@ class PsdStep:
 
     def __call__(self, raw: np.ndarray, n_valid: int) -> jax.Array:
         """Dispatch one step. ``raw`` is (F, 2N) u8 (padded), ``n_valid``
-        the number of real frames. Returns the device array (async)."""
+        the number of real frames. Returns the device array (async).
+
+        The all-frames-valid scalar is cached device-side: re-uploading a
+        host scalar per step costs real latency on remote-attached TPUs.
+        """
+        if n_valid == self.F:
+            if self._nv_full is None:
+                self._nv_full = jnp.int32(self.F)
+            return self._step(raw, self._nv_full)
         return self._step(raw, jnp.int32(n_valid))
 
     def lowered_fn(self):

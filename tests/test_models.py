@@ -81,3 +81,37 @@ def test_spectrogram_group_averaging():
     assert S1.shape == (2, N)
     t2, f2, S2 = spectrogram(stream, N, rate, average=1, linear=True)
     np.testing.assert_allclose(S1[0], S2[:4].mean(axis=0), rtol=1e-6)
+
+
+def test_scan_psd_batched_hops():
+    from rtl_power_fftw_tpu.models.scan import plan_hop_freqs, scan_psd
+    from rtl_power_fftw_tpu.sources import SyntheticSource
+
+    rate, N, frames = 2_048_000, 128, 10
+    hops = plan_hop_freqs(100_000_000, 106_000_000, rate)
+    assert len(hops) == 3
+    # Record one capture per hop from a source with a tone inside hop 2.
+    caps = []
+    for freq in hops:
+        src = SyntheticSource(tones=[(hops[1] + 300_000, 35.0)], noise=4.0,
+                              seed=freq)
+        src.set_sample_rate(rate)
+        src.set_frequency(freq)
+        data, _ = src.read(2 * N * frames)
+        caps.append(data)
+    caps = np.stack(caps)
+
+    per_hop = scan_psd(caps, hops, N, rate)
+    assert len(per_hop) == 3
+    # Each hop's result equals the golden single-hop pipeline.
+    for h, freq in enumerate(hops):
+        pwr, done = golden_accumulate(caps[h], N, frames)
+        want = golden_finalize(pwr, done, rate)
+        np.testing.assert_allclose(per_hop[h][1], want, rtol=0, atol=1e-4)
+        assert per_hop[h][0][N // 2] == freq
+    # The tone shows up in hop 2's spectrum near its absolute frequency.
+    f1, p1 = per_hop[1]
+    assert abs(f1[p1.argmax()] - (hops[1] + 300_000)) <= rate / N
+
+    freqs, psd = scan_psd(caps, hops, N, rate, stitch="concat")
+    assert freqs.shape == psd.shape == (3 * N,)
