@@ -11,7 +11,6 @@ from __future__ import annotations
 import enum
 import signal
 import sys
-import threading
 
 
 class InterruptState(enum.IntEnum):
@@ -20,17 +19,20 @@ class InterruptState(enum.IntEnum):
     FinishNow = 2
 
 
-_lock = threading.Lock()
+# Lock-free on purpose, mirroring the reference's std::atomic counter
+# (interrupts.cxx:25): CPython delivers signal handlers on the main thread
+# between bytecodes, so a handler that took a lock also held by main-thread
+# code would deadlock the process. The handler is the only writer (single
+# increment); readers see a plain int.
 _interrupts = 0
 _reported = 0
 
 
 def _handler(signum, frame):
     global _interrupts
-    with _lock:
-        _interrupts += 1
-        if _interrupts == int(InterruptState.FinishNow):
-            set_ctrl_c_handler(False)
+    _interrupts += 1
+    if _interrupts == int(InterruptState.FinishNow):
+        set_ctrl_c_handler(False)
 
 
 def set_ctrl_c_handler(install: bool) -> None:
@@ -41,9 +43,8 @@ def set_ctrl_c_handler(install: bool) -> None:
 def reset() -> None:
     """Clear state (test support; the reference process never needs this)."""
     global _interrupts, _reported
-    with _lock:
-        _interrupts = 0
-        _reported = 0
+    _interrupts = 0
+    _reported = 0
 
 
 def raise_interrupt() -> None:
@@ -56,8 +57,7 @@ def check_interrupt(check_level: InterruptState, stderr=None) -> bool:
     (interrupts.cxx:45-60)."""
     global _reported
     err = stderr if stderr is not None else sys.stderr
-    with _lock:
-        current = _interrupts
+    current = _interrupts
     while _reported < current:
         _reported += 1
         if _reported == int(InterruptState.FinishPass):

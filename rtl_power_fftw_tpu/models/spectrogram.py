@@ -44,13 +44,17 @@ def spectrogram(iq_u8: np.ndarray, N: int, sample_rate: int,
                 window: Optional[np.ndarray] = None,
                 linear: bool = False,
                 backend: str = "auto",
-                frames_per_step: int = 1024
+                frames_per_step: int = 1024,
+                dc_interp: bool = True
                 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Compute a waterfall.
 
     Returns (times[rows] segment-start seconds, freqs[N] Hz,
     S[rows, N]) where each row is the PSD of ``average`` consecutive
     segments in the reference's output units (dB/Hz unless ``linear``).
+    ``dc_interp`` replaces the center bin with its neighbor average per
+    row, exactly like every matrix-mode row in the reference
+    (acquisition.cxx:376-377); pass False to keep the raw DC bin.
     """
     hop = N if hop is None else int(hop)
     slicer = FrameSlicer(N, hop=hop)
@@ -77,6 +81,8 @@ def spectrogram(iq_u8: np.ndarray, N: int, sample_rate: int,
         rows.append(out)
     pwr = np.concatenate(rows)  # (n_frames, N) shifted
     pwr = pwr.reshape(n_frames // average, average, N).sum(axis=1)
+    if dc_interp:
+        pwr[:, N // 2] = (pwr[:, N // 2 - 1] + pwr[:, N // 2 + 1]) / 2.0
 
     psd = pwr / average / N / sample_rate
     if not linear:

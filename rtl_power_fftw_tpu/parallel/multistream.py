@@ -77,9 +77,25 @@ class MultiStreamAcquisition:
 
         def produce(s: int, out_frames: List[np.ndarray]) -> None:
             """Read this stream's full measurement and slice into frames."""
+            from ..exceptions import RPFexception, TuneError
+            from ..interrupts import InterruptState, check_interrupt
             try:
                 src = self.sources[s]
-                src.set_frequency(freq)
+                # Same 3-try tune persuasion as the single-stream path
+                # (acquisition.cxx:229-249); a persistently dead frequency
+                # becomes a TuneError so the session drops it from the hop
+                # list instead of dying with a hardware error.
+                tuned = False
+                for _try in range(3):
+                    try:
+                        src.set_frequency(freq)
+                        if src.frequency() != 0:
+                            tuned = True
+                            break
+                    except RPFexception:
+                        pass
+                if not tuned:
+                    raise TuneError(freq)
                 slicer = FrameSlicer(N)
                 data_total = 2 * N * params.repeats
                 data_read = 0
@@ -87,13 +103,15 @@ class MultiStreamAcquisition:
                 while data_read < data_total:
                     need = min(params.buf_length, data_total - data_read)
                     buf, ok = src.read(need)
-                    if not ok:
-                        continue  # dropped samples: discard and retry
-                    data_read += need
-                    got = slicer.push(buf, max_frames=params.repeats
-                                      - sum(len(f) for f in frames))
-                    if len(got):
-                        frames.append(got)
+                    if ok:
+                        data_read += need
+                        got = slicer.push(buf, max_frames=params.repeats
+                                          - sum(len(f) for f in frames))
+                        if len(got):
+                            frames.append(got)
+                    # else: dropped samples — discard and retry.
+                    if check_interrupt(InterruptState.FinishNow):
+                        break
                 out_frames.append(np.concatenate(frames) if frames
                                   else np.zeros((0, frame_bytes), np.uint8))
             except BaseException as e:
@@ -111,6 +129,10 @@ class MultiStreamAcquisition:
         for t in threads:
             t.join()
         if errors:
+            from ..exceptions import TuneError
+            for e in errors:
+                if isinstance(e, TuneError):
+                    raise e  # drop the frequency, don't kill the session
             raise errors[0]
 
         all_frames = [r[0] for r in results]

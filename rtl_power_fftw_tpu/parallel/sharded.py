@@ -89,6 +89,10 @@ class ShardedPsdStep:
     def __call__(self, raw: np.ndarray, n_valid: np.ndarray) -> Tuple[jax.Array, jax.Array]:
         """raw: (S, F, 2N) u8, n_valid: (S,) int32.
         Returns (per_stream (S,N) f32 — sharded, combined (N,) f32 — replicated)."""
+        if isinstance(raw, np.ndarray):
+            # Explicit host→device placement along the stream sharding, so
+            # each device receives only its stream shard.
+            raw = jax.device_put(raw, self._raw_sharding)
         args = (raw, np.asarray(n_valid, dtype=np.int32))
         if self._window is not None:
             return self._step(*args, self._window)

@@ -257,6 +257,13 @@ def run_session(params: Params, source: IQSource, aux: AuxData,
                              params.sample_rate)
         all_sources = [source] + extra
         for s in extra:
+            # Extras get the full device setup the primary received
+            # (rtl_power_fftw.cxx:77-101): matched gain, ppm, rate —
+            # averaging streams with mismatched gains would silently skew
+            # the combined spectrum.
+            s.set_gain(s.nearest_gain(params.gain))
+            if params.ppm_error != 0:
+                s.set_freq_correction(params.ppm_error)
             s.set_sample_rate(params.sample_rate)
         multistream = MultiStreamAcquisition(
             params, all_sources, window=aux.window_values)

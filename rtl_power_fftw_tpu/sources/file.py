@@ -76,7 +76,13 @@ class FileSource(IQSource):
 
     def _read_native(self, nbytes: int) -> Tuple[np.ndarray, bool]:
         while self._pending_bytes < nbytes:
-            item = self._native.acquire(timeout_ms=30_000)
+            try:
+                item = self._native.acquire(timeout_ms=30_000)
+            except TimeoutError:
+                # I/O stall (slow or network-mounted recording): report
+                # dropped samples so the caller retries; already-buffered
+                # bytes stay queued, keeping the stream contiguous.
+                return np.zeros(nbytes, dtype=np.uint8), False
             if item is None:
                 self._eof()
             slot, view = item

@@ -63,10 +63,12 @@ def make_sources(spec: str, n: int, sample_rate: int = 2_048_000) -> List[IQSour
     sources: List[IQSource] = []
     kind = spec.partition(":")[0].strip().lower()
     for i in range(n):
-        if kind == "synthetic" and i > 0:
+        if kind == "synthetic":
             rest = spec.partition(":")[2]
             try:
-                sources.append(parse_synthetic_spec(rest, seed_offset=i))
+                # Extras are streams 1..n relative to the primary (stream 0),
+                # so every one gets a distinct seed offset.
+                sources.append(parse_synthetic_spec(rest, seed_offset=i + 1))
             except ValueError as e:
                 raise RPFexception(f"Bad --source synthetic spec: {e}",
                                    ReturnValue.InvalidArgument)

@@ -52,6 +52,7 @@ class RtlTcpSource(IQSource):
         self.tuner_type, self.tuner_gain_count = struct.unpack(">II", header[4:])
         self._rate = 2_048_000
         self._freq = 0
+        self._pending = bytearray()  # partial data kept across timeouts
         self._send_cmd(_SET_GAIN_MODE, 1)
 
     def _send_cmd(self, opcode: int, arg: int) -> None:
@@ -94,12 +95,21 @@ class RtlTcpSource(IQSource):
             self._send_cmd(_SET_FREQ_CORRECTION, int(ppm_error))
 
     def read(self, nbytes: int) -> Tuple[np.ndarray, bool]:
+        # Partial data from a previous timeout is kept (not discarded):
+        # throwing away an odd number of bytes would swap I/Q alignment
+        # for the rest of the session. A timed-out read reports dropped
+        # samples (like rtlsdr_read_sync, device.cxx:92-97) but the byte
+        # stream itself stays contiguous.
         try:
-            data = self._recv_exact(nbytes)
+            while len(self._pending) < nbytes:
+                chunk = self._sock.recv(nbytes - len(self._pending))
+                if not chunk:
+                    raise hardware_error("rtl_tcp: connection closed by server.")
+                self._pending.extend(chunk)
         except socket.timeout:
-            # Short read: report dropped samples like rtlsdr_read_sync
-            # (device.cxx:92-97).
             return np.zeros(nbytes, dtype=np.uint8), False
+        data = bytes(self._pending[:nbytes])
+        del self._pending[:nbytes]
         return np.frombuffer(data, dtype=np.uint8), True
 
     def close(self) -> None:

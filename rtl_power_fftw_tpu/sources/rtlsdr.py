@@ -25,8 +25,7 @@ class RtlSdrSource(IQSource):  # pragma: no cover - needs hardware
             raise hardware_error(f"Could not open rtl_sdr device {dev_index}: {e}")
 
     def gains(self) -> List[int]:
-        return [int(g) for g in self._sdr.valid_gains_db and
-                [g * 10 for g in self._sdr.valid_gains_db]] or [0]
+        return [int(g * 10) for g in self._sdr.valid_gains_db] or [0]
 
     def sample_rate(self) -> int:
         return int(self._sdr.sample_rate)

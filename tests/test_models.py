@@ -63,7 +63,8 @@ def test_spectrogram_shape_and_values():
     N, rate = 64, 1_000_000
     n_rows = 12
     stream = make_stream(2 * N * n_rows, seed=25)
-    times, freqs, S = spectrogram(stream, N, rate, linear=True)
+    times, freqs, S = spectrogram(stream, N, rate, linear=True,
+                                  dc_interp=False)
     assert S.shape == (n_rows, N)
     assert len(times) == n_rows and times[0] == 0.0
     assert times[1] == N / rate

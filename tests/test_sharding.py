@@ -116,3 +116,38 @@ def test_multistream_acquisition_matches_sum_of_streams():
         want += np.fft.ifftshift(pwr)  # golden is pre-shifted; ours isn't
     np.testing.assert_allclose(res.pwr, want, rtol=1e-5)
     np.testing.assert_allclose(res.per_stream_pwr.sum(0), want, rtol=1e-5)
+
+
+def test_multistream_distinct_seeds_and_flaky_tune():
+    """Review regressions: extra synthetic streams must get distinct seeds,
+    and transient tune failures in extra streams must be retried, with
+    persistent failures surfacing as TuneError (hop dropped), not a fatal
+    hardware error."""
+    import io
+    from rtl_power_fftw_tpu.config import parse_args
+    from rtl_power_fftw_tpu.exceptions import TuneError
+    from rtl_power_fftw_tpu.parallel.multistream import MultiStreamAcquisition
+    from rtl_power_fftw_tpu.sources import SyntheticSource
+    from rtl_power_fftw_tpu.sources.registry import make_sources
+
+    # Seed distinctness through the registry used by --streams.
+    extras = make_sources("synthetic:noise=5,seed=0", 2)
+    a = extras[0]; b = extras[1]
+    a.set_frequency(1_000_000); b.set_frequency(1_000_000)
+    da, _ = a.read(1000); db, _ = b.read(1000)
+    assert not np.array_equal(da, db)
+
+    params = parse_args(["-b", "64", "-n", "8"], stderr=io.StringIO())
+
+    # Transient failure on an extra stream: retried, acquisition succeeds.
+    flaky = SyntheticSource(noise=5.0, seed=1, flaky_freqs={2_000_000: 2})
+    ok = SyntheticSource(noise=5.0, seed=2)
+    acq = MultiStreamAcquisition(params, [ok, flaky])
+    res = acq.run(freq=2_000_000)
+    assert res.repeats_done.tolist() == [8, 8]
+
+    # Persistent failure: TuneError so the session drops the hop.
+    dead = SyntheticSource(noise=5.0, seed=3, dead_freqs=[3_000_000])
+    acq2 = MultiStreamAcquisition(params, [ok, dead])
+    with pytest.raises(TuneError):
+        acq2.run(freq=3_000_000)
