@@ -16,8 +16,10 @@ The reference's equivalent is FFTW's plan (datastore.cxx:30-33); these are
 not translations of it but MXU-native formulations.
 
 All matmuls run with ``precision=HIGHEST`` (f32 via bf16x6 passes) — the
-averaged-spectrum parity budget is 1e-5 relative, which bf16-matmul would
-blow immediately.
+averaged-spectrum parity budget is 1e-5 relative. Measured on a v5e at
+N=2048: HIGHEST 2.8e-7 max rel err, HIGH (bf16x3) 2.4e-5 (+19% faster but
+over budget), DEFAULT (bf16) 3.8e-3. HIGH is a deliberate headroom knob
+for deployments that can accept 1e-4.
 """
 
 from __future__ import annotations

@@ -128,9 +128,14 @@ class PsdStep:
         if self.backend in ("fourstep", "auto"):
             # The transpose-free fused-reduction formulation halves HBM
             # traffic; it is the default ("auto") path for factorable N.
+            # Degenerate splits (e.g. N = 2·prime → N1 = 2) would make
+            # stage 2 an O(N²/4) dense DFT — "auto" falls back to the XLA
+            # FFT (Bluestein) there, while an explicit "fourstep" request
+            # is honored (it is still exact, just slower).
             from .dft import best_fourstep_split, fourstep_psd_partial
             n1, n2 = best_fourstep_split(N)
-            if n1 > 1:  # composite N
+            ok = n1 > 1 if self.backend == "fourstep" else n1 >= 8
+            if ok:
                 fused_partial = (fourstep_psd_partial, n1, n2)
         chunk = self._chunk
 
