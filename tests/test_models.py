@@ -116,3 +116,34 @@ def test_scan_psd_batched_hops():
 
     freqs, psd = scan_psd(caps, hops, N, rate, stitch="concat")
     assert freqs.shape == psd.shape == (3 * N,)
+
+
+def test_spectral_kurtosis_flags_tone():
+    from rtl_power_fftw_tpu.models import spectral_kurtosis
+    from rtl_power_fftw_tpu.sources import SyntheticSource
+    rate, N, M = 2_048_000, 256, 256
+    src = SyntheticSource(tones=[(1_000_000 + 64 * rate // N, 40.0)],
+                          noise=8.0, seed=33)
+    src.set_sample_rate(rate)
+    src.set_frequency(1_000_000)
+    iq, _ = src.read(2 * N * M)
+    freqs, sk, psd = spectral_kurtosis(iq, N, rate, center_freq=1_000_000)
+    # Gaussian bins: SK ~ 1 within ~4/sqrt(M); coherent tone: SK << 1.
+    tone_bin = N // 2 + 64
+    clean = np.delete(sk, [tone_bin - 1, tone_bin, tone_bin + 1, N // 2])
+    assert np.abs(np.median(clean) - 1.0) < 0.2
+    assert sk[tone_bin] < 0.5
+    assert psd[tone_bin] == psd.max()
+
+
+def test_multitaper_matches_bartlett_on_white_noise():
+    """Unit check: on white noise the multitaper PSD must agree with the
+    Bartlett PSD in level (same normalization), with lower variance."""
+    from rtl_power_fftw_tpu.models import multitaper_psd
+    rate, N, M = 1_000_000, 128, 64
+    rng = np.random.default_rng(34)
+    iq = rng.integers(0, 256, 2 * N * M, dtype=np.uint8)
+    f_mt, mt = multitaper_psd(iq, N, rate, NW=3.0, linear=True)
+    f_b, b = bartlett_psd(iq, N, rate, linear=True)
+    assert abs(np.mean(mt) / np.mean(b) - 1.0) < 0.05  # same level
+    assert np.var(mt / np.mean(mt)) < np.var(b / np.mean(b))  # lower variance
