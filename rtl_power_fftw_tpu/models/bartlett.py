@@ -8,11 +8,21 @@ reference over a recording and parsing its stdout.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import numpy as np
 
-from ..ops.spectral import FrameSlicer, PsdStep, bin_frequencies, finalize_psd
+from ..ops.spectral import (FrameSlicer, PsdStep, bin_frequencies,
+                            finalize_psd, pad_frames)
+
+
+@functools.lru_cache(maxsize=8)
+def _cached_step(N: int, F: int, window_bytes: Optional[bytes],
+                 backend: str) -> PsdStep:
+    window = (None if window_bytes is None
+              else np.frombuffer(window_bytes, dtype=np.float32))
+    return PsdStep(N, F, window=window, backend=backend)
 
 
 def _accumulate(stream: np.ndarray, N: int, repeats: Optional[int],
@@ -21,17 +31,16 @@ def _accumulate(stream: np.ndarray, N: int, repeats: Optional[int],
                 frames_per_step: int = 1024) -> Tuple[np.ndarray, int]:
     slicer = FrameSlicer(N, hop=hop)
     frames = slicer.push(stream, max_frames=repeats)
-    step = PsdStep(N, min(frames_per_step, max(len(frames), 1)),
-                   window=window, backend=backend)
+    wb = None if window is None else np.asarray(window, np.float32).tobytes()
+    step = _cached_step(N, min(frames_per_step, max(len(frames), 1)),
+                        wb, backend)
     pwr = np.zeros(N, dtype=np.float64)
     pending = []
     for start in range(0, len(frames), step.F):
         batch = frames[start:start + step.F]
         n_valid = len(batch)
-        if n_valid < step.F:
-            batch = np.concatenate(
-                [batch, np.zeros((step.F - n_valid, 2 * N), np.uint8)])
-        pending.append(step(np.ascontiguousarray(batch), n_valid))
+        pending.append(step(np.ascontiguousarray(pad_frames(batch, step.F)),
+                            n_valid))
         if len(pending) > 4:
             pwr += np.asarray(pending.pop(0), dtype=np.float64)
     for p in pending:

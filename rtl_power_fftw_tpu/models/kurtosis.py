@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.spectral import FrameSlicer, _power_backend, bin_frequencies
+from ..ops.spectral import (FrameSlicer, _power_backend,
+                            bin_frequencies, dequant_iq, pad_frames)
 
 
 @functools.lru_cache(maxsize=8)
@@ -33,12 +34,7 @@ def _sk_step(N: int, F: int, windowed: bool, backend: str):
 
     @jax.jit
     def step(raw, n_valid, *w):
-        x = raw.astype(jnp.float32) - 127.0
-        iq = x.reshape(F, N, 2)
-        re, im = iq[..., 0], iq[..., 1]
-        if w:
-            re = re * w[0]
-            im = im * w[0]
+        re, im = dequant_iq(raw, F, N, w[0] if w else None)
         p = power_fn(re, im)  # (F, N)
         mask = (jax.lax.broadcasted_iota(jnp.int32, (F, 1), 0)
                 < n_valid).astype(jnp.float32)
@@ -81,10 +77,7 @@ def spectral_kurtosis(iq_u8: np.ndarray, N: int, sample_rate: int,
     for start in range(0, M, F):
         batch = frames[start:start + F]
         nv = len(batch)
-        if nv < F:
-            batch = np.concatenate(
-                [batch, np.zeros((F - nv, 2 * N), np.uint8)])
-        a, b = step(batch, np.int32(nv), *w)
+        a, b = step(pad_frames(batch, F), np.int32(nv), *w)
         s1 += np.asarray(a, dtype=np.float64)
         s2 += np.asarray(b, dtype=np.float64)
 

@@ -19,7 +19,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.spectral import FrameSlicer, _power_backend, bin_frequencies
+from ..ops.spectral import (FrameSlicer, _power_backend,
+                            bin_frequencies, dequant_iq, pad_frames)
 
 
 def dpss_tapers(N: int, NW: float, K: int) -> np.ndarray:
@@ -40,9 +41,7 @@ def _mt_step(N: int, F: int, K: int, backend: str):
     @jax.jit
     def step(raw, n_valid, tapers):
         # raw: (F, 2N) u8; tapers: (K, N) f32.
-        x = raw.astype(jnp.float32) - 127.0
-        iq = x.reshape(F, N, 2)
-        re, im = iq[..., 0], iq[..., 1]
+        re, im = dequant_iq(raw, F, N)
         # Taper axis → batch axis: (F, K, N) → (F·K, N).
         re_t = (re[:, None, :] * tapers[None]).reshape(F * K, N)
         im_t = (im[:, None, :] * tapers[None]).reshape(F * K, N)
@@ -93,10 +92,8 @@ def multitaper_psd(iq_u8: np.ndarray, N: int, sample_rate: int,
     for start in range(0, M, F):
         batch = frames[start:start + F]
         nv = len(batch)
-        if nv < F:
-            batch = np.concatenate(
-                [batch, np.zeros((F - nv, 2 * N), np.uint8)])
-        acc += np.asarray(step(batch, np.int32(nv), tp), dtype=np.float64)
+        acc += np.asarray(step(pad_frames(batch, F), np.int32(nv), tp),
+                          dtype=np.float64)
 
     psd = np.fft.fftshift(acc) / M / N / sample_rate
     if not linear:

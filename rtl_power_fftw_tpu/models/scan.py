@@ -20,7 +20,8 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from ..ops.spectral import PsdStep, bin_frequencies, finalize_psd
+from ..ops.spectral import (PsdStep, bin_frequencies, finalize_psd,
+                            pad_frames)
 from ..planning import Plan
 
 
@@ -60,10 +61,7 @@ def scan_psd(hop_captures: np.ndarray,
     pending = []
     for h in range(H):
         batch = frames[h * frames_per_hop:(h + 1) * frames_per_hop]
-        if hop_step.F > len(batch):
-            batch = np.concatenate(
-                [batch, np.zeros((hop_step.F - len(batch), 2 * N), np.uint8)])
-        pending.append(hop_step(batch, frames_per_hop))
+        pending.append(hop_step(pad_frames(batch, hop_step.F), frames_per_hop))
     with np.errstate(divide="ignore"):
         for h, dev_pwr in enumerate(pending):
             pwr = np.asarray(dev_pwr, dtype=np.float64)

@@ -16,7 +16,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.spectral import FrameSlicer, _power_backend, bin_frequencies
+from ..ops.spectral import (FrameSlicer, _power_backend, bin_frequencies,
+                            dequant_iq, finalize_psd, pad_frames)
 
 
 @functools.lru_cache(maxsize=8)
@@ -25,12 +26,7 @@ def _spectrogram_step(N: int, F: int, windowed: bool, backend: str):
 
     @jax.jit
     def step(raw, *w):
-        x = raw.astype(jnp.float32) - 127.0
-        iq = x.reshape(F, N, 2)
-        re, im = iq[..., 0], iq[..., 1]
-        if w:
-            re = re * w[0]
-            im = im * w[0]
+        re, im = dequant_iq(raw, F, N, w[0] if w else None)
         pwr = power_fn(re, im)  # (F, N) unshifted
         return jnp.fft.fftshift(pwr, axes=-1)
 
@@ -74,19 +70,21 @@ def spectrogram(iq_u8: np.ndarray, N: int, sample_rate: int,
     for start in range(0, n_frames, F):
         batch = frames[start:start + F]
         nb = len(batch)
-        if nb < F:
-            batch = np.concatenate([batch, np.zeros((F - nb, 2 * N), np.uint8)])
-        out = np.asarray(step(batch, *(() if w is None else (w,))),
+        out = np.asarray(step(pad_frames(batch, F),
+                              *(() if w is None else (w,))),
                          dtype=np.float64)[:nb]
         rows.append(out)
     pwr = np.concatenate(rows)  # (n_frames, N) shifted
     pwr = pwr.reshape(n_frames // average, average, N).sum(axis=1)
     if dc_interp:
-        pwr[:, N // 2] = (pwr[:, N // 2 - 1] + pwr[:, N // 2 + 1]) / 2.0
-
-    psd = pwr / average / N / sample_rate
-    if not linear:
+        # Same row finalization as the matrix writer (finalize_psd).
         with np.errstate(divide="ignore"):
-            psd = 10.0 * np.log10(psd)
+            psd = finalize_psd(pwr, average, sample_rate, linear=linear,
+                               already_shifted=True)
+    else:
+        psd = pwr / average / N / sample_rate
+        if not linear:
+            with np.errstate(divide="ignore"):
+                psd = 10.0 * np.log10(psd)
     times = (np.arange(n_frames // average) * average * hop) / sample_rate
     return times, bin_frequencies(center_freq, N, sample_rate), psd

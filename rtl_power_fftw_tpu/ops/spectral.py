@@ -50,6 +50,30 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def dequant_iq(raw: jax.Array, F: int, N: int,
+               window: Optional[jax.Array] = None):
+    """THE dequantization convention, in one place: interleaved u8 IQ →
+    (re, im) float32 planes, ``(u8 − 127)`` per datastore.cxx:75, with an
+    optional window multiply. Used by every device step in the framework.
+    """
+    x = raw.astype(jnp.float32) - 127.0
+    iq = x.reshape(F, N, 2)
+    re, im = iq[..., 0], iq[..., 1]
+    if window is not None:
+        re = re * window
+        im = im * window
+    return re, im
+
+
+def pad_frames(batch: np.ndarray, F: int) -> np.ndarray:
+    """Zero-pad a (n, 2N) frame batch up to the step's fixed (F, 2N)."""
+    n = len(batch)
+    if n >= F:
+        return batch
+    return np.concatenate(
+        [batch, np.zeros((F - n, batch.shape[1]), np.uint8)])
+
+
 def _power_backend(backend: str, N: int) -> Callable[[jax.Array, jax.Array], jax.Array]:
     """Return fn(re, im) -> |FFT|² for (F, N) float32 inputs."""
     if backend == "matmul":
@@ -141,12 +165,7 @@ class PsdStep:
 
         def step(raw: jax.Array, n_valid: jax.Array) -> jax.Array:
             # raw: (F, 2N) uint8 interleaved IQ; n_valid: scalar int32.
-            x = raw.astype(jnp.float32) - 127.0
-            iq = x.reshape(F, N, 2)
-            re, im = iq[..., 0], iq[..., 1]
-            if window is not None:
-                re = re * window
-                im = im * window
+            re, im = dequant_iq(raw, F, N, window)
             fmask = (jax.lax.broadcasted_iota(jnp.int32, (F,), 0)
                      < n_valid).astype(jnp.float32)
             if fused_partial is not None:

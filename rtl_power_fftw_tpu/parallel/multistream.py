@@ -100,15 +100,17 @@ class MultiStreamAcquisition:
                 data_total = 2 * N * params.repeats
                 data_read = 0
                 frames = []
+                n_frames = 0
                 while data_read < data_total:
                     need = min(params.buf_length, data_total - data_read)
                     buf, ok = src.read(need)
                     if ok:
                         data_read += need
-                        got = slicer.push(buf, max_frames=params.repeats
-                                          - sum(len(f) for f in frames))
+                        got = slicer.push(buf,
+                                          max_frames=params.repeats - n_frames)
                         if len(got):
                             frames.append(got)
+                            n_frames += len(got)
                     # else: dropped samples — discard and retry.
                     if check_interrupt(InterruptState.FinishNow):
                         break

@@ -30,7 +30,7 @@ from typing import Deque, List, Optional
 import numpy as np
 
 from ..config import Params
-from ..ops.spectral import FrameSlicer, PsdStep, _SUM_CHUNK
+from ..ops.spectral import FrameSlicer, PsdStep
 
 
 @dataclasses.dataclass
