@@ -1,0 +1,120 @@
+"""Measured sweep of the five BASELINE.json configurations.
+
+Not the driver benchmark (that's bench.py, one JSON line) — this is the
+evidence table: every BASELINE config exercised on the current device
+with the same dispatch-artifact-immune methodology (in-program scan
+chain, value fetch, two-point slope). Results print as a markdown table.
+
+Usage: python bench_configs.py [--quick]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+
+def _slope_time(many, lo, hi):
+    def t(iters, reps=2):
+        np.asarray(many(iters))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(many(iters))
+            best = min(best, time.perf_counter() - t0)
+        return best
+    return (t(hi) - t(lo)) / (hi - lo)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from rtl_power_fftw_tpu.auxdata import make_window
+    from rtl_power_fftw_tpu.ops.dft import fourstep_psd_partial
+    from rtl_power_fftw_tpu.ops.spectral import dequant_iq
+
+    quick = "--quick" in sys.argv
+    dev = jax.devices()[0]
+    print(f"device: {dev} ({dev.platform})", file=sys.stderr)
+    rng = np.random.default_rng(0)
+    rows = []
+
+    def measure(name, N, F, lo, hi, window=None, baseline=None, hops=1):
+        """One config: F frames of N bins per step (hops folds into F)."""
+        raw = jax.device_put(
+            rng.integers(0, 256, (F, 2 * N), dtype=np.uint8), dev)
+        w = None if window is None else jnp.asarray(window)
+        b = None if baseline is None else jnp.asarray(baseline)
+
+        @partial(jax.jit, static_argnums=1)
+        def many(raw, iters):
+            def body(carry, i):
+                re, im = dequant_iq(raw + i.astype(jnp.uint8), F, N, w)
+                fmask = jnp.ones((F,), jnp.float32)
+                part = fourstep_psd_partial(re, im, fmask)
+                if b is not None:
+                    part = part - b  # baseline ride-along (output units)
+                return carry + part, ()
+            acc, _ = jax.lax.scan(body, jnp.zeros(N, jnp.float32),
+                                  jnp.arange(iters))
+            return acc
+
+        per = _slope_time(lambda iters: many(raw, iters), lo, hi)
+        spectra = F / per
+        gsps = spectra * N / 1e9
+        rows.append((name, N, F * hops // hops, f"{per*1e6:,.0f}",
+                     f"{spectra:,.0f}", f"{gsps:.2f}"))
+        print(f"  {name}: {per*1e6:,.0f} us/step, {gsps:.2f} GS/s",
+              file=sys.stderr)
+
+    lo, hi = (8, 24) if quick else (16, 64)
+
+    # 1. 2048-bin, 100-average single-shot (recorded buffer).
+    measure("config1: 2048-bin x100 avg", 2048, 4096 if not quick else 1024,
+            lo, hi)
+    # 2. 8192-bin Welch/Hann + baseline subtraction.
+    measure("config2: 8192-bin welch+hann+baseline", 8192,
+            1024 if not quick else 256, lo, hi,
+            window=make_window("hann", 8192),
+            baseline=np.linspace(-1, 1, 8192).astype(np.float32))
+    # 3. 1M-point long-integration FFT.
+    measure("config3: 1M-point FFT", 1 << 20, 8, max(lo // 2, 4), hi // 2)
+    # 4. 256 hops x 2048 bins batched (hop axis folded into frames).
+    measure("config4: 256 hops x 2048-bin scan", 2048,
+            2048 if not quick else 512, lo, hi, hops=256)
+
+    # 5. 16 streams psum-reduced (single chip: mesh of 1; shard_map still
+    # exercises the collective path).
+    from rtl_power_fftw_tpu.parallel import ShardedPsdStep, make_mesh
+    S, N5, F5 = 16, 2048, 256 if not quick else 128
+    mesh = make_mesh(min(len(jax.devices()), S))
+    step = ShardedPsdStep(mesh, N5, F5, streams=S, backend="fourstep")
+    raw5 = jax.device_put(
+        rng.integers(0, 256, (S, step.F, 2 * N5), dtype=np.uint8))
+    nv = np.full((S,), step.F, dtype=np.int32)
+    ps, comb = step(raw5, nv)
+    np.asarray(comb)
+    reps = 6
+    t0 = time.perf_counter()
+    outs = [step(raw5, nv)[1] for _ in range(reps)]
+    np.asarray(outs[-1])
+    per = (time.perf_counter() - t0) / reps
+    spectra = S * step.F / per
+    rows.append(("config5: 16 streams psum", N5, S * step.F,
+                 f"{per*1e6:,.0f}", f"{spectra:,.0f}",
+                 f"{spectra*N5/1e9:.2f}"))
+    print(f"  config5: {per*1e6:,.0f} us/step, {spectra*N5/1e9:.2f} GS/s",
+          file=sys.stderr)
+
+    print("| config | N | frames/step | us/step | spectra/s | GS/s |")
+    print("|---|---|---|---|---|---|")
+    for r in rows:
+        print("| " + " | ".join(str(c) for c in r) + " |")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,43 @@
+"""CLI surface tests: help/version exits, module invocation, exit codes."""
+
+import subprocess
+import sys
+
+import pytest
+
+from rtl_power_fftw_tpu.cli import main
+
+
+def run_cli(args):
+    """Invoke in-process; argparse help/version raise SystemExit."""
+    try:
+        return main(args)
+    except SystemExit as e:
+        return e.code if e.code is not None else 0
+
+
+def test_help_exits_zero(capsys):
+    assert run_cli(["--help"]) == 0
+    out = capsys.readouterr().out
+    for opt in ("--bins", "--freq", "--repeats", "--time", "--baseline",
+                "--window", "--matrix", "--overlap", "--strict-time",
+                "--source", "--streams"):
+        assert opt in out
+
+
+def test_version_exits_zero(capsys):
+    assert run_cli(["--version"]) == 0
+    assert "rtl_power_fftw_tpu" in capsys.readouterr().out
+
+
+def test_exit_code_table():
+    # (argv, expected exit code) — the reference's ReturnValue contract.
+    cases = [
+        (["-n", "1"], 1),                        # NoDeviceFound
+        (["-d", "2", "--source", "synthetic:", "-n", "1", "-b", "64"], 2),
+        (["-b", "-5"], 3),                       # InvalidArgument
+        (["--bogus-flag"], 4),                   # CLI parse error
+        (["-w", "/does/not/exist", "-n", "1"], 5),  # InvalidInput
+    ]
+    for argv, expect in cases:
+        assert run_cli(argv) == expect, argv

@@ -151,3 +151,19 @@ def test_multistream_distinct_seeds_and_flaky_tune():
     acq2 = MultiStreamAcquisition(params, [ok, dead])
     with pytest.raises(TuneError):
         acq2.run(freq=3_000_000)
+
+
+def test_sharded_long_integration_matches_single_device():
+    """Frame-axis sharding of one stream (the 1M-point mode at mesh scale)
+    must equal single-device accumulation exactly."""
+    from rtl_power_fftw_tpu.parallel.longint import sharded_accumulate
+    from golden import golden_accumulate
+
+    N, M = 128, 37  # non-divisible by 8 devices: exercises padding/masking
+    rng = np.random.default_rng(55)
+    stream = rng.integers(0, 256, 2 * N * M, dtype=np.uint8)
+    frames = stream.reshape(M, 2 * N)
+    pwr, m = sharded_accumulate(frames, N)
+    assert m == M
+    want, _ = golden_accumulate(stream, N, M)
+    np.testing.assert_allclose(pwr, np.fft.ifftshift(want), rtol=1e-5)
