@@ -158,7 +158,13 @@ class PsdStep:
             # is honored (it is still exact, just slower).
             from .dft import best_fourstep_split, fourstep_psd_partial
             n1, n2 = best_fourstep_split(N)
-            ok = n1 > 1 if self.backend == "fourstep" else n1 >= 8
+            if self.backend == "fourstep":
+                ok = n1 > 1  # honor an explicit request for any composite N
+            else:
+                # auto: four-step costs ~16·√N FLOPs/sample vs the FFT's
+                # ~5·log2 N; measured on v5e the MXU advantage covers that
+                # up to N≈8192 and XLA's FFT wins beyond (BENCHMARKS.md).
+                ok = n1 >= 8 and N <= 8192
             if ok:
                 fused_partial = (fourstep_psd_partial, n1, n2)
         chunk = self._chunk
