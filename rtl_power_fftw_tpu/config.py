@@ -269,6 +269,11 @@ def parse_args(argv: List[str], stderr=None) -> Params:
     if params.N % 2 != 0:
         params.N += 1
         print(f"Number of bins should be even, changing to {params.N}.", file=err)
+    if params.N == 0:
+        # The reference divides by 2N unchecked (params.cxx:217 — UB for
+        # N=0); reject explicitly instead.
+        raise RPFexception("Argument to 'bins' must be nonzero.",
+                           ReturnValue.InvalidArgument)
     params.linear = bool(ns.linear)
     if ns.gain is not None:
         params.gain = ns.gain
