@@ -259,3 +259,49 @@ def test_multistream_session():
     freqs = np.array([float(l.split()[0]) for l in out.split("\n")
                       if l and not l.startswith("#")])
     assert abs(freqs[vals.argmax()] - 100_100_000) < 2_048_000 / 64
+
+
+class _SlowSource(SyntheticSource):
+    """Source that takes real time per read — exercises --strict-time."""
+
+    def __init__(self, delay, **kw):
+        super().__init__(**kw)
+        self.delay = delay
+
+    def read(self, nbytes):
+        import time
+        time.sleep(self.delay)
+        return super().read(nbytes)
+
+
+def test_strict_time_cuts_acquisition_short():
+    """-T ends acquisition at the deadline even with samples missing
+    (acquisition.cxx:326-327, doc INTEGRATION TIME)."""
+    src = _SlowSource(0.2, noise=5.0, seed=40)
+    # 1 s of data at 16384-byte buffers = many reads of 0.2 s each; the
+    # 0.5 s strict deadline fires long before the data target.
+    rv, out, err, params = run(
+        ["-f", "1M", "-t", "0.5", "-T", "-b", "64", "-r", "1000000",
+         "-s", "16384", "--source", "synthetic:"], src)
+    assert rv == ReturnValue.Success
+    done = int([l for l in err.split("\n")
+                if "Actual number of averaged spectra:" in l][0].split()[-1])
+    assert 0 < done < params.repeats  # cut short, but wrote what it had
+    assert "# rtl-power-fftw output" in out
+
+
+def test_output_frequency_format_matches_manpage_style():
+    """Man-page example format: '1.41940575e+09 -68.7714'
+    (doc/rtl_power_fftw.1.md:94-99)."""
+    import re
+    src = SyntheticSource(noise=5.0, seed=41)
+    rv, out, err, params = run(
+        ["-f", "1420405752", "-n", "8", "-b", "512", "-r", "2048000",
+         "--source", "synthetic:"], src)
+    data_lines = [l for l in out.split("\n") if l and not l.startswith("#")]
+    # Frequencies near 1.42 GHz at 9 significant digits, scientific form.
+    assert re.match(r"^1\.4\d{7}e\+09 -?\d+\.?\d*$", data_lines[0]), data_lines[0]
+    # Power column: 6 significant digits max.
+    for l in data_lines[:20]:
+        pwr = l.split()[1].replace("-", "").replace(".", "").lstrip("0")
+        assert len(pwr) <= 6
