@@ -163,3 +163,27 @@ def test_large_prime_bins():
     pwr_ref, done_ref = golden_accumulate(stream, N, repeats)
     want = golden_finalize(pwr_ref, done_ref, 2_048_000)
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-4)
+
+
+def test_auto_backend_8192_matches_golden():
+    """Config-2 scale: 8192 bins through the auto (fused four-step) path."""
+    N, repeats = 8192, 8
+    stream = make_stream(2 * N * repeats, seed=88)
+    got, done = run_pipeline(stream, N, repeats, backend="auto")
+    pwr_ref, done_ref = golden_accumulate(stream, N, repeats)
+    want = golden_finalize(pwr_ref, done_ref, 2_048_000)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-4)
+
+
+def test_auto_backend_large_n_uses_xla():
+    """Above the measured crossover the auto backend must take the XLA
+    FFT path (fourstep would waste ~16*sqrt(N)/5/log2(N) x FLOPs)."""
+    s_small = PsdStep(2048, 8, backend="auto")
+    s_large = PsdStep(1 << 15, 8, backend="auto")
+    import jax
+    small_ir = jax.make_jaxpr(s_small.lowered_fn())(
+        *s_small.example_args())
+    large_ir = jax.make_jaxpr(s_large.lowered_fn())(
+        *s_large.example_args())
+    assert "fft" not in str(small_ir)      # four-step: matmuls only
+    assert "fft" in str(large_ir)          # XLA FFT op present
