@@ -13,15 +13,22 @@ overridden through jax.config after import.
 import os
 import sys
 
-xla_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
+# RPF_TEST_PLATFORM=tpu opts into running the suite on the real device
+# (multi-device tests will be skipped there); default is the virtual CPU
+# mesh.
+_want_tpu = os.environ.get("RPF_TEST_PLATFORM") == "tpu"
+
+if not _want_tpu:
+    xla_flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in xla_flags:
+        os.environ["XLA_FLAGS"] = (
+            xla_flags + " --xla_force_host_platform_device_count=8").strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-assert jax.devices()[0].platform == "cpu", jax.devices()
+if not _want_tpu:
+    jax.config.update("jax_platforms", "cpu")
+    assert jax.devices()[0].platform == "cpu", jax.devices()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
