@@ -25,7 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.spectral import (FrameSlicer, _power_backend,
-                            bin_frequencies, dequant_iq, pad_frames)
+                            adapt_batch, bin_frequencies, dequant_iq,
+                            pad_frames)
 
 
 @functools.lru_cache(maxsize=8)
@@ -39,7 +40,7 @@ def _sk_step(N: int, F: int, windowed: bool, backend: str):
         mask = (jax.lax.broadcasted_iota(jnp.int32, (F, 1), 0)
                 < n_valid).astype(jnp.float32)
         p = p * mask
-        chunk = 64 if F % 64 == 0 else 1
+        _, chunk = adapt_batch(F)
         g = F // chunk
         s1 = p.reshape(g, chunk, N).sum(1).sum(0)
         s2 = (p * p).reshape(g, chunk, N).sum(1).sum(0)
@@ -68,7 +69,7 @@ def spectral_kurtosis(iq_u8: np.ndarray, N: int, sample_rate: int,
     M = len(frames)
     if M < 2:
         raise ValueError("spectral kurtosis needs at least 2 spectra")
-    F = min(frames_per_step, M)
+    F, _ = adapt_batch(min(frames_per_step, M))
     step = _sk_step(N, F, window is not None, backend)
     w = (jnp.asarray(np.asarray(window, np.float32)),) if window is not None else ()
 

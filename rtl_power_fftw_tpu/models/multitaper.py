@@ -20,7 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.spectral import (FrameSlicer, _power_backend,
-                            bin_frequencies, dequant_iq, pad_frames)
+                            adapt_batch, bin_frequencies, dequant_iq,
+                            pad_frames)
 
 
 def dpss_tapers(N: int, NW: float, K: int) -> np.ndarray:
@@ -49,7 +50,7 @@ def _mt_step(N: int, F: int, K: int, backend: str):
         mask = (jax.lax.broadcasted_iota(jnp.int32, (F, 1, 1), 0)
                 < n_valid).astype(jnp.float32)
         p = (p * mask).mean(axis=1)  # average eigenspectra per frame
-        chunk = 64 if F % 64 == 0 else 1
+        _, chunk = adapt_batch(F)
         g = F // chunk
         return p.reshape(g, chunk, N).sum(1).sum(0)
 
@@ -84,7 +85,7 @@ def multitaper_psd(iq_u8: np.ndarray, N: int, sample_rate: int,
     M = len(frames)
     if M == 0:
         raise ValueError("not enough samples for a single FFT frame")
-    F = min(frames_per_step, M)
+    F, _ = adapt_batch(min(frames_per_step, M))
     step = _mt_step(N, F, K, backend)
     tp = jnp.asarray(tapers)
 

@@ -50,6 +50,17 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def adapt_batch(frames_per_step: int) -> Tuple[int, int]:
+    """Shared frame-batch sizing: (F, chunk) with F rounded to a multiple
+    of 8 and chunk the largest power-of-two divisor ≤ _SUM_CHUNK — the
+    two-stage-tree-sum invariant every device step relies on."""
+    F = _round_up(max(int(frames_per_step), 1), 8)
+    chunk = _SUM_CHUNK
+    while F % chunk != 0:
+        chunk //= 2
+    return F, chunk
+
+
 def dequant_iq(raw: jax.Array, F: int, N: int,
                window: Optional[jax.Array] = None):
     """THE dequantization convention, in one place: interleaved u8 IQ →
@@ -108,10 +119,7 @@ class PsdStep:
         # Small batches (e.g. the 1M-point long-integration mode) keep a
         # small F; the two-stage sum chunk adapts to the largest
         # power-of-two divisor so padding waste stays bounded.
-        self.F = _round_up(max(int(frames_per_step), 1), 8)
-        self._chunk = _SUM_CHUNK
-        while self.F % self._chunk != 0:
-            self._chunk //= 2
+        self.F, self._chunk = adapt_batch(frames_per_step)
         self.backend = backend
         self.window = None
         if window is not None:

@@ -60,6 +60,12 @@ class MultiStreamAcquisition:
             backend=params.fft_backend if params.fft_backend != "pallas"
             else "auto")
         self.S = S
+        # Welch overlap applies per stream, same as the single-stream
+        # Datastore (pipeline/datastore.py).
+        self._hop = None
+        if params.welch_overlap > 0.0:
+            self._hop = max(1, int(round(
+                params.N * (1.0 - params.welch_overlap / 100.0))))
 
     def run(self, freq: int) -> MultiStreamResult:
         params = self.params
@@ -96,7 +102,7 @@ class MultiStreamAcquisition:
                         pass
                 if not tuned:
                     raise TuneError(freq)
-                slicer = FrameSlicer(N)
+                slicer = FrameSlicer(N, hop=self._hop)
                 data_total = 2 * N * params.repeats
                 data_read = 0
                 frames = []

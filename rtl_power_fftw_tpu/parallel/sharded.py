@@ -25,7 +25,7 @@ try:  # stable API (jax >= 0.4.35)
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
-from ..ops.spectral import _SUM_CHUNK, _power_backend, _round_up
+from ..ops.spectral import (_power_backend, adapt_batch, dequant_iq)
 
 
 class ShardedPsdStep:
@@ -50,30 +50,25 @@ class ShardedPsdStep:
         self.axis = axis
         self.N = N
         self.S = streams
-        self.F = _round_up(max(int(frames_per_step), 1), _SUM_CHUNK)
+        self.F, self._chunk = adapt_batch(frames_per_step)
         self.combine = combine
         window_arr = None
         if window is not None:
             window_arr = jnp.asarray(np.asarray(window, dtype=np.float32))
         power_fn = _power_backend(backend, N)
-        N_, F_ = self.N, self.F
+        N_, F_, chunk = self.N, self.F, self._chunk
 
         def local_step(raw, n_valid, *w):
             # raw: (S_local, F, 2N) u8; n_valid: (S_local,) i32.
             S_local = raw.shape[0]
-            x = raw.astype(jnp.float32) - 127.0
-            iq = x.reshape(S_local, F_, N_, 2)
-            re, im = iq[..., 0], iq[..., 1]
-            if w:
-                re = re * w[0]
-                im = im * w[0]
-            pwr = power_fn(re.reshape(S_local * F_, N_),
-                           im.reshape(S_local * F_, N_)).reshape(S_local, F_, N_)
+            re, im = dequant_iq(raw.reshape(S_local * F_, 2 * N_),
+                                S_local * F_, N_, w[0] if w else None)
+            pwr = power_fn(re, im).reshape(S_local, F_, N_)
             mask = (jax.lax.broadcasted_iota(jnp.int32, (S_local, F_, 1), 1)
                     < n_valid[:, None, None]).astype(jnp.float32)
             pwr = pwr * mask
-            g = F_ // _SUM_CHUNK
-            per_stream = pwr.reshape(S_local, g, _SUM_CHUNK, N_).sum(2).sum(1)
+            g = F_ // chunk
+            per_stream = pwr.reshape(S_local, g, chunk, N_).sum(2).sum(1)
             # Cross-stream reduction: local sum then one psum over ICI.
             combined = jax.lax.psum(per_stream.sum(axis=0), axis)
             return per_stream, combined

@@ -167,3 +167,23 @@ def test_sharded_long_integration_matches_single_device():
     assert m == M
     want, _ = golden_accumulate(stream, N, M)
     np.testing.assert_allclose(pwr, np.fft.ifftshift(want), rtol=1e-5)
+
+
+def test_multistream_honors_welch_overlap():
+    import io
+    from rtl_power_fftw_tpu.config import parse_args
+    from rtl_power_fftw_tpu.parallel.multistream import MultiStreamAcquisition
+    from rtl_power_fftw_tpu.sources import SyntheticSource
+
+    N, repeats, rate = 64, 16, 1_000_000
+    params = parse_args(["-b", str(N), "-n", str(repeats), "-r", str(rate),
+                         "--welch-overlap", "50"], stderr=io.StringIO())
+    srcs = [SyntheticSource(noise=5.0, seed=s) for s in range(2)]
+    for s in srcs:
+        s.set_sample_rate(rate)
+    acq = MultiStreamAcquisition(params, srcs)
+    res = acq.run(freq=1_000_000)
+    # 50% overlap: `repeats` spectra need only ~half the bytes, and the
+    # producer reads 2*N*repeats bytes -> every stream reaches repeats.
+    assert res.repeats_done.tolist() == [repeats, repeats]
+    assert acq._hop == N // 2
