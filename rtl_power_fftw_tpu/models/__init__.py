@@ -4,3 +4,4 @@ from .spectrogram import spectrogram  # noqa: F401
 from .scan import scan_psd, plan_hop_freqs  # noqa: F401
 from .kurtosis import spectral_kurtosis  # noqa: F401
 from .multitaper import multitaper_psd  # noqa: F401
+from .coherence import coherence  # noqa: F401

@@ -147,3 +147,41 @@ def test_multitaper_matches_bartlett_on_white_noise():
     f_b, b = bartlett_psd(iq, N, rate, linear=True)
     assert abs(np.mean(mt) / np.mean(b) - 1.0) < 0.05  # same level
     assert np.var(mt / np.mean(mt)) < np.var(b / np.mean(b))  # lower variance
+
+
+def test_coherence_common_tone():
+    """Two streams sharing a common tone with independent noise:
+    coherence ~1 at the tone bin, low elsewhere; CSD phase ~0."""
+    from rtl_power_fftw_tpu.models import coherence
+    rate, N, M = 2_048_000, 256, 512
+    tone = 1_000_000 + 32 * rate // N
+    rng = np.random.default_rng(60)
+    t = np.arange(N * M) / rate
+    common = 25.0 * np.exp(2j * np.pi * (tone - 1_000_000) * t)
+
+    def quantize(z, seed):
+        r = np.random.default_rng(seed)
+        buf = np.empty(2 * N * M)
+        buf[0::2] = z.real + r.normal(0, 6.0, N * M) + 127.0
+        buf[1::2] = z.imag + r.normal(0, 6.0, N * M) + 127.0
+        return np.clip(np.rint(buf), 0, 255).astype(np.uint8)
+
+    iq_x = quantize(common, 61)
+    iq_y = quantize(common, 62)
+    freqs, g2, csd = coherence(iq_x, iq_y, N, rate, center_freq=1_000_000)
+    tone_bin = N // 2 + 32
+    assert g2[tone_bin] > 0.95
+    others = np.delete(g2, [tone_bin - 1, tone_bin, tone_bin + 1])
+    assert np.median(others) < 0.05
+    assert abs(np.angle(csd[tone_bin])) < 0.05  # in-phase common signal
+    assert 0.0 <= g2.min() and g2.max() <= 1.0 + 1e-9
+
+
+def test_coherence_independent_streams_low():
+    from rtl_power_fftw_tpu.models import coherence
+    rng = np.random.default_rng(63)
+    N, M, rate = 128, 256, 1_000_000
+    iq_x = rng.integers(0, 256, 2 * N * M, dtype=np.uint8)
+    iq_y = rng.integers(0, 256, 2 * N * M, dtype=np.uint8)
+    _, g2, _ = coherence(iq_x, iq_y, N, rate)
+    assert np.median(g2) < 0.05
