@@ -243,7 +243,11 @@ class FrameSlicer:
         FFTs once ``repeats`` is reached, datastore.cxx:67 — remaining
         bytes are discarded by the caller simply by not pushing more).
         """
-        buf = np.concatenate([self._carry, np.asarray(data, dtype=np.uint8).ravel()])
+        data = np.asarray(data, dtype=np.uint8).ravel()
+        if len(self._carry):
+            buf = np.concatenate([self._carry, data])
+        else:
+            buf = data  # aligned fast path: no copy of the whole buffer
         fb, hb = self.frame_bytes, self.hop_bytes
         if len(buf) < fb:
             self._carry = buf
@@ -256,11 +260,12 @@ class FrameSlicer:
             return np.zeros((0, fb), dtype=np.uint8)
         if hb == fb:
             flat = buf[:n * fb]
-            frames = flat.reshape(n, fb)
+            frames = flat.reshape(n, fb)  # view, no copy
         else:
             idx = (np.arange(n)[:, None] * hb) + np.arange(fb)[None, :]
             frames = buf[idx]
-        self._carry = buf[n * hb:]
+        # Detach the (small) carry so it doesn't pin the whole buffer.
+        self._carry = np.array(buf[n * hb:], copy=True)
         return frames
 
 

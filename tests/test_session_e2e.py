@@ -305,3 +305,21 @@ def test_output_frequency_format_matches_manpage_style():
     for l in data_lines[:20]:
         pwr = l.split()[1].replace("-", "").replace(".", "").lstrip("0")
         assert len(pwr) <= 6
+
+
+def test_multistream_matrix_mode(tmp_path):
+    """--streams with -m: matrix row is the psum-combined average."""
+    base = str(tmp_path / "ms")
+    src = SyntheticSource(tones=[(100_050_000, 30.0)], noise=5.0, seed=70)
+    rv, out, err, params = run(
+        ["-f", "100M", "-n", "8", "-b", "64", "--streams", "8",
+         "-m", base, "--source", "synthetic:tone=100.05M/30,noise=5,seed=70"],
+        src)
+    assert rv == ReturnValue.Success
+    from rtl_power_fftw_tpu.output.matrix import read_matrix
+    data, meta = read_matrix(base + ".bin", base + ".met")
+    assert data.shape == (1, 64)
+    assert meta["rows"] == "1" and meta["cols"] == "64"
+    # Effective integration time reflects the combined 64 spectra.
+    assert float(meta["effIntegrationTime"]) == pytest.approx(
+        64.0 * 64 / 2_000_000, rel=1e-6)
