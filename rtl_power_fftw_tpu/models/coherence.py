@@ -91,8 +91,16 @@ def coherence(iq_x: np.ndarray, iq_y: np.ndarray, N: int, sample_rate: int,
         syy += np.asarray(b, np.float64)
         sxy += np.asarray(cr, np.float64) + 1j * np.asarray(ci, np.float64)
 
-    with np.errstate(divide="ignore", invalid="ignore"):
-        gamma2 = np.abs(sxy) ** 2 / np.maximum(sxx * syy, 1e-300)
     shift = np.fft.fftshift
-    csd = shift(sxy) / M / N / sample_rate
-    return bin_frequencies(center_freq, N, sample_rate), shift(gamma2), csd
+    sxx_s, syy_s, sxy_s = shift(sxx), shift(syy), shift(sxy)
+    # DC-bin interpolation, like every PSD output (acquisition.cxx:376-377):
+    # the deterministic (u8−127) quantizer offset is common to BOTH
+    # streams, so without this the DC bin shows spurious coherence ~1 even
+    # for fully independent receivers.
+    c = N // 2
+    for arr in (sxx_s, syy_s, sxy_s):
+        arr[c] = (arr[c - 1] + arr[c + 1]) / 2.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        gamma2 = np.abs(sxy_s) ** 2 / np.maximum((sxx_s * syy_s).real, 1e-300)
+    csd = sxy_s / M / N / sample_rate
+    return bin_frequencies(center_freq, N, sample_rate), gamma2, csd

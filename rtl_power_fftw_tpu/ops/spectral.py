@@ -242,6 +242,11 @@ class FrameSlicer:
         ``max_frames`` caps the frames produced (reference stops filling
         FFTs once ``repeats`` is reached, datastore.cxx:67 — remaining
         bytes are discarded by the caller simply by not pushing more).
+
+        CONTRACT: on the aligned fast path the returned frames are a
+        zero-copy VIEW of ``data`` — consume or copy them before reusing
+        or mutating the input buffer. The internal carry is always an
+        owned copy, never an alias of caller memory.
         """
         data = np.asarray(data, dtype=np.uint8).ravel()
         if len(self._carry):
@@ -250,13 +255,13 @@ class FrameSlicer:
             buf = data  # aligned fast path: no copy of the whole buffer
         fb, hb = self.frame_bytes, self.hop_bytes
         if len(buf) < fb:
-            self._carry = buf
+            self._carry = np.array(buf, copy=True)
             return np.zeros((0, fb), dtype=np.uint8)
         n = 1 + (len(buf) - fb) // hb
         if max_frames is not None:
             n = min(n, int(max_frames))
         if n <= 0:
-            self._carry = buf
+            self._carry = np.array(buf, copy=True)
             return np.zeros((0, fb), dtype=np.uint8)
         if hb == fb:
             flat = buf[:n * fb]

@@ -24,9 +24,13 @@ def initialize(coordinator_address: str, num_processes: int,
                process_id: int) -> None:
     """Join the distributed runtime (idempotent per process)."""
     import jax
-    jax.distributed.initialize(coordinator_address=coordinator_address,
-                               num_processes=num_processes,
-                               process_id=process_id)
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except RuntimeError as e:
+        if "already initialized" not in str(e):
+            raise
 
 
 def global_stream_mesh():
@@ -63,7 +67,6 @@ class MultiHostPsdStep:
         self.N = N
         self.F = self.step.F
         self._sharding = NamedSharding(self.mesh, P("stream"))
-        self._nv_sharding = NamedSharding(self.mesh, P("stream"))
 
     def _globalize(self, local: np.ndarray, global_shape) -> "object":
         """Assemble a global Array from this process's local shard."""
@@ -88,9 +91,7 @@ class MultiHostPsdStep:
         nv = self._globalize(
             np.asarray(local_n_valid, dtype=np.int32),
             (self.streams_global,))
-        per_stream, combined = self.step._step(raw, nv) \
-            if self.step._window is None else \
-            self.step._step(raw, nv, self.step._window)
+        per_stream, combined = self.step(raw, nv)
         local_ps = np.concatenate(
             [np.asarray(s.data) for s in per_stream.addressable_shards])
         return (local_ps.astype(np.float64),

@@ -81,17 +81,19 @@ class ShardedPsdStep:
         self._step = jax.jit(sharded)
         self._raw_sharding = NamedSharding(mesh, P(axis))
 
-    def __call__(self, raw: np.ndarray, n_valid: np.ndarray) -> Tuple[jax.Array, jax.Array]:
-        """raw: (S, F, 2N) u8, n_valid: (S,) int32.
+    def __call__(self, raw, n_valid) -> Tuple[jax.Array, jax.Array]:
+        """raw: (S, F, 2N) u8, n_valid: (S,) int32 — numpy hosts arrays or
+        already-placed jax Arrays (e.g. multi-host global Arrays).
         Returns (per_stream (S,N) f32 — sharded, combined (N,) f32 — replicated)."""
         if isinstance(raw, np.ndarray):
             # Explicit host→device placement along the stream sharding, so
             # each device receives only its stream shard.
             raw = jax.device_put(raw, self._raw_sharding)
-        args = (raw, np.asarray(n_valid, dtype=np.int32))
+        if not isinstance(n_valid, jax.Array):
+            n_valid = np.asarray(n_valid, dtype=np.int32)
         if self._window is not None:
-            return self._step(*args, self._window)
-        return self._step(*args)
+            return self._step(raw, n_valid, self._window)
+        return self._step(raw, n_valid)
 
     def example_args(self):
         raw = np.zeros((self.S, self.F, 2 * self.N), dtype=np.uint8)

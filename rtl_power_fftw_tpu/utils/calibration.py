@@ -15,27 +15,32 @@ import numpy as np
 
 
 def tone_power_db(freqs: np.ndarray, psd_db: np.ndarray, tone_freq: float,
-                  enbw_bins: float = 3.0) -> float:
-    """Integrated power (dB) of a tone near ``tone_freq``: sum of linear
-    PSD over the ±enbw_bins window around the peak bin (handles leakage
-    across neighboring bins / window ENBW)."""
+                  enbw_bins: float = 3.0, search_bins: int = 16) -> float:
+    """Integrated power (dB) of a tone near ``tone_freq``: the actual peak
+    is searched within ±``search_bins`` of the nominal bin (tuner ppm
+    offsets routinely shift a tone several bins), then linear PSD is
+    summed over ±ceil(enbw_bins) around the found peak (covers leakage /
+    window ENBW)."""
     freqs = np.asarray(freqs, dtype=np.float64)
     psd_db = np.asarray(psd_db, dtype=np.float64)
-    center = int(np.argmin(np.abs(freqs - tone_freq)))
-    lo = max(0, center - int(enbw_bins))
-    hi = min(len(psd_db), center + int(enbw_bins) + 1)
-    window = psd_db[lo:hi]
-    linear = 10.0 ** (window / 10.0)
+    nominal = int(np.argmin(np.abs(freqs - tone_freq)))
+    s_lo = max(0, nominal - int(search_bins))
+    s_hi = min(len(psd_db), nominal + int(search_bins) + 1)
+    center = s_lo + int(np.argmax(psd_db[s_lo:s_hi]))
+    half = int(np.ceil(enbw_bins))
+    lo = max(0, center - half)
+    hi = min(len(psd_db), center + half + 1)
+    linear = 10.0 ** (psd_db[lo:hi] / 10.0)
     return 10.0 * np.log10(linear.sum())
 
 
 def calibration_offset(freqs: np.ndarray, psd_db: np.ndarray,
                        ref_freq: float, ref_power_dbm: float,
-                       enbw_bins: float = 3.0) -> float:
+                       enbw_bins: float = 3.0, search_bins: int = 16) -> float:
     """dB offset such that ``psd_db + offset`` is in dBm for this device/
     gain/rate configuration, derived from a reference tone of known
     absolute power injected at ``ref_freq``."""
-    measured = tone_power_db(freqs, psd_db, ref_freq, enbw_bins)
+    measured = tone_power_db(freqs, psd_db, ref_freq, enbw_bins, search_bins)
     return float(ref_power_dbm - measured)
 
 

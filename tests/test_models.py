@@ -185,3 +185,19 @@ def test_coherence_independent_streams_low():
     iq_y = rng.integers(0, 256, 2 * N * M, dtype=np.uint8)
     _, g2, _ = coherence(iq_x, iq_y, N, rate)
     assert np.median(g2) < 0.05
+
+
+def test_coherence_dc_bin_not_spurious():
+    """Regression: the common (u8-127) quantizer offset must not create
+    fake coherence at the DC bin for independent streams."""
+    from rtl_power_fftw_tpu.models import coherence
+    rng = np.random.default_rng(64)
+    N, M, rate = 256, 2000, 1_000_000
+    # Offset +0.5 LSB: means ~127.5, the typical RTL-SDR case.
+    def white(seed):
+        r = np.random.default_rng(seed)
+        return np.clip(np.rint(127.5 + r.normal(0, 5.0, 2 * N * M)),
+                       0, 255).astype(np.uint8)
+    _, g2, _ = coherence(white(65), white(66), N, rate)
+    assert g2[N // 2] < 0.05, g2[N // 2]
+    assert np.median(g2) < 0.05
