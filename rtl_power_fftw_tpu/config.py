@@ -155,6 +155,9 @@ class Params:
     fft_backend: str = "auto"
     # Write a jax.profiler trace of the session to this directory.
     profile_dir: str = ""
+    # Matmul precision for the transform: "highest" keeps the 1e-5 parity
+    # budget; "high" trades ~2.4e-5 error for ~+19% throughput.
+    precision: str = "highest"
 
     @classmethod
     def from_argv(cls, argv: List[str]) -> "Params":
@@ -224,6 +227,11 @@ def _build_parser() -> _Parser:
     p.add_argument("--fft-backend", type=str, default="auto",
                    choices=["auto", "xla", "matmul", "fourstep", "pallas"],
                    help="FFT implementation used on device.")
+    p.add_argument("--precision", type=str, default="highest",
+                   choices=["highest", "high"],
+                   help="Transform matmul precision: 'highest' holds the "
+                        "1e-5 reference parity; 'high' is ~19%% faster at "
+                        "~2e-5 error.")
     p.add_argument("--profile", type=str, default="", metavar="dir",
                    help="Capture a jax.profiler trace of the session into "
                         "this directory (view with TensorBoard/Perfetto).")
@@ -390,6 +398,7 @@ def parse_args(argv: List[str], stderr=None) -> Params:
     params.frames_per_step = ns.frames_per_step
     params.fft_backend = ns.fft_backend
     params.profile_dir = ns.profile
+    params.precision = ns.precision
     if params.window and params.window_function:
         raise RPFexception(
             "Options --window and --window-function are mutually exclusive. Exiting.",

@@ -104,7 +104,8 @@ def _fourstep2_constants(N: int, N1: int, N2: int):
 
 def fourstep_psd_partial(re: jax.Array, im: jax.Array, fmask: jax.Array,
                          N1: int | None = None, N2: int | None = None,
-                         chunk: int = 64) -> jax.Array:
+                         chunk: int = 64,
+                         precision: jax.lax.Precision | None = None) -> jax.Array:
     """Masked partial PSD sum via a transpose-free four-step DFT.
 
     Computes Σ_f fmask[f]·|DFT(re[f] + i·im[f])|² in one matmul chain with
@@ -126,13 +127,14 @@ def fourstep_psd_partial(re: jax.Array, im: jax.Array, fmask: jax.Array,
                               for a in _fourstep2_constants(N, N1, N2))
     while F % chunk != 0:
         chunk //= 2
+    prec = _HI if precision is None else precision
 
     xr = re.reshape(F, N1, N2)
     xi = im.reshape(F, N1, N2)
     dn = (((1,), (0,)), ((), ()))  # contract axis 1 with weight axis 0
 
     def dot(a, b):
-        return jax.lax.dot_general(a, b, dn, precision=_HI)
+        return jax.lax.dot_general(a, b, dn, precision=prec)
 
     # Stage 1 (contract n1): natural output layout (F, n2, k1).
     yr = dot(xr, c1) - dot(xi, s1)

@@ -62,7 +62,8 @@ class Datastore:
             # to keep step latency and padding waste balanced.
             frames_per_step = max(1, min(params.buf_length // (2 * params.N), 4096))
         self.step = PsdStep(params.N, frames_per_step, window=window,
-                            backend=params.fft_backend)
+                            backend=params.fft_backend,
+                            precision=params.precision)
         self.slicer = FrameSlicer(params.N, hop=hop)
         self.max_in_flight = max_in_flight
 

@@ -187,3 +187,18 @@ def test_auto_backend_large_n_uses_xla():
         *s_large.example_args())
     assert "fft" not in str(small_ir)      # four-step: matmuls only
     assert "fft" in str(large_ir)          # XLA FFT op present
+
+
+def test_precision_knob_api():
+    """--precision high plumbs through; CPU computes full f32 either way,
+    so results match exactly there (the 2.4e-5 TPU tradeoff is measured
+    in BENCHMARKS.md)."""
+    N, F = 256, 64
+    rng = np.random.default_rng(70)
+    raw = rng.integers(0, 256, (F, 2 * N), dtype=np.uint8)
+    hi = PsdStep(N, F, backend="fourstep", precision="highest")
+    lo = PsdStep(N, F, backend="fourstep", precision="high")
+    np.testing.assert_allclose(np.asarray(hi(raw, F)), np.asarray(lo(raw, F)),
+                               rtol=1e-6)
+    with pytest.raises(ValueError):
+        PsdStep(N, F, precision="bf16")
