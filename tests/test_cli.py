@@ -41,3 +41,24 @@ def test_exit_code_table():
     ]
     for argv, expect in cases:
         assert run_cli(argv) == expect, argv
+
+
+def test_window_via_stdin_subprocess(tmp_path):
+    """The real `-w -` stdin path through the module entry point."""
+    import os
+    import subprocess
+    N = 64
+    window_text = "".join("1.0\n" for _ in range(N))
+    env = {k: v for k, v in os.environ.items()}
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    proc = subprocess.run(
+        [sys.executable, "-m", "rtl_power_fftw_tpu", "-f", "1M", "-n", "8",
+         "-b", str(N), "-w", "-", "--source", "synthetic:noise=5"],
+        input=window_text, capture_output=True, text=True, timeout=120,
+        env=env, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert proc.returncode == 0, proc.stderr[-500:]
+    assert "Succesfully read 64 window function points." in proc.stderr
+    data_lines = [l for l in proc.stdout.splitlines()
+                  if l and not l.startswith("#")]
+    assert len(data_lines) == N
