@@ -158,6 +158,8 @@ class Params:
     # Matmul precision for the transform: "highest" keeps the 1e-5 parity
     # budget; "high" trades ~2.4e-5 error for ~+19% throughput.
     precision: str = "highest"
+    # Append machine-readable per-scan stats (JSON lines) to this file.
+    stats_json: str = ""
 
     @classmethod
     def from_argv(cls, argv: List[str]) -> "Params":
@@ -232,6 +234,10 @@ def _build_parser() -> _Parser:
                    help="Transform matmul precision: 'highest' holds the "
                         "1e-5 reference parity; 'high' is ~19%% faster at "
                         "~2e-5 error.")
+    p.add_argument("--stats-json", type=str, default="", metavar="file",
+                   help="Append per-scan stats as JSON lines (timestamps, "
+                        "tuned freq, repeats, readouts, effective "
+                        "integration time, queue histogram).")
     p.add_argument("--profile", type=str, default="", metavar="dir",
                    help="Capture a jax.profiler trace of the session into "
                         "this directory (view with TensorBoard/Perfetto).")
@@ -399,6 +405,7 @@ def parse_args(argv: List[str], stderr=None) -> Params:
     params.fft_backend = ns.fft_backend
     params.profile_dir = ns.profile
     params.precision = ns.precision
+    params.stats_json = ns.stats_json
     if params.window and params.window_function:
         raise RPFexception(
             "Options --window and --window-function are mutually exclusive. Exiting.",

@@ -325,6 +325,25 @@ def run_session(params: Params, source: IQSource, aux: AuxData,
 
             acquisition.write_data(text_writer, matrix_writer)
 
+            # Observability extension: machine-readable per-scan stats
+            # (the reference only prints these to stderr,
+            # acquisition.cxx:350-358 + datastore.cxx:98-103).
+            if params.stats_json:
+                import json
+                with open(params.stats_json, "a") as sf:
+                    sf.write(json.dumps({
+                        "tuned_freq": acquisition.tuned_freq,
+                        "start": acquisition.startAcqTimestamp,
+                        "end": acquisition.endAcqTimestamp,
+                        "repeats_done": acquisition.repeats_done,
+                        "device_readouts": acquisition.deviceReadouts,
+                        "successful_readouts": acquisition.successfulReadouts,
+                        "effective_integration_s":
+                            float(params.N) * acquisition.repeats_done
+                            / actual_samplerate,
+                        "queue_histogram": list(data.queue_histogram),
+                    }) + "\n")
+
             if _chatty(params):
                 data.print_queue_histogram(stderr=err)
 
