@@ -17,7 +17,7 @@ import dataclasses
 import math
 import re
 import sys
-from typing import List, Optional
+from typing import List
 
 from .exceptions import ReturnValue, RPFexception
 

@@ -16,7 +16,7 @@ exactly like parsing the reference's multi-spectrum output.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import numpy as np
 

@@ -32,7 +32,6 @@ acquisition.cxx:376-399 in float64 on the host.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional, Tuple
 
 import jax

@@ -29,8 +29,6 @@ def sharded_accumulate(frames: np.ndarray, N: int,
     Numerically identical to a single-device accumulation (the per-device
     partials use the same two-stage f32 sums; the psum adds D partials).
     """
-    import jax
-
     if mesh is None:
         mesh = make_mesh()
     D = mesh.devices.size

@@ -12,7 +12,6 @@ collective-equivalent of the reference's serial accumulation loop
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

@@ -13,7 +13,7 @@ from ..config import Params
 from ..exceptions import ReturnValue, RPFexception
 from .base import IQSource
 from .file import FileSource
-from .synthetic import SyntheticSource, parse_synthetic_spec
+from .synthetic import parse_synthetic_spec
 
 
 def make_source(spec: str, sample_rate: int = 2_048_000) -> IQSource:
