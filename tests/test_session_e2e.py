@@ -323,3 +323,16 @@ def test_multistream_matrix_mode(tmp_path):
     # Effective integration time reflects the combined 64 spectra.
     assert float(meta["effIntegrationTime"]) == pytest.approx(
         64.0 * 64 / 2_000_000, rel=1e-6)
+
+
+def test_all_zero_signal_produces_inf_db_like_cxx():
+    """A perfectly zero signal (u8 all 127) gives pwr=0 -> 10*log10(0) =
+    -inf; C++ iostreams print '-inf' and so do we (no crash, no NaN)."""
+    src = SyntheticSource(noise=0.0, seed=0)  # tones absent, offset 127
+    rv, out, err, params = run(["-f", "1M", "-n", "4", "-b", "64",
+                                "--source", "synthetic:noise=0"], src)
+    assert rv == ReturnValue.Success
+    vals = [l.split()[1] for l in out.split("\n")
+            if l and not l.startswith("#")]
+    assert len(vals) == 64
+    assert all(v == "-inf" for v in vals), vals[:5]
