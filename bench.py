@@ -43,21 +43,19 @@ def main() -> None:
     raw = jax.device_put(
         rng.integers(0, 256, size=(F, 2 * N), dtype=np.uint8), dev)
 
+    from rtl_power_fftw_tpu.ops.dft import fourstep_psd_partial
+    from rtl_power_fftw_tpu.ops.spectral import dequant_iq
+
     @partial(jax.jit, static_argnums=1)
     def many_steps(raw, iters):
-        # The production step (ops/spectral.py semantics: dequant −127,
-        # batched FFT, |X|², masked two-stage reduce), chained `iters`
-        # times with a cheap input perturbation per iteration.
+        # The shipping step (ops/spectral.py auto path at N=2048: u16
+        # dequant, fused transpose-free four-step DFT, masked two-stage
+        # reduce), chained `iters` times with a cheap input perturbation
+        # per iteration.
         def body(carry, i):
-            x = (raw + i.astype(jnp.uint8)).astype(jnp.float32) - 127.0
-            iq = x.reshape(F, N, 2)
-            z = jax.lax.complex(iq[..., 0], iq[..., 1])
-            X = jnp.fft.fft(z, axis=-1)
-            p = jnp.real(X) * jnp.real(X) + jnp.imag(X) * jnp.imag(X)
-            mask = (jax.lax.broadcasted_iota(jnp.int32, (F, 1), 0)
-                    < F).astype(jnp.float32)
-            p = p * mask
-            part = p.reshape(F // 64, 64, N).sum(1).sum(0)
+            re, im = dequant_iq(raw + i.astype(jnp.uint8), F, N)
+            fmask = jnp.ones((F,), jnp.float32)
+            part = fourstep_psd_partial(re, im, fmask)
             return carry + part, ()
         acc, _ = jax.lax.scan(body, jnp.zeros(N, jnp.float32),
                               jnp.arange(iters))
