@@ -16,7 +16,7 @@ from rtl_power_fftw_tpu.config import parse_args
 from rtl_power_fftw_tpu.session import run_session
 from rtl_power_fftw_tpu.sources import SyntheticSource
 
-EXPECTED_SHA256 = "508dd901fd3acc1555523d44616f8f048d1ce0752b1f4a6d5fe4d3444513178f"
+EXPECTED_SHA256 = "e973fa8fe0288102e0aa26e0d35c6841d7cdfc23f53e0c96c51331adf032d598"
 
 
 def test_session_output_snapshot():
