@@ -190,6 +190,12 @@ class PsdStep:
                 ok = n1 >= 8 and N <= 8192
             if ok:
                 fused_partial = (fourstep_psd_partial, n1, n2)
+        if self._precision != jax.lax.Precision.HIGHEST and fused_partial is None:
+            import sys as _sys
+            print("Warning: --precision high only affects the fused "
+                  "four-step path (auto backend, composite N <= 8192); "
+                  f"this step (backend={self.backend}, N={N}) ignores it.",
+                  file=_sys.stderr)
         chunk = self._chunk
 
         def step(raw: jax.Array, n_valid: jax.Array) -> jax.Array:

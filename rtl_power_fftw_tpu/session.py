@@ -265,6 +265,9 @@ def run_session(params: Params, source: IQSource, aux: AuxData,
             if params.ppm_error != 0:
                 s.set_freq_correction(params.ppm_error)
             s.set_sample_rate(params.sample_rate)
+        if params.precision != "highest":
+            print("Warning: --precision high does not apply to the "
+                  "multi-stream sharded path.", file=err)
         multistream = MultiStreamAcquisition(
             params, all_sources, window=aux.window_values)
         print(f"Parallel streams: {params.streams} "
@@ -292,6 +295,7 @@ def run_session(params: Params, source: IQSource, aux: AuxData,
         i = 0
         while i < len(plan.freqs_to_tune):
             freq = plan.freqs_to_tune[i]
+            hist_before = list(data.queue_histogram)
             acquisition = Acquisition(params, aux, source, data,
                                       actual_samplerate, freq, stats,
                                       stderr=err, multistream=multistream)
@@ -341,7 +345,11 @@ def run_session(params: Params, source: IQSource, aux: AuxData,
                         "effective_integration_s":
                             float(params.N) * acquisition.repeats_done
                             / actual_samplerate,
-                        "queue_histogram": list(data.queue_histogram),
+                        # Per-scan delta (Datastore's histogram is
+                        # cumulative across the session).
+                        "queue_histogram": [a - b for a, b in
+                                            zip(data.queue_histogram,
+                                                hist_before)],
                     }) + "\n")
 
             if _chatty(params):
