@@ -95,24 +95,55 @@ def main() -> None:
     measure("config4: 256 hops x 2048-bin scan", 2048,
             2048 if not quick else 512, lo, hi)
 
-    # 5. 16 streams psum-reduced (single chip: mesh of 1; shard_map still
-    # exercises the collective path).
-    from rtl_power_fftw_tpu.parallel import ShardedPsdStep, make_mesh
+    # 5. 16 streams psum-reduced over the mesh, measured with the same
+    # slope methodology (the sharded local step + psum chained in-program).
+    from jax.sharding import Mesh, PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+    from rtl_power_fftw_tpu.parallel import make_mesh
     S, N5, F5 = 16, 2048, 256 if not quick else 128
     mesh = make_mesh(min(len(jax.devices()), S))
-    step = ShardedPsdStep(mesh, N5, F5, streams=S, backend="fourstep")
+
+    def local_many(raw, iters):  # iters baked per jit via partial
+        def body(c, i):
+            S_l, F_l = raw.shape[0], raw.shape[1]
+            re, im = dequant_iq(
+                (raw + i.astype(jnp.uint8)).reshape(S_l * F_l, 2 * N5),
+                S_l * F_l, N5)
+            part = fourstep_psd_partial(re, im,
+                                        jnp.ones((S_l * F_l,), jnp.float32))
+            return c + jax.lax.psum(part, "stream"), ()
+        acc, _ = jax.lax.scan(body, jnp.zeros(N5, jnp.float32),
+                              jnp.arange(iters))
+        return acc
+
+    import functools
+
+    @functools.lru_cache(maxsize=4)
+    def sharded5_for(iters):
+        fn = functools.partial(local_many, iters=iters)
+        return jax.jit(shard_map(fn, mesh=mesh,
+                                 in_specs=(P("stream"),),
+                                 out_specs=P()))
+
     raw5 = jax.device_put(
-        rng.integers(0, 256, (S, step.F, 2 * N5), dtype=np.uint8))
-    nv = np.full((S,), step.F, dtype=np.int32)
-    ps, comb = step(raw5, nv)
-    np.asarray(comb)
-    reps = 6
-    t0 = time.perf_counter()
-    outs = [step(raw5, nv)[1] for _ in range(reps)]
-    np.asarray(outs[-1])
-    per = (time.perf_counter() - t0) / reps
-    spectra = S * step.F / per
-    rows.append(("config5: 16 streams psum", N5, S * step.F,
+        rng.integers(0, 256, (S, F5, 2 * N5), dtype=np.uint8),
+        jax.NamedSharding(mesh, P("stream")))
+
+    def t5(iters, reps=2):
+        fn = sharded5_for(iters)
+        np.asarray(fn(raw5))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(fn(raw5))
+            best = min(best, time.perf_counter() - t0)
+        return best
+    per = (t5(hi) - t5(lo)) / (hi - lo)
+    spectra = S * F5 / per
+    rows.append(("config5: 16 streams psum", N5, S * F5,
                  f"{per*1e6:,.0f}", f"{spectra:,.0f}",
                  f"{spectra*N5/1e9:.2f}"))
     print(f"  config5: {per*1e6:,.0f} us/step, {spectra*N5/1e9:.2f} GS/s",
