@@ -57,17 +57,36 @@ class ShardedPsdStep:
         power_fn = _power_backend(backend, N)
         N_, F_, chunk = self.N, self.F, self._chunk
 
+        # Same fused-transform selection as PsdStep's auto path: the
+        # transpose-free four-step with fused per-stream reduction for
+        # composite N up to the measured crossover (vmapped over local
+        # streams), XLA FFT otherwise.
+        fused = None
+        if backend in ("fourstep", "auto"):
+            from ..ops.dft import best_fourstep_split, fourstep_psd_partial
+            n1, n2 = best_fourstep_split(N)
+            if (n1 > 1 if backend == "fourstep" else (n1 >= 8 and N <= 8192)):
+                fused = (fourstep_psd_partial, n1, n2)
+
         def local_step(raw, n_valid, *w):
             # raw: (S_local, F, 2N) u8; n_valid: (S_local,) i32.
             S_local = raw.shape[0]
             re, im = dequant_iq(raw.reshape(S_local * F_, 2 * N_),
                                 S_local * F_, N_, w[0] if w else None)
-            pwr = power_fn(re, im).reshape(S_local, F_, N_)
-            mask = (jax.lax.broadcasted_iota(jnp.int32, (S_local, F_, 1), 1)
-                    < n_valid[:, None, None]).astype(jnp.float32)
-            pwr = pwr * mask
-            g = F_ // chunk
-            per_stream = pwr.reshape(S_local, g, chunk, N_).sum(2).sum(1)
+            fmask = (jax.lax.broadcasted_iota(
+                jnp.int32, (S_local, F_), 1)
+                < n_valid[:, None]).astype(jnp.float32)
+            if fused is not None:
+                fn, n1, n2 = fused
+                per_stream = jax.vmap(
+                    lambda r, i, m: fn(r, i, m, n1, n2, chunk=chunk))(
+                    re.reshape(S_local, F_, N_),
+                    im.reshape(S_local, F_, N_), fmask)
+            else:
+                pwr = power_fn(re, im).reshape(S_local, F_, N_)
+                pwr = pwr * fmask[:, :, None]
+                g = F_ // chunk
+                per_stream = pwr.reshape(S_local, g, chunk, N_).sum(2).sum(1)
             # Cross-stream reduction: local sum then one psum over ICI.
             combined = jax.lax.psum(per_stream.sum(axis=0), axis)
             return per_stream, combined
