@@ -49,10 +49,13 @@ def fused_psd_available(N: int) -> bool:
 
 
 def _split(N: int) -> tuple[int, int]:
-    """Pick N = N1·N2, both powers of two, N2 ≥ N1 (N2 is the minor/lane
-    dim through stage 1, so keep it the larger, lane-friendly factor)."""
-    n1 = 1 << (int(N).bit_length() - 1 >> 1)  # floor(sqrt) as a power of 2
-    return n1, N // n1
+    """Pick N = N1·N2, both powers of two, with N2 a multiple of 128:
+    Mosaic only supports lane-dim shape casts that keep the minor dim
+    lane-aligned, so the (TILE_F, N) → (TILE_F, N1, N2) view must leave
+    N2 % 128 == 0. Balanced-ish otherwise (FLOPs ∝ N1 + N2)."""
+    half = 1 << (int(N).bit_length() - 1 >> 1)  # floor(sqrt) as a pow2
+    n2 = max(128, half)
+    return N // n2, n2
 
 
 @functools.lru_cache(maxsize=16)
@@ -133,8 +136,10 @@ def _kernel(N: int, N1: int, N2: int, TILE_F: int, windowed: bool):
         pwr = jnp.where(fidx < nvalid_ref[0], pwr, 0.0)
 
         s = jnp.sum(pwr, axis=0)                   # (N1, N2)
-        # Output bin k = k1 + N1·k2 → row-major (k2, k1) layout.
-        partial = jnp.swapaxes(s, 0, 1).reshape(1, N)
+        # Emit the (k2, k1) tile; the final bin flatten (k = k1 + N1·k2 →
+        # row-major (k2, k1)) happens OUTSIDE the kernel — Mosaic does not
+        # support the lane-splitting flatten, and the tile is tiny anyway.
+        partial = jnp.swapaxes(s, 0, 1)            # (N2, N1)
 
         @pl.when(pid == 0)
         def _():
@@ -160,6 +165,13 @@ def make_fused_psd_fn(N: int, F: int, windowed: bool,
         # Compiled Mosaic needs a TPU backend; everywhere else (the CPU
         # test harness) the kernel runs in interpreter mode.
         interpret = jax.default_backend() != "tpu"
+    if not interpret:
+        # Remote-attached TPU compile services may lack the accelerator
+        # type in their environment, failing libtpu init with "Failed to
+        # find host bounds" — the client-side env var is forwarded with
+        # the compile request and fixes it. Harmless elsewhere.
+        import os
+        os.environ.setdefault("TPU_ACCELERATOR_TYPE", "v5litepod-1")
     N1, N2 = _split(N) if n1 is None else (n1, N // n1)
     assert N1 * N2 == N
     TILE_F = min(tile_f, F)
@@ -190,6 +202,8 @@ def make_fused_psd_fn(N: int, F: int, windowed: bool,
 
     call = pl.pallas_call(
         kernel,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -199,10 +213,10 @@ def make_fused_psd_fn(N: int, F: int, windowed: bool,
                 *const_specs,
                 *win_spec,
             ],
-            out_specs=pl.BlockSpec((1, N), lambda i, *_: (0, 0),
+            out_specs=pl.BlockSpec((N2, N1), lambda i, *_: (0, 0),
                                    memory_space=pltpu.VMEM),
         ),
-        out_shape=jax.ShapeDtypeStruct((1, N), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((N2, N1), jnp.float32),
         cost_estimate=cost,
         interpret=interpret,
     )
@@ -211,11 +225,11 @@ def make_fused_psd_fn(N: int, F: int, windowed: bool,
         def fn(raw_u16, n_valid, window):
             nv = jnp.asarray(n_valid, jnp.int32).reshape(1)
             out = call(nv, raw_u16, *consts, window.reshape(1, N))
-            return out[0]
+            return out.reshape(N)  # (k2, k1) row-major == bin order
     else:
         def fn(raw_u16, n_valid):
             nv = jnp.asarray(n_valid, jnp.int32).reshape(1)
             out = call(nv, raw_u16, *consts)
-            return out[0]
+            return out.reshape(N)
 
     return fn
