@@ -69,15 +69,26 @@ def _constants(N: int, N1: int, N2: int):
 
     w1r, w1i = dft(N1)
     w2r, w2i = dft(N2)
-    k1 = np.arange(N1, dtype=np.float64)[:, None]
-    n2 = np.arange(N2, dtype=np.float64)[None, :]
-    ang = -2.0 * np.pi * ((k1 * n2) % N) / N
-    twr = np.cos(ang).astype(np.float32)
-    twi = np.sin(ang).astype(np.float32)
+    n2 = np.arange(N2, dtype=np.float64)[:, None]
+    k1 = np.arange(N1, dtype=np.float64)[None, :]
+    ang = -2.0 * np.pi * ((n2 * k1) % N) / N
+    twr = np.cos(ang).astype(np.float32)   # (N2, N1): matches the
+    twi = np.sin(ang).astype(np.float32)   # in-kernel twiddle layout
     return w1r, w1i, twr, twi, w2r, w2i
 
 
 def _kernel(N: int, N1: int, N2: int, TILE_F: int, windowed: bool):
+    """Kernel body: every matmul is 2D so Mosaic maps it onto the MXU.
+
+    Layout walk (per frame tile, T = TILE_F):
+      raw u16 (T, N) → dequant → (T, N) f32 planes
+      view (T, N1, N2) [n = N2·n1 + n2] → transpose → (T, N2, N1)
+      → merge (T·N2, N1): stage-1 2D matmul contracts n1 (K = N1)
+      twiddle elementwise in (T, N2, N1) layout (pre-transposed constants)
+      → transpose → merge (T·N1, N2): stage-2 2D matmul contracts n2
+      |X|² → masked frame sum → (N1, N2) → (N2, N1) output tile
+      (the bin flatten k = k1 + N1·k2 happens outside the kernel).
+    """
     def kernel(nvalid_ref, raw_ref, w1r_ref, w1i_ref, twr_ref, twi_ref,
                w2r_ref, w2i_ref, *rest):
         if windowed:
@@ -97,38 +108,38 @@ def _kernel(N: int, N1: int, N2: int, TILE_F: int, windowed: bool):
             re = re * w
             im = im * w
 
-        # n = N2·n1 + n2: row-major split of the sample axis.
-        er = re.reshape(TILE_F, N1, N2)
-        ei = im.reshape(TILE_F, N1, N2)
+        # n = N2·n1 + n2 → (T, N2, N1) with n1 minor, then 2D.
+        def to_stage1(x):
+            x3 = x.reshape(TILE_F, N1, N2)
+            return jnp.swapaxes(x3, 1, 2).reshape(TILE_F * N2, N1)
 
-        # Stage 1: contract n1 (axis 1) with W_{N1}: Y[f,k1,n2].
-        dn = (((1,), (0,)), ((), ()))  # contract dim1 of x with dim0 of W
+        ar = to_stage1(re)
+        ai = to_stage1(im)
 
-        def cmatmul(ar, ai, br_ref, bi_ref, dnums):
-            br, bi = br_ref[:], bi_ref[:]
-            rr = jax.lax.dot_general(ar, br, dnums, precision=_HI)
-            rr -= jax.lax.dot_general(ai, bi, dnums, precision=_HI)
-            ri = jax.lax.dot_general(ar, bi, dnums, precision=_HI)
-            ri += jax.lax.dot_general(ai, br, dnums, precision=_HI)
+        def cmatmul2d(ar, ai, br, bi):
+            rr = jnp.dot(ar, br, precision=_HI) - jnp.dot(ai, bi, precision=_HI)
+            ri = jnp.dot(ar, bi, precision=_HI) + jnp.dot(ai, br, precision=_HI)
             return rr, ri
 
-        # dot_general (TILE_F, N1, N2) x (N1, N1) contracting ((1),(0))
-        # yields (TILE_F, N2, N1); transpose back to (TILE_F, N1, N2).
-        yr, yi = cmatmul(er, ei, w1r_ref, w1i_ref, dn)
-        yr = jnp.swapaxes(yr, 1, 2)
-        yi = jnp.swapaxes(yi, 1, 2)
+        # Stage 1 (2D MXU matmul, K = N1): Y[(f,n2), k1].
+        yr, yi = cmatmul2d(ar, ai, w1r_ref[:], w1i_ref[:])
 
-        # Twiddle: Z[f,k1,n2] = Y · W_N^{k1·n2} (elementwise, VPU).
-        twr = twr_ref[:]
+        # Twiddle in the (T, N2, N1) layout: T2[n2, k1] = W_N^{n2·k1}.
+        yr = yr.reshape(TILE_F, N2, N1)
+        yi = yi.reshape(TILE_F, N2, N1)
+        twr = twr_ref[:]                           # (N2, N1), pre-transposed
         twi = twi_ref[:]
         zr = yr * twr - yi * twi
         zi = yr * twi + yi * twr
 
-        # Stage 2: contract n2 (axis 2) with W_{N2}: X[f,k1,k2].
-        dn2 = (((2,), (0,)), ((), ()))
-        xr, xi = cmatmul(zr, zi, w2r_ref, w2i_ref, dn2)
+        # → (T, N1, N2) → (T·N1, N2): stage-2 2D matmul, K = N2.
+        def to_stage2(x):
+            return jnp.swapaxes(x, 1, 2).reshape(TILE_F * N1, N2)
 
-        pwr = xr * xr + xi * xi                    # (TILE_F, N1=k1, N2=k2)
+        xr, xi = cmatmul2d(to_stage2(zr), to_stage2(zi),
+                           w2r_ref[:], w2i_ref[:])
+
+        pwr = (xr * xr + xi * xi).reshape(TILE_F, N1, N2)  # (f, k1, k2)
 
         # Mask padding frames: global frame index < n_valid.
         base = pid * TILE_F
@@ -136,9 +147,6 @@ def _kernel(N: int, N1: int, N2: int, TILE_F: int, windowed: bool):
         pwr = jnp.where(fidx < nvalid_ref[0], pwr, 0.0)
 
         s = jnp.sum(pwr, axis=0)                   # (N1, N2)
-        # Emit the (k2, k1) tile; the final bin flatten (k = k1 + N1·k2 →
-        # row-major (k2, k1)) happens OUTSIDE the kernel — Mosaic does not
-        # support the lane-splitting flatten, and the tile is tiny anyway.
         partial = jnp.swapaxes(s, 0, 1)            # (N2, N1)
 
         @pl.when(pid == 0)
@@ -185,8 +193,8 @@ def make_fused_psd_fn(N: int, F: int, windowed: bool,
     const_specs = [
         pl.BlockSpec((N1, N1), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((N1, N1), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((N1, N2), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((N1, N2), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((N2, N1), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((N2, N1), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((N2, N2), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((N2, N2), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
     ]
