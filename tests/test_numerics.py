@@ -202,3 +202,22 @@ def test_precision_knob_api():
                                rtol=1e-6)
     with pytest.raises(ValueError):
         PsdStep(N, F, precision="bf16")
+
+
+def test_dequant_u16_bit_exact_vs_naive():
+    """Guards the u16-bitcast dequantization (the +21% optimization):
+    must be bit-identical to the naive (u8->f32, strided split) form."""
+    import jax.numpy as jnp
+    from rtl_power_fftw_tpu.ops.spectral import dequant_iq
+    F, N = 32, 256
+    rng = np.random.default_rng(90)
+    raw = rng.integers(0, 256, (F, 2 * N), dtype=np.uint8)
+    re, im = dequant_iq(jnp.asarray(raw), F, N)
+    x = raw.astype(np.float32) - 127.0
+    iq = x.reshape(F, N, 2)
+    np.testing.assert_array_equal(np.asarray(re), iq[..., 0])
+    np.testing.assert_array_equal(np.asarray(im), iq[..., 1])
+    # Windowed variant too.
+    w = make_window("hann", N)
+    re_w, im_w = dequant_iq(jnp.asarray(raw), F, N, jnp.asarray(w))
+    np.testing.assert_array_equal(np.asarray(re_w), iq[..., 0] * w)
