@@ -67,3 +67,20 @@ def test_fused_explicit_split():
         got = np.asarray(fn(raw16, np.int32(F)), dtype=np.float64)
         np.testing.assert_allclose(got, unshift(want), rtol=1e-5,
                                    err_msg=f"n1={n1}")
+
+
+def test_fused_compiled_on_tpu():
+    """Compiled (non-interpret) kernel parity — runs only in
+    RPF_TEST_PLATFORM=tpu mode on real hardware; skipped on the CPU
+    harness where interpret mode covers the math."""
+    import jax
+    if jax.default_backend() != "tpu":
+        pytest.skip("needs real TPU (RPF_TEST_PLATFORM=tpu)")
+    N, F = 2048, 128
+    rng = np.random.default_rng(77)
+    raw = rng.integers(0, 256, (F, 2 * N), dtype=np.uint8)
+    raw16 = raw.reshape(F, N, 2).view(np.uint16).reshape(F, N)
+    fn = make_fused_psd_fn(N, F, windowed=False, tile_f=64, interpret=False)
+    got = np.asarray(fn(jax.device_put(raw16), np.int32(F)), dtype=np.float64)
+    want, _ = golden_accumulate(raw.ravel(), N, F)
+    np.testing.assert_allclose(got, unshift(want), rtol=1e-5)
