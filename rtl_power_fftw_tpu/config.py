@@ -302,6 +302,13 @@ def parse_args(argv: List[str], stderr=None) -> Params:
     params.strict_time = bool(ns.strict_time)
     if ns.overlap is not None:
         params.min_overlap = ns.overlap
+    # The hop-count denominator in the plan is (rate - rate*min_overlap/100)
+    # (acquisition.cxx:181-183): at 100% it is exactly zero and beyond it
+    # negative — the reference divides anyway (inf/UB); validate instead.
+    if not (0.0 <= params.min_overlap < 100.0):
+        raise RPFexception(
+            "--overlap must be in [0, 100). Exiting.",
+            ReturnValue.InvalidArgument)
 
     # Reads from recorded RTL streams keep the USB granularity constraint:
     # buffer length must be a multiple of 16384 (params.cxx:167-175),

@@ -41,6 +41,22 @@ class RPFexception(RuntimeError):
         return self.retval
 
 
+class StreamEOF(Exception):
+    """A finite recorded stream ran out of data mid-acquisition.
+
+    Not an error: the session finishes the current spectrum with however
+    many frames were accumulated (``repeats_done < repeats``) and ends —
+    the same partial-write semantics as a --strict-time deadline
+    (reference: acquisition.cxx:326-331,350-358). ``partial`` carries any
+    already-buffered tail bytes (shorter than the requested read) so the
+    final frames they contain still count.
+    """
+
+    def __init__(self, message: str, partial=None):
+        super().__init__(message)
+        self.partial = partial
+
+
 class TuneError(Exception):
     """The source could not tune to a frequency despite retries.
 

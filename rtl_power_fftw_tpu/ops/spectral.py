@@ -270,21 +270,25 @@ class FrameSlicer:
         or mutating the input buffer. The internal carry is always an
         owned copy, never an alias of caller memory.
         """
+        fb, hb = self.frame_bytes, self.hop_bytes
+        if max_frames is not None and int(max_frames) <= 0:
+            # The acquisition already has all the frames it will ever take
+            # (datastore.cxx:67 stops at ``repeats``): discard instead of
+            # growing the carry — an over-reading producer would otherwise
+            # cause quadratic re-concatenation and unbounded host memory.
+            self._carry = np.zeros(0, dtype=np.uint8)
+            return np.zeros((0, fb), dtype=np.uint8)
         data = np.asarray(data, dtype=np.uint8).ravel()
         if len(self._carry):
             buf = np.concatenate([self._carry, data])
         else:
             buf = data  # aligned fast path: no copy of the whole buffer
-        fb, hb = self.frame_bytes, self.hop_bytes
         if len(buf) < fb:
             self._carry = np.array(buf, copy=True)
             return np.zeros((0, fb), dtype=np.uint8)
         n = 1 + (len(buf) - fb) // hb
         if max_frames is not None:
             n = min(n, int(max_frames))
-        if n <= 0:
-            self._carry = np.array(buf, copy=True)
-            return np.zeros((0, fb), dtype=np.uint8)
         if hb == fb:
             flat = buf[:n * fb]
             frames = flat.reshape(n, fb)  # view, no copy

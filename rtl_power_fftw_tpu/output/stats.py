@@ -11,17 +11,22 @@ from __future__ import annotations
 import dataclasses
 import time as _time
 
+import numpy as np
+
 
 @dataclasses.dataclass
 class SessionStats:
     # Matrix-mode counters (globals at rtl_power_fftw.cxx:40-41).
     metaRows: int = 1
     metaCols: int = 0
-    # Scan-duration tracking (rtl_power_fftw.cxx:42-44).
+    # Scan-duration tracking (rtl_power_fftw.cxx:42-44): scanBeg/scanEnd
+    # are time_t (whole seconds) and the sums are C floats — reproduced
+    # with int seconds + float32 so the .met avgScanDur line is
+    # byte-identical to the reference for the same run.
     avgScanDur: float = 0.0
     sumScanDur: float = 0.0
-    scanBeg: float = 0.0
-    scanEnd: float = 0.0
+    scanBeg: int = 0
+    scanEnd: int = 0
     # Frequency extents, computed once from the first/last hop
     # (rtl_power_fftw.cxx:155-163).
     startFreq: int = 0
@@ -35,16 +40,20 @@ class SessionStats:
 
     def begin_scan(self, timestamp: str) -> None:
         """Acquisition start bookkeeping (acquisition.cxx:259-264)."""
-        self.scanBeg = _time.time()
+        self.scanBeg = int(_time.time())  # time(&scanBeg): whole seconds
         if self.cntTimeStamps == 0:
             self.firstAcqTimestamp = timestamp
             self.cntTimeStamps += 1
 
     def end_scan(self, timestamp: str) -> None:
-        """Acquisition end bookkeeping (acquisition.cxx:334-339)."""
-        self.scanEnd = _time.time()
+        """Acquisition end bookkeeping (acquisition.cxx:334-339):
+        difftime over time_t gives whole-second durations; sumScanDur and
+        avgScanDur are C floats (metadata.h:31) — both reproduced in f32
+        for .met byte parity."""
+        self.scanEnd = int(_time.time())
         self.lastAcqTimestamp = timestamp
-        # difftime has whole-second resolution; keep float for smoother
-        # averages (divergence: sub-second precision instead of truncation).
-        self.sumScanDur += self.scanEnd - self.scanBeg
-        self.avgScanDur = self.sumScanDur / self.metaRows
+        self.sumScanDur = float(np.float32(
+            np.float32(self.sumScanDur)
+            + np.float32(float(self.scanEnd - self.scanBeg))))
+        self.avgScanDur = float(np.float32(
+            np.float32(self.sumScanDur) / np.float32(self.metaRows)))

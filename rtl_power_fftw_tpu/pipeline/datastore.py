@@ -85,6 +85,30 @@ class Datastore:
 
     # --- producer interface (called by Acquisition) ---
 
+    def bytes_needed(self) -> int:
+        """How many stream bytes one acquisition must read to produce
+        ``repeats`` frames.  Without overlap this is the reference's
+        ``2·N·repeats`` (acquisition.cxx:273); in Welch mode (hop < N)
+        overlapping frames reuse samples, so only
+        ``2·(hop·(repeats−1) + N)`` unique bytes are needed — reading the
+        full non-overlapped amount would leave the tail accumulating in
+        the slicer carry (quadratic copying on long runs)."""
+        r = self.params.repeats
+        if self._hop is None or r <= 0:
+            return 2 * self.N * r
+        return 2 * (self._hop * (r - 1) + self.N)
+
+    def unique_samples(self, repeats_done: int) -> int:
+        """Unique (complex) input samples consumed by ``repeats_done``
+        frames: N·repeats_done normally, hop·(repeats_done−1)+N with
+        Welch overlap — the honest basis for effective integration time
+        (acquisition.cxx:356-357 divides samples by the sample rate)."""
+        if repeats_done <= 0:
+            return 0
+        if self._hop is None:
+            return self.N * repeats_done
+        return self._hop * (repeats_done - 1) + self.N
+
     def begin_acquisition(self) -> None:
         """Reset accumulator and start the consumer thread (the reference
         spawns fftThread per acquisition, acquisition.cxx:256)."""

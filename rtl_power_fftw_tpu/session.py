@@ -19,7 +19,7 @@ import numpy as np
 
 from .auxdata import AuxData
 from .config import BASE_BUF, Params
-from .exceptions import ReturnValue, RPFexception, TuneError
+from .exceptions import ReturnValue, RPFexception, StreamEOF, TuneError
 from .interrupts import InterruptState, check_interrupt, set_ctrl_c_handler
 from .ops.spectral import bin_frequencies, finalize_psd
 from .output.matrix import MatrixWriter
@@ -64,6 +64,7 @@ class Acquisition:
         self.repeats_done = 0
         self.pwr: Optional[np.ndarray] = None
         self.multistream = multistream
+        self.stream_eof = False
 
     def run(self) -> None:
         params = self.params
@@ -118,7 +119,9 @@ class Acquisition:
         # Strict-time deadline (acquisition.cxx:267-269).
         stop_time = time.monotonic() + params.integration_time
 
-        data_total = 2 * params.N * params.repeats
+        # 2·N·repeats without overlap (acquisition.cxx:273); scaled down by
+        # hop/N in Welch mode where frames reuse samples.
+        data_total = self.data.bytes_needed()
         data_read = 0
 
         while data_read < data_total:
@@ -135,7 +138,18 @@ class Acquisition:
                 if data_needed > params.buf_length:
                     data_needed = params.buf_length
 
-            buffer, read_success = self.source.read(data_needed)
+            try:
+                buffer, read_success = self.source.read(data_needed)
+            except StreamEOF as eof:
+                # Recorded stream ran out: keep whatever tail bytes were
+                # already buffered and finish the partial spectrum — the
+                # strict-time semantics (acquisition.cxx:326-331), not a
+                # fatal AcquisitionError.
+                if eof.partial is not None and len(eof.partial):
+                    self.data.push_buffer(eof.partial)
+                self.stream_eof = True
+                print(f"End of input stream: {eof}", file=self.err)
+                break
             self.deviceReadouts += 1
 
             if not read_success:
@@ -161,15 +175,22 @@ class Acquisition:
         self.pwr = result.pwr
         self.repeats_done = result.repeats_done
 
+    def unique_samples(self) -> int:
+        """Unique (complex) samples consumed — N·repeats_done, except in
+        Welch-overlap mode where frames share samples."""
+        if self.multistream is not None:
+            return self.params.N * self.repeats_done
+        return self.data.unique_samples(self.repeats_done)
+
     def print_summary(self) -> None:
         """acquisition.cxx:350-358."""
         p, err = self.params, self.err
         print(f"Actual number of (complex) samples collected: "
-              f"{p.N * self.repeats_done}", file=err)
+              f"{self.unique_samples()}", file=err)
         print(f"Actual number of device readouts: {self.deviceReadouts}", file=err)
         print(f"Number of successful readouts: {self.successfulReadouts}", file=err)
         print(f"Actual number of averaged spectra: {self.repeats_done}", file=err)
-        eff = float(p.N) * self.repeats_done / self.actual_samplerate
+        eff = float(self.unique_samples()) / self.actual_samplerate
         print(f"Effective integration time: {eff:g} seconds", file=err)
 
     def compute_output(self) -> np.ndarray:
@@ -290,6 +311,8 @@ def run_session(params: Params, source: IQSource, aux: AuxData,
     freqs_meta_needed = True
     do_exit = False
     last_repeats_done = 0
+    any_written = False
+    stream_ended = False
 
     while not do_exit:
         i = 0
@@ -310,6 +333,21 @@ def run_session(params: Params, source: IQSource, aux: AuxData,
                 del plan.freqs_to_tune[i]
                 continue
 
+            if acquisition.stream_eof:
+                stream_ended = True
+            if acquisition.stream_eof and acquisition.repeats_done == 0:
+                # The stream ended before this hop produced a single
+                # spectrum. If earlier hops wrote data the session simply
+                # ends; a stream too short for even one spectrum is an
+                # input error (cf. the reference's hard AcquisitionError
+                # paths, exceptions.h:25-34).
+                if not any_written:
+                    raise RPFexception(
+                        "Input stream ended before a single spectrum "
+                        "could be averaged.", ReturnValue.AcquisitionError)
+                do_exit = True
+                break
+
             last_repeats_done = acquisition.repeats_done
             if _chatty(params):
                 acquisition.print_summary()
@@ -328,6 +366,7 @@ def run_session(params: Params, source: IQSource, aux: AuxData,
                 freqs_meta_needed = False
 
             acquisition.write_data(text_writer, matrix_writer)
+            any_written = True
 
             # Observability extension: machine-readable per-scan stats
             # (the reference only prints these to stderr,
@@ -343,7 +382,7 @@ def run_session(params: Params, source: IQSource, aux: AuxData,
                         "device_readouts": acquisition.deviceReadouts,
                         "successful_readouts": acquisition.successfulReadouts,
                         "effective_integration_s":
-                            float(params.N) * acquisition.repeats_done
+                            float(acquisition.unique_samples())
                             / actual_samplerate,
                         # Per-scan delta (Datastore's histogram is
                         # cumulative across the session).
@@ -354,6 +393,11 @@ def run_session(params: Params, source: IQSource, aux: AuxData,
 
             if _chatty(params):
                 data.print_queue_histogram(stderr=err)
+
+            if acquisition.stream_eof:
+                # Partial spectrum written; nothing more will ever arrive.
+                do_exit = True
+                break
 
             if check_interrupt(InterruptState.FinishNow, stderr=err):
                 break
@@ -374,6 +418,9 @@ def run_session(params: Params, source: IQSource, aux: AuxData,
         if params.endless:
             do_exit = False
         if not params.session_duration_isSet and not params.endless:
+            do_exit = True
+        if stream_ended:
+            # A finite stream ran dry: even --endless cannot continue.
             do_exit = True
         if check_interrupt(InterruptState.FinishPass, stderr=err):
             do_exit = True

@@ -11,7 +11,7 @@ from typing import List, Tuple
 
 import numpy as np
 
-from ..exceptions import ReturnValue, RPFexception
+from ..exceptions import ReturnValue, RPFexception, StreamEOF
 from .base import IQSource
 
 
@@ -69,10 +69,17 @@ class FileSource(IQSource):
     def set_gain(self, gain: int) -> None:
         self._gain = int(gain)
 
-    def _eof(self):
-        raise RPFexception(
-            f"End of recorded IQ stream {self.path}.",
-            ReturnValue.AcquisitionError)
+    def _eof(self, chunks=None):
+        """End of the recording: a definite stop, not a transient
+        dropped-samples condition.  Raised as ``StreamEOF`` so the session
+        finishes the partial spectrum instead of dying with exit 6 — a
+        file-based framework hits stream ends constantly where the
+        reference's live hardware cannot (acquisition.cxx:326-331 partial
+        semantics)."""
+        partial = None
+        if chunks:
+            partial = np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
+        raise StreamEOF(f"End of recorded IQ stream {self.path}.", partial)
 
     def _read_native(self, nbytes: int) -> Tuple[np.ndarray, bool]:
         while self._pending_bytes < nbytes:
@@ -84,7 +91,9 @@ class FileSource(IQSource):
                 # bytes stay queued, keeping the stream contiguous.
                 return np.zeros(nbytes, dtype=np.uint8), False
             if item is None:
-                self._eof()
+                tail, self._pending = self._pending, []
+                self._pending_bytes = 0
+                self._eof(tail)
             slot, view = item
             # Copy out so the pool slot recycles immediately; the copy is a
             # single memcpy of a large chunk, still far cheaper than Python
@@ -112,9 +121,7 @@ class FileSource(IQSource):
                 if self.loop:
                     self._file.seek(0)
                     continue
-                # End of the recording: a definite stop, not a transient
-                # dropped-samples condition.
-                self._eof()
+                self._eof(chunks)
             chunks.append(np.frombuffer(data, dtype=np.uint8))
             remaining -= len(data)
         return np.concatenate(chunks) if len(chunks) > 1 else chunks[0], True

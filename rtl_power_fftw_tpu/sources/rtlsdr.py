@@ -8,6 +8,7 @@ registry level.
 
 from __future__ import annotations
 
+import time
 from typing import List, Tuple
 
 import numpy as np
@@ -15,6 +16,11 @@ import numpy as np
 from rtlsdr import RtlSdr  # type: ignore  # pragma: no cover
 
 from .base import IQSource, hardware_error
+
+# The reference sleeps 5 ms after every retune ("inherited from other
+# code... hints of strange behaviour if it was commented out",
+# device.cxx:117-121). Kept for live-hardware parity.
+_POST_TUNE_SETTLE_S = 0.005
 
 
 class RtlSdrSource(IQSource):  # pragma: no cover - needs hardware
@@ -38,6 +44,8 @@ class RtlSdrSource(IQSource):  # pragma: no cover - needs hardware
             self._sdr.center_freq = frequency
         except Exception:
             raise hardware_error("RTL device: could not set center frequency.")
+        # Empirical post-retune settle (device.cxx:117-121).
+        time.sleep(_POST_TUNE_SETTLE_S)
 
     def set_sample_rate(self, sample_rate: int) -> None:
         try:
@@ -58,7 +66,20 @@ class RtlSdrSource(IQSource):  # pragma: no cover - needs hardware
         except Exception:
             raise hardware_error("RTL device: could not set frequency correction.")
 
+    def _reset_buffer(self) -> None:
+        """Flush the USB buffer before each read so a readout never starts
+        with stale pre-retune samples (the reference calls
+        rtlsdr_reset_buffer at the top of every read, device.cxx:92-97)."""
+        try:
+            # pyrtlsdr exposes the librtlsdr call on the librtlsdr handle.
+            self._sdr.reset_buffer()
+        except Exception:
+            pass  # older pyrtlsdr: read_bytes resets internally
+
     def read(self, nbytes: int) -> Tuple[np.ndarray, bool]:
+        """Blocking read; success iff the full buffer arrived
+        (device.cxx:92-97 returns n_read == buffer.size())."""
+        self._reset_buffer()
         raw = self._sdr.read_bytes(nbytes)
         data = np.frombuffer(raw, dtype=np.uint8)
         return data, len(data) == nbytes

@@ -336,3 +336,74 @@ def test_all_zero_signal_produces_inf_db_like_cxx():
             if l and not l.startswith("#")]
     assert len(vals) == 64
     assert all(v == "-inf" for v in vals), vals[:5]
+
+
+def _write_iq_file(path, nbytes, seed=0):
+    rng = np.random.default_rng(seed)
+    path.write_bytes(rng.integers(0, 256, nbytes, dtype=np.uint8).tobytes())
+
+
+def test_eof_finishes_partial_spectrum(tmp_path):
+    """A recording shorter than the session's demand ends the session
+    gracefully with the partial average written (reference strict-time
+    partial semantics, acquisition.cxx:326-331,350-358) — not exit 6."""
+    p = tmp_path / "short.iq"
+    N, have_frames = 64, 37
+    _write_iq_file(p, have_frames * 2 * N + 50, seed=5)
+    src = None
+    from rtl_power_fftw_tpu.sources import FileSource
+    src = FileSource(str(p), use_native=False)
+    rv, out, err, params = run(
+        ["-f", "100M", "-n", "100", "-b", str(N), "--source", f"file:{p}"],
+        src)
+    assert rv == ReturnValue.Success
+    assert "End of input stream" in err
+    assert f"Actual number of averaged spectra: {have_frames}" in err
+    data_lines = [l for l in out.split("\n") if l and not l.startswith("#")]
+    assert len(data_lines) == N  # one full spectrum was still produced
+
+
+def test_eof_endless_still_terminates(tmp_path):
+    """--endless cannot out-loop a finite recording: the session ends after
+    the stream runs dry instead of spinning on empty acquisitions."""
+    p = tmp_path / "short.iq"
+    _write_iq_file(p, 10 * 2 * 64, seed=6)
+    from rtl_power_fftw_tpu.sources import FileSource
+    src = FileSource(str(p), use_native=False)
+    rv, out, err, params = run(
+        ["-f", "100M", "-n", "4", "-b", "64", "-c",
+         "--source", f"file:{p}"], src)
+    assert rv == ReturnValue.Success
+    assert "End of input stream" in err
+
+
+def test_eof_before_any_spectrum_is_error(tmp_path):
+    """A stream too short for even one frame is an input error."""
+    p = tmp_path / "tiny.iq"
+    p.write_bytes(bytes(10))
+    from rtl_power_fftw_tpu.sources import FileSource
+    src = FileSource(str(p), use_native=False)
+    params = parse(["-f", "100M", "-n", "4", "-b", "64",
+                    "--source", f"file:{p}"])
+    aux = AuxData(params, stderr=io.StringIO())
+    with pytest.raises(RPFexception) as e:
+        run_session(params, src, aux, stdout=io.StringIO(),
+                    stderr=io.StringIO(), install_sigint=False)
+    assert e.value.retval == ReturnValue.AcquisitionError
+
+
+def test_welch_reads_only_unique_bytes():
+    """With --welch-overlap, the producer reads hop-scaled bytes (not
+    2*N*repeats) and the summary reports unique-sample integration time."""
+    N, repeats, rate = 64, 40, 2_048_000
+    src = SyntheticSource(tones=[(100_050_000, 30.0)], noise=5.0, seed=9)
+    rv, out, err, params = run(
+        ["-f", "100M", "-n", str(repeats), "-b", str(N), "-r", str(rate),
+         "--welch-overlap", "50", "--source", "synthetic:"], src)
+    assert rv == ReturnValue.Success
+    hop = N // 2
+    unique = hop * (repeats - 1) + N
+    assert f"Actual number of (complex) samples collected: {unique}" in err
+    eff = unique / rate
+    assert f"Effective integration time: {eff:g} seconds" in err
+    assert f"Actual number of averaged spectra: {repeats}" in err

@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 
 from rtl_power_fftw_tpu.config import parse_args
-from rtl_power_fftw_tpu.exceptions import ReturnValue, RPFexception
+from rtl_power_fftw_tpu.exceptions import ReturnValue, RPFexception, StreamEOF
 from rtl_power_fftw_tpu.sources import FileSource, SyntheticSource, make_source, open_device
 from rtl_power_fftw_tpu.sources.synthetic import parse_synthetic_spec
 
@@ -74,9 +74,11 @@ def test_file_source_reads_and_eof(tmp_path):
     src = FileSource(str(p))
     data, ok = src.read(60)
     assert ok and list(data) == list(range(60))
-    with pytest.raises(RPFexception) as e:
+    with pytest.raises(StreamEOF) as e:
         src.read(60)  # only 40 left
-    assert e.value.retval == ReturnValue.AcquisitionError
+    # The tail bytes ride along so the session can finish the partial
+    # spectrum (acquisition.cxx:326-331 strict-time semantics).
+    assert list(e.value.partial) == list(range(60, 100))
 
 
 def test_file_source_loop(tmp_path):
@@ -138,8 +140,9 @@ def test_file_source_native_path(tmp_path):
     got2, ok2 = src.read(150000)
     assert ok1 and ok2
     np.testing.assert_array_equal(np.concatenate([got1, got2]), data[:250000])
-    with pytest.raises(RPFexception):
+    with pytest.raises(StreamEOF) as e:
         src.read(100000)  # only 50000 left
+    np.testing.assert_array_equal(e.value.partial, data[250000:])
     src.close()
 
 
@@ -156,3 +159,53 @@ def test_file_source_native_loop(tmp_path):
     assert ok
     np.testing.assert_array_equal(got, np.tile(data, 3))
     src.close()
+
+
+def test_rtlsdr_wrapper_parity(monkeypatch):
+    """Live-hardware parity of the pyrtlsdr wrapper, with a mocked driver:
+    a 5 ms settle after every retune (device.cxx:117-121) and a USB-buffer
+    flush before every read (device.cxx:92-97)."""
+    import sys
+    import types
+    import time as _time
+
+    calls = []
+
+    class FakeRtlSdr:
+        valid_gains_db = [0.0, 9.7, 37.2]
+
+        def __init__(self, device_index=0):
+            calls.append(("open", device_index))
+            self.center_freq = 0
+            self.sample_rate = 2_048_000
+            self.gain = 0.0
+
+        def reset_buffer(self):
+            calls.append(("reset_buffer",))
+
+        def read_bytes(self, n):
+            calls.append(("read_bytes", n))
+            return bytes(n)
+
+        def close(self):
+            calls.append(("close",))
+
+    fake_mod = types.ModuleType("rtlsdr")
+    fake_mod.RtlSdr = FakeRtlSdr
+    monkeypatch.setitem(sys.modules, "rtlsdr", fake_mod)
+    sys.modules.pop("rtl_power_fftw_tpu.sources.rtlsdr", None)
+    from rtl_power_fftw_tpu.sources.rtlsdr import RtlSdrSource
+
+    src = RtlSdrSource(0)
+    t0 = _time.monotonic()
+    src.set_frequency(100_000_000)
+    assert _time.monotonic() - t0 >= 0.005  # post-retune settle
+    assert src.frequency() == 100_000_000
+
+    data, ok = src.read(1024)
+    assert ok and len(data) == 1024
+    # The flush precedes the read, every time.
+    assert calls[-2:] == [("reset_buffer",), ("read_bytes", 1024)]
+    assert src.gains() == [0, 97, 372]
+    src.close()
+    sys.modules.pop("rtl_power_fftw_tpu.sources.rtlsdr", None)
