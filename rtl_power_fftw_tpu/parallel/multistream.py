@@ -2,11 +2,18 @@
 
 BASELINE.json config 5: "16 parallel IQ streams sharded across a TPU mesh
 with psum-reduced averaged spectra".  Each stream gets its own producer
-thread (its own reader, its own frame slicer, its own repeat counter — the
-multi-device generalization of the reference's single producer loop,
-acquisition.cxx:276-332); frame batches from all streams are assembled
-into one (S, F, 2N) device step sharded over the ``stream`` mesh axis,
-and the cross-stream sum arrives via the step's psum.
+thread feeding a BOUNDED queue of fixed-shape frame batches — the
+multi-device generalization of the reference's single producer loop with
+backpressure (acquisition.cxx:276-332): a producer blocks when its queue
+is full, and the free-slot count is histogrammed at every hand-off
+(the "first number nonzero ⇒ compute too slow" diagnostic,
+doc/rtl_power_fftw.1.md:136-148).  The consumer assembles one (S, F, 2N)
+batch per round, dispatches it as a sharded device step (stream axis over
+the mesh, cross-stream psum over ICI), and keeps a small in-flight window
+so acquisition, host→device transfer, and compute overlap.
+
+Memory is O(S · queue_depth · F · 2N) regardless of ``repeats`` — a long
+``-t`` run streams through, it does not buffer the whole measurement.
 
 The result is numerically identical to running the reference S times and
 summing the ``pwr`` accumulators — power accumulation commutes with any
@@ -15,13 +22,18 @@ partition of the spectra.
 
 from __future__ import annotations
 
+import collections
 import dataclasses
+import queue as _queue
 import threading
+import time
 from typing import List, Optional, Sequence
 
 import numpy as np
 
-from ..config import Params
+from ..config import BASE_BUF, Params
+from ..exceptions import RPFexception, StreamEOF, TuneError
+from ..interrupts import InterruptState, check_interrupt
 from ..ops.spectral import FrameSlicer, _SUM_CHUNK
 from ..sources.base import IQSource
 from .mesh import make_mesh
@@ -30,13 +42,20 @@ from .sharded import ShardedPsdStep
 
 @dataclasses.dataclass
 class MultiStreamResult:
-    pwr: np.ndarray            # (N,) float64 combined, unshifted bins
+    pwr: np.ndarray             # (N,) float64 combined, unshifted bins
     per_stream_pwr: np.ndarray  # (S, N) float64, unshifted bins
-    repeats_done: np.ndarray   # (S,) int64 spectra per stream
+    repeats_done: np.ndarray    # (S,) int64 spectra per stream
+    device_readouts: int = 0    # summed over streams
+    successful_readouts: int = 0
+    stream_eof: bool = False    # any stream's recording ran dry
 
 
 class MultiStreamAcquisition:
     """Drive S sources for ``repeats`` spectra each and reduce over the mesh."""
+
+    #: bounded batches buffered per stream (the reference's default buffer
+    #: pool is 5 deep, params.h:44 — same backpressure role).
+    QUEUE_DEPTH = 4
 
     def __init__(self, params: Params, sources: Sequence[IQSource],
                  window: Optional[np.ndarray] = None,
@@ -66,97 +85,197 @@ class MultiStreamAcquisition:
         if params.welch_overlap > 0.0:
             self._hop = max(1, int(round(
                 params.N * (1.0 - params.welch_overlap / 100.0))))
+        # Queue-pressure histogram over free slots, summed across streams
+        # (the multi-stream analogue of datastore.h:45's per-grab count).
+        self.queue_histogram: List[int] = [0] * (self.QUEUE_DEPTH + 1)
+        self._hist_lock = threading.Lock()
+
+    def print_queue_histogram(self, stderr=None) -> None:
+        """Free-slot histogram summed over stream queues (the multistream
+        analogue of datastore.cxx:98-103)."""
+        import sys
+        err = stderr if stderr is not None else sys.stderr
+        print("Buffer queue histogram: "
+              + " ".join(str(v) for v in self.queue_histogram) + " ", file=err)
+
+    def _bytes_needed(self) -> int:
+        """Unique stream bytes per acquisition (Welch-aware, cf.
+        Datastore.bytes_needed)."""
+        r = self.params.repeats
+        if self._hop is None or r <= 0:
+            return 2 * self.params.N * r
+        return 2 * (self._hop * (r - 1) + self.params.N)
+
+    def _tune_all(self, freq: int) -> None:
+        """Tune every stream with the reference's 3-try persuasion
+        (acquisition.cxx:229-249); any persistently dead stream raises
+        TuneError so the session drops the frequency, not the session."""
+        for src in self.sources:
+            tuned = False
+            for _try in range(3):
+                try:
+                    src.set_frequency(freq)
+                    if src.frequency() != 0:
+                        tuned = True
+                        break
+                except RPFexception:
+                    pass
+            if not tuned:
+                raise TuneError(freq)
 
     def run(self, freq: int) -> MultiStreamResult:
         params = self.params
         N, F, S = params.N, self.step.F, self.S
-        frame_bytes = 2 * N
+        fb = 2 * N
 
-        # Per-stream staging for one device step.
-        staging = np.zeros((S, F, frame_bytes), dtype=np.uint8)
-        pwr = np.zeros(N, dtype=np.float64)
-        per_stream = np.zeros((S, N), dtype=np.float64)
-        done = np.zeros(S, dtype=np.int64)
+        self._tune_all(freq)
 
-        lock = threading.Lock()
+        queues = [_queue.Queue(maxsize=self.QUEUE_DEPTH) for _ in range(S)]
         errors: List[BaseException] = []
+        err_lock = threading.Lock()
+        counters = np.zeros((S, 2), dtype=np.int64)  # readouts, successes
+        eof_flags = [False] * S
+        stop_producers = threading.Event()
 
-        def produce(s: int, out_frames: List[np.ndarray]) -> None:
-            """Read this stream's full measurement and slice into frames."""
-            from ..exceptions import RPFexception, TuneError
-            from ..interrupts import InterruptState, check_interrupt
+        # Strict-time deadline applies to the whole acquisition
+        # (acquisition.cxx:267-269,326-327).
+        stop_time = (time.monotonic() + params.integration_time
+                     if params.strict_time else None)
+
+        def produce(s: int) -> None:
+            src = self.sources[s]
+            slicer = FrameSlicer(N, hop=self._hop)
+            staging = np.zeros((F, fb), dtype=np.uint8)
+            staged = 0
+
+            def flush() -> None:
+                nonlocal staged
+                if staged:
+                    with self._hist_lock:
+                        free = self.QUEUE_DEPTH - queues[s].qsize()
+                        self.queue_histogram[
+                            max(0, min(free, self.QUEUE_DEPTH))] += 1
+                    # Blocks when the queue is full: backpressure.
+                    queues[s].put((staging[:staged].copy(), staged))
+                    staged = 0
+
+            def stage(frames: np.ndarray) -> None:
+                nonlocal staged
+                pos = 0
+                while pos < len(frames):
+                    take = min(F - staged, len(frames) - pos)
+                    staging[staged:staged + take] = frames[pos:pos + take]
+                    staged += take
+                    pos += take
+                    if staged == F:
+                        flush()
+
             try:
-                src = self.sources[s]
-                # Same 3-try tune persuasion as the single-stream path
-                # (acquisition.cxx:229-249); a persistently dead frequency
-                # becomes a TuneError so the session drops it from the hop
-                # list instead of dying with a hardware error.
-                tuned = False
-                for _try in range(3):
-                    try:
-                        src.set_frequency(freq)
-                        if src.frequency() != 0:
-                            tuned = True
-                            break
-                    except RPFexception:
-                        pass
-                if not tuned:
-                    raise TuneError(freq)
-                slicer = FrameSlicer(N, hop=self._hop)
-                data_total = 2 * N * params.repeats
+                data_total = self._bytes_needed()
                 data_read = 0
-                frames = []
                 n_frames = 0
-                while data_read < data_total:
-                    need = min(params.buf_length, data_total - data_read)
-                    buf, ok = src.read(need)
+                while data_read < data_total and not stop_producers.is_set():
+                    # Partial reads round up to the BASE_BUF USB granularity
+                    # like the single-stream producer (acquisition.cxx:287-302).
+                    need = data_total - data_read
+                    if need >= params.buf_length:
+                        need = params.buf_length
+                    else:
+                        need = min(params.buf_length,
+                                   BASE_BUF * ((need + BASE_BUF - 1) // BASE_BUF))
+                    try:
+                        buf, ok = src.read(need)
+                    except StreamEOF as eof:
+                        eof_flags[s] = True
+                        if eof.partial is not None and len(eof.partial):
+                            got = slicer.push(
+                                eof.partial,
+                                max_frames=params.repeats - n_frames)
+                            n_frames += len(got)
+                            stage(got)
+                        break
+                    counters[s, 0] += 1
                     if ok:
+                        counters[s, 1] += 1
                         data_read += need
                         got = slicer.push(buf,
                                           max_frames=params.repeats - n_frames)
-                        if len(got):
-                            frames.append(got)
-                            n_frames += len(got)
-                    # else: dropped samples — discard and retry.
+                        n_frames += len(got)
+                        stage(got)
+                    # else: dropped samples — discard and retry
+                    # (acquisition.cxx:307-316).
+                    if stop_time is not None and time.monotonic() >= stop_time:
+                        break
                     if check_interrupt(InterruptState.FinishNow):
                         break
-                out_frames.append(np.concatenate(frames) if frames
-                                  else np.zeros((0, frame_bytes), np.uint8))
+                flush()
             except BaseException as e:
-                with lock:
+                with err_lock:
                     errors.append(e)
-                out_frames.append(np.zeros((0, frame_bytes), np.uint8))
+            finally:
+                queues[s].put(None)  # end-of-stream sentinel
 
-        # Read all streams in parallel (producers), then step through the
-        # device in (S, F) batches.
-        results: List[List[np.ndarray]] = [[] for _ in range(S)]
-        threads = [threading.Thread(target=produce, args=(s, results[s]))
+        threads = [threading.Thread(target=produce, args=(s,), daemon=True)
                    for s in range(S)]
         for t in threads:
             t.start()
-        for t in threads:
-            t.join()
+
+        # Consumer: one synchronized (S, F, 2N) round per step; streams that
+        # finished early contribute zero-valid batches. A small in-flight
+        # window overlaps device compute with the producers.
+        staging_all = np.zeros((S, F, fb), dtype=np.uint8)
+        pwr = np.zeros(N, dtype=np.float64)
+        per_stream = np.zeros((S, N), dtype=np.float64)
+        done = np.zeros(S, dtype=np.int64)
+        pending = collections.deque()
+        max_in_flight = 2
+
+        def drain(to_len: int) -> None:
+            while len(pending) > to_len:
+                ps, combined, nv = pending.popleft()
+                per_stream[:] += np.asarray(ps, dtype=np.float64)
+                pwr[:] += np.asarray(combined, dtype=np.float64)
+                done[:] += nv
+
+        try:
+            active = set(range(S))
+            while active:
+                n_valid = np.zeros(S, dtype=np.int32)
+                staging_all[:] = 0
+                for s in sorted(active):
+                    item = queues[s].get()
+                    if item is None:
+                        active.discard(s)
+                        continue
+                    batch, nv = item
+                    staging_all[s, :nv] = batch
+                    n_valid[s] = nv
+                if n_valid.any():
+                    ps, combined = self.step(staging_all.copy(), n_valid)
+                    pending.append((ps, combined, n_valid.astype(np.int64)))
+                    drain(max_in_flight)
+            drain(0)
+        finally:
+            stop_producers.set()
+            # Keep draining each queue until its producer exits, so a
+            # producer blocked on a full queue (or its final flush/sentinel)
+            # can never deadlock an abnormal consumer exit.
+            for s, t in enumerate(threads):
+                while t.is_alive():
+                    try:
+                        queues[s].get_nowait()
+                    except _queue.Empty:
+                        pass
+                    t.join(0.005)
+
         if errors:
-            from ..exceptions import TuneError
             for e in errors:
                 if isinstance(e, TuneError):
                     raise e  # drop the frequency, don't kill the session
             raise errors[0]
 
-        all_frames = [r[0] for r in results]
-        max_frames = max(len(f) for f in all_frames)
-        for start in range(0, max_frames, F):
-            n_valid = np.zeros(S, dtype=np.int32)
-            staging[:] = 0
-            for s in range(S):
-                batch = all_frames[s][start:start + F]
-                n_valid[s] = len(batch)
-                if len(batch):
-                    staging[s, :len(batch)] = batch
-            ps, combined = self.step(staging.copy(), n_valid)
-            per_stream += np.asarray(ps, dtype=np.float64)
-            pwr += np.asarray(combined, dtype=np.float64)
-            done += n_valid.astype(np.int64)
-
-        return MultiStreamResult(pwr=pwr, per_stream_pwr=per_stream,
-                                 repeats_done=done)
+        return MultiStreamResult(
+            pwr=pwr, per_stream_pwr=per_stream, repeats_done=done,
+            device_readouts=int(counters[:, 0].sum()),
+            successful_readouts=int(counters[:, 1].sum()),
+            stream_eof=any(eof_flags))

@@ -106,7 +106,9 @@ class Acquisition:
                       file=self.err)
             self.pwr = result.pwr
             self.repeats_done = int(result.repeats_done.sum())
-            self.deviceReadouts = self.successfulReadouts = 0
+            self.deviceReadouts = result.device_readouts
+            self.successfulReadouts = result.successful_readouts
+            self.stream_eof = result.stream_eof
             return
 
         self.data.begin_acquisition()
@@ -318,7 +320,10 @@ def run_session(params: Params, source: IQSource, aux: AuxData,
         i = 0
         while i < len(plan.freqs_to_tune):
             freq = plan.freqs_to_tune[i]
-            hist_before = list(data.queue_histogram)
+            # In --streams mode the single-stream Datastore is never fed;
+            # the queue diagnostics come from the multistream engine.
+            hist_source = multistream if multistream is not None else data
+            hist_before = list(hist_source.queue_histogram)
             acquisition = Acquisition(params, aux, source, data,
                                       actual_samplerate, freq, stats,
                                       stderr=err, multistream=multistream)
@@ -384,15 +389,15 @@ def run_session(params: Params, source: IQSource, aux: AuxData,
                         "effective_integration_s":
                             float(acquisition.unique_samples())
                             / actual_samplerate,
-                        # Per-scan delta (Datastore's histogram is
-                        # cumulative across the session).
+                        # Per-scan delta (the histogram is cumulative
+                        # across the session).
                         "queue_histogram": [a - b for a, b in
-                                            zip(data.queue_histogram,
+                                            zip(hist_source.queue_histogram,
                                                 hist_before)],
                     }) + "\n")
 
             if _chatty(params):
-                data.print_queue_histogram(stderr=err)
+                hist_source.print_queue_histogram(stderr=err)
 
             if acquisition.stream_eof:
                 # Partial spectrum written; nothing more will ever arrive.

@@ -407,3 +407,24 @@ def test_welch_reads_only_unique_bytes():
     eff = unique / rate
     assert f"Effective integration time: {eff:g} seconds" in err
     assert f"Actual number of averaged spectra: {repeats}" in err
+
+
+def test_multistream_summary_counters_truthful(tmp_path):
+    """--streams mode reports real readout counters and queue diagnostics
+    (they were hardcoded to 0 / always-zero in round 1)."""
+    stats = str(tmp_path / "stats.jsonl")
+    src = SyntheticSource(tones=[(100_050_000, 30.0)], noise=5.0, seed=70)
+    rv, out, err, params = run(
+        ["-f", "100M", "-n", "16", "-b", "64", "--streams", "4",
+         "--stats-json", stats,
+         "--source", "synthetic:tone=100.05M/30,noise=5,seed=70"], src)
+    assert rv == ReturnValue.Success
+    import json
+    rec = json.loads(open(stats).readline())
+    assert rec["device_readouts"] > 0
+    assert rec["successful_readouts"] > 0
+    assert sum(rec["queue_histogram"]) > 0
+    assert "Actual number of device readouts: 0" not in err
+    m = [l for l in err.split("\n")
+         if l.startswith("Actual number of device readouts:")]
+    assert m and int(m[0].split(":")[1]) > 0

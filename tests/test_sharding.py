@@ -187,3 +187,118 @@ def test_multistream_honors_welch_overlap():
     # producer reads 2*N*repeats bytes -> every stream reaches repeats.
     assert res.repeats_done.tolist() == [repeats, repeats]
     assert acq._hop == N // 2
+
+
+def test_multistream_streams_incrementally():
+    """The engine must overlap production and device stepping with bounded
+    queues (VERDICT r1 #3): at least one device step completes before the
+    producers finish reading — the whole measurement is never buffered."""
+    import io
+    import threading
+    from rtl_power_fftw_tpu.config import parse_args
+    from rtl_power_fftw_tpu.parallel.multistream import MultiStreamAcquisition
+    from rtl_power_fftw_tpu.sources import SyntheticSource
+
+    S, N, repeats, rate = 2, 64, 1024, 2_048_000
+    params = parse_args(["-b", str(N), "-n", str(repeats), "-r", str(rate),
+                         "-s", "16384"], stderr=io.StringIO())
+    srcs = [SyntheticSource(noise=5.0, seed=s) for s in range(S)]
+    for s in srcs:
+        s.set_sample_rate(rate)
+
+    log = []
+    lock = threading.Lock()
+
+    def wrap_read(src):
+        orig = src.read
+
+        def read(nbytes):
+            out = orig(nbytes)
+            with lock:
+                log.append("read")
+            return out
+        src.read = read
+
+    for s in srcs:
+        wrap_read(s)
+    acq = MultiStreamAcquisition(params, srcs, frames_per_step=64)
+    orig_step = acq.step
+
+    class StepSpy:
+        def __init__(self, inner):
+            self._inner = inner
+            self.F = inner.F
+
+        def __call__(self, *a, **k):
+            with lock:
+                log.append("step")
+            return self._inner(*a, **k)
+
+    acq.step = StepSpy(orig_step)
+    res = acq.run(freq=100_000_000)
+    assert res.repeats_done.tolist() == [repeats] * S
+    first_step = log.index("step")
+    last_read = len(log) - 1 - log[::-1].index("read")
+    assert first_step < last_read, (
+        f"no overlap: first step at {first_step}, last read at {last_read}")
+    # Queue-pressure diagnostics were recorded.
+    assert sum(acq.queue_histogram) > 0
+    # Summary counters are truthful (one read per 16384-byte buffer).
+    assert res.device_readouts == S * (2 * N * repeats) // 16384
+    assert res.successful_readouts == res.device_readouts
+
+
+def test_multistream_honors_strict_time():
+    """--strict-time bounds a multistream acquisition even when repeats is
+    effectively unbounded (acquisition.cxx:326-327 semantics)."""
+    import io
+    import time as _t
+    from rtl_power_fftw_tpu.config import parse_args
+    from rtl_power_fftw_tpu.parallel.multistream import MultiStreamAcquisition
+    from rtl_power_fftw_tpu.sources import SyntheticSource
+
+    S, N, rate = 2, 64, 2_048_000
+    params = parse_args(["-b", str(N), "-r", str(rate), "-s", "16384",
+                         "-t", "10", "--strict-time"], stderr=io.StringIO())
+    params.repeats = 10**6           # would take forever without the deadline
+    params.integration_time = 0.25   # the strict deadline under test
+
+    class SlowSource(SyntheticSource):
+        def read(self, nbytes):
+            _t.sleep(0.02)
+            return super().read(nbytes)
+
+    srcs = [SlowSource(noise=5.0, seed=s) for s in range(S)]
+    for s in srcs:
+        s.set_sample_rate(rate)
+    acq = MultiStreamAcquisition(params, srcs, frames_per_step=64)
+    t0 = _t.monotonic()
+    res = acq.run(freq=100_000_000)
+    elapsed = _t.monotonic() - t0
+    assert elapsed < 5.0
+    assert 0 < res.repeats_done.sum() < 10**6
+
+
+def test_multistream_stream_eof_partial(tmp_path):
+    """A recorded stream running dry mid-acquisition yields a partial
+    multistream result with stream_eof set, not an exception."""
+    import io
+    from rtl_power_fftw_tpu.config import parse_args
+    from rtl_power_fftw_tpu.parallel.multistream import MultiStreamAcquisition
+    from rtl_power_fftw_tpu.sources import FileSource
+
+    N, repeats = 64, 32
+    rng = np.random.default_rng(0)
+    paths = []
+    for s, frames in enumerate((repeats, 10)):  # second stream is short
+        p = tmp_path / f"s{s}.iq"
+        p.write_bytes(rng.integers(0, 256, frames * 2 * N,
+                                   dtype=np.uint8).tobytes())
+        paths.append(str(p))
+    params = parse_args(["-b", str(N), "-n", str(repeats), "-s", "16384"],
+                        stderr=io.StringIO())
+    srcs = [FileSource(p, use_native=False) for p in paths]
+    acq = MultiStreamAcquisition(params, srcs, frames_per_step=16)
+    res = acq.run(freq=1_000_000)
+    assert res.stream_eof
+    assert res.repeats_done.tolist() == [repeats, 10]
