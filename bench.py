@@ -39,23 +39,30 @@ def main() -> None:
     dev = jax.devices()[0]
     print(f"bench device: {dev} ({dev.platform})", file=sys.stderr)
 
-    rng = np.random.default_rng(0)
-    raw = jax.device_put(
-        rng.integers(0, 256, size=(F, 2 * N), dtype=np.uint8), dev)
+    from rtl_power_fftw_tpu.ops.spectral import PsdStep
 
-    from rtl_power_fftw_tpu.ops.dft import fourstep_psd_partial
-    from rtl_power_fftw_tpu.ops.spectral import dequant_iq
+    # The SHIPPING step: PsdStep's auto path. On a real TPU at N=2048 this
+    # selects the fused Pallas kernel (dequant + K-stacked mixed-precision
+    # four-step DFT + |X|² + masked reduce in one VMEM pass); elsewhere it
+    # is the transpose-free four-step matmul formulation.
+    step = PsdStep(N, F, backend="auto")
+    step_fn = step.lowered_fn()
+    nv = jnp.int32(F)
+
+    rng = np.random.default_rng(0)
+    raw_host = rng.integers(0, 256, size=(F, 2 * N), dtype=np.uint8)
+    raw = jax.device_put(
+        raw_host.view(np.uint16) if step.takes_u16 else raw_host, dev)
+    perturb_dtype = jnp.uint16 if step.takes_u16 else jnp.uint8
+    print(f"auto path: {'fused pallas kernel' if step.takes_u16 else 'four-step matmul'}",
+          file=sys.stderr)
 
     @partial(jax.jit, static_argnums=1)
     def many_steps(raw, iters):
-        # The shipping step (ops/spectral.py auto path at N=2048: u16
-        # dequant, fused transpose-free four-step DFT, masked two-stage
-        # reduce), chained `iters` times with a cheap input perturbation
-        # per iteration.
+        # The shipping step chained `iters` times with a cheap input
+        # perturbation per iteration so nothing can be collapsed.
         def body(carry, i):
-            re, im = dequant_iq(raw + i.astype(jnp.uint8), F, N)
-            fmask = jnp.ones((F,), jnp.float32)
-            part = fourstep_psd_partial(re, im, fmask)
+            part = step_fn(raw + i.astype(perturb_dtype), nv)
             return carry + part, ()
         acc, _ = jax.lax.scan(body, jnp.zeros(N, jnp.float32),
                               jnp.arange(iters))

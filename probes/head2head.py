@@ -1,0 +1,37 @@
+import sys
+sys.path.insert(0, "/root/repo")
+import time
+from functools import partial
+import numpy as np
+import jax
+import jax.numpy as jnp
+from rtl_power_fftw_tpu.ops.spectral import PsdStep
+
+N, F = 2048, 4096
+ITER_LO, ITER_HI = 32, 128
+rng = np.random.default_rng(0)
+raw = jax.device_put(rng.integers(0, 256, (F, 2 * N), dtype=np.uint8))
+
+def make(backend):
+    step = PsdStep(N, F, backend=backend)
+    fn = step.lowered_fn(); nv = jnp.int32(step.F)
+    @partial(jax.jit, static_argnums=1)
+    def many(raw, iters):
+        def body(c, i):
+            return c + fn(raw + i.astype(jnp.uint8), nv), ()
+        acc, _ = jax.lax.scan(body, jnp.zeros(N, jnp.float32), jnp.arange(iters))
+        return acc
+    np.asarray(many(raw, ITER_LO)); np.asarray(many(raw, ITER_HI))
+    return many
+
+many = {b: make(b) for b in ("pallas", "fourstep")}
+def t(b, iters, reps=3):
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter(); np.asarray(many[b](raw, iters))
+        best = min(best, time.perf_counter() - t0)
+    return best
+for trial in range(4):
+    for b in ("pallas", "fourstep") if trial % 2 == 0 else ("fourstep", "pallas"):
+        per = (t(b, ITER_HI) - t(b, ITER_LO)) / (ITER_HI - ITER_LO)
+        print(f"trial{trial} {b:9s} {per*1e6:7.1f} us  {F/per*N/1e9:6.2f} GS/s", flush=True)

@@ -1,0 +1,41 @@
+import sys
+sys.path.insert(0, "/root/repo")
+import time
+from functools import partial
+import numpy as np
+import jax
+import jax.numpy as jnp
+from rtl_power_fftw_tpu.ops.spectral import PsdStep
+from rtl_power_fftw_tpu.auxdata import make_window
+
+ITER_LO, ITER_HI = 16, 48
+for N, F in ((2048, 4096), (8192, 1024)):
+    w = make_window("hann", N) if True else None
+    rng = np.random.default_rng(0)
+    raw_host = rng.integers(0, 256, (F, 2 * N), dtype=np.uint8)
+    raw = jax.device_put(raw_host)
+    x = ((raw_host[:, 0::2].astype(np.float64) - 127.0)
+         + 1j * (raw_host[:, 1::2].astype(np.float64) - 127.0)) * w
+    want = (np.abs(np.fft.fft(x, axis=1)) ** 2).sum(0)
+    row = f"N={N} windowed"
+    for backend in ("pallas", "auto"):
+        step = PsdStep(N, F, window=w, backend=backend)
+        got = np.asarray(step(raw_host, F), dtype=np.float64)
+        rel = (np.abs(got - want) / np.maximum(np.abs(want), 1e-30)).max()
+        fn = step.lowered_fn(); nv = jnp.int32(step.F)
+        @partial(jax.jit, static_argnums=1)
+        def many(raw, iters, fn=fn, nv=nv):
+            def body(c, i):
+                return c + fn(raw + i.astype(jnp.uint8), nv), ()
+            acc, _ = jax.lax.scan(body, jnp.zeros(N, jnp.float32), jnp.arange(iters))
+            return acc
+        np.asarray(many(raw, ITER_LO))
+        def t(iters):
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter(); np.asarray(many(raw, iters))
+                best = min(best, time.perf_counter() - t0)
+            return best
+        per = (t(ITER_HI) - t(ITER_LO)) / (ITER_HI - ITER_LO)
+        row += f"  {backend}: {F/per*N/1e9:6.2f} GS/s ({rel:.1e})"
+    print(row, flush=True)

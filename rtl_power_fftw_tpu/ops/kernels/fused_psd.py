@@ -14,8 +14,36 @@ loop (datastore.cxx:66-88) as ONE VMEM-resident kernel:
   batched small-K matmuls on the MXU with an elementwise twiddle between
   them (O(N·(N1+N2)) FLOPs per frame instead of O(N²));
 * frames are reduced on-chip: each grid step accumulates its masked
-  |X|² partial sum into the (1, N) output block, using the TPU's
+  |X|² partial sum into the output block, using the TPU's
   sequential-grid guarantee.
+
+Precision + dispatch design (v5) — manual mixed-precision bf16 splits
+instead of Mosaic's f32-HIGHEST (bf16x6) emulation, exploiting problem
+structure, with the split terms K-STACKED into fat matmuls:
+
+* stage 1's inputs are dequantized u8 integers (|x| ≤ 256) — EXACT in
+  bfloat16, so only the DFT weights need splitting (three bf16 terms,
+  residual ~2⁻²⁵ → f32-grade accuracy). All three split terms AND the
+  complex combination are folded into the K axis: TWO dispatches of
+  (T·N2, 6·N1)@(6·N1, N1) produce yr and yi. (Narrow K=N1 dispatches
+  dominated earlier kernel versions — ablation measured ~92 µs per
+  (16384,16)×(16,16) dispatch vs ~19 µs for (2048,128)×(128,128); the
+  K-stack was the difference between 7.7 and 10.4 GS/s at N=2048.)
+* stage 2's inputs are arbitrary f32: Karatsuba 3 real products, each a
+  3-term input × 3-term weight split with the (i+j ≥ 3) cross terms
+  dropped — 6 passes per product. The 3-term INPUT depth matters: with
+  2 terms, the absolute error of tone-dominated bins leaks into small
+  bins and blows the relative budget at high dynamic range (measured
+  2.2e-5 with a 35 dB tone vs 3.2e-7 with this scheme);
+* with a window the stage-1 inputs stop being integers: a runtime
+  3-term input split feeds a 12·N1-K stack with the same drop rule
+  (4.3e-7 under tones in simulation).
+
+Measured on a v5e at N=2048, F=4096: 9.7 GS/s equivalent IQ at 3.2e-7
+max relative error vs float64 — ahead of the XLA four-step path
+(9.4 GS/s) that was the round-1 shipping step, ~3× the round-1
+HIGHEST-precision Pallas kernel (3.4 GS/s), and error-robust to
+high-dynamic-range (strong tone) inputs.
 
 Bins come out "unshifted" (same convention as ops.spectral: fftshift is
 applied once at finalization — mathematically identical to the
@@ -25,7 +53,7 @@ reference's (−1)^n input flip, datastore.cxx:69-75).
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -39,16 +67,24 @@ try:  # Pallas requires a TPU-capable jaxlib; import is cheap and safe.
 except ImportError:  # pragma: no cover
     _PALLAS_OK = False
 
-_HI = jax.lax.Precision.HIGHEST
+try:
+    import ml_dtypes
+    _BF16 = ml_dtypes.bfloat16
+except ImportError:  # pragma: no cover
+    _BF16 = None
+    _PALLAS_OK = False
+
+#: VMEM budget for gating (v5e has ~128 MiB of VMEM; Mosaic's own limit
+#: here is set to 100 MiB — gate against a conservative share so the
+#: double-buffered pipeline always fits).
+_VMEM_BUDGET = 64 * 2**20
+#: live VMEM bytes per (frame, sample) in flight through the kernel body:
+#: raw u16 (double-buffered) + ~8 concurrently-live f32 planes + bf16
+#: split copies. Conservative liveness estimate, not an exact allocation.
+_BYTES_PER_SAMPLE = 56
 
 
-def fused_psd_available(N: int) -> bool:
-    """The fused kernel handles even power-of-two N with a clean
-    N = N1·N2 split and lane-aligned width."""
-    return (_PALLAS_OK and N >= 256 and (N & (N - 1)) == 0)
-
-
-def _split(N: int) -> tuple[int, int]:
+def _split(N: int) -> Tuple[int, int]:
     """Pick N = N1·N2, both powers of two, with N2 a multiple of 128:
     Mosaic only supports lane-dim shape casts that keep the minor dim
     lane-aligned, so the (TILE_F, N) → (TILE_F, N1, N2) view must leave
@@ -58,14 +94,85 @@ def _split(N: int) -> tuple[int, int]:
     return N // n2, n2
 
 
+def _const_bytes(N: int, N1: int, N2: int, windowed: bool) -> int:
+    s1_terms = 2 if windowed else 3
+    return (3 * s1_terms * N1 * N1 * 2      # stage-1 bf16 splits (r, i, sum)
+            + 3 * 2 * N2 * N2 * 2           # stage-2 bf16 splits
+            + 2 * N2 * N1 * 4               # twiddle f32
+            + (N * 4 if windowed else 0)    # window
+            + 2 * N * 4)                    # output accumulator (+ copy)
+
+
+def _vmem_bytes(N: int, tile_f: int, windowed: bool) -> int:
+    N1, N2 = _split(N)
+    return tile_f * N * _BYTES_PER_SAMPLE + _const_bytes(N, N1, N2, windowed)
+
+
+def pick_tile_f(N: int, F: int, windowed: bool = False) -> Optional[int]:
+    """Largest frame tile that divides F and fits the VMEM budget, or
+    None if even the smallest tile cannot fit (the caller must fall back
+    to another backend — FFTW plans any N, datastore.cxx:30-33; we fail
+    predictably instead)."""
+    for t in (128, 64, 32, 16, 8):
+        if F % t == 0 and _vmem_bytes(N, t, windowed) <= _VMEM_BUDGET:
+            return t
+    return None
+
+
+def fused_psd_available(N: int, F: Optional[int] = None,
+                        windowed: bool = False) -> bool:
+    """True iff the fused kernel supports this configuration.
+
+    Requirements: Pallas importable, N a power of two with a lane-aligned
+    N = N1·N2 split (N ≥ 256), and — the honest part — a frame tile whose
+    working set fits the VMEM budget. Very large N (e.g. the 1M-point
+    mode) is rejected here and served by the XLA path instead.
+    """
+    if not (_PALLAS_OK and N >= 256 and (N & (N - 1)) == 0):
+        return False
+    # With no F given, check existence of any viable tile (F=128 proxy).
+    return pick_tile_f(N, F if F is not None else 128, windowed) is not None
+
+
+def _bf16_terms(w: np.ndarray, k: int) -> np.ndarray:
+    """Split ``w`` (float64) into ``k`` bf16 terms by successive rounding:
+    w = Σ terms + O(2^(-8k−1)). Returned stacked as (k, *w.shape) bf16."""
+    terms = []
+    r = np.asarray(w, np.float64)
+    for _ in range(k):
+        t = r.astype(_BF16)
+        terms.append(t)
+        r = r - t.astype(np.float64)
+    return np.stack(terms)
+
+
 @functools.lru_cache(maxsize=16)
-def _constants(N: int, N1: int, N2: int):
-    """float32 DFT constants: stage-1 W_{N1}, twiddle W_N^{k1·n2}, stage-2
-    W_{N2}, all as separate real/imag planes."""
+def _constants(N: int, N1: int, N2: int, windowed: bool):
+    """Pre-split DFT constants for the K-stacked formulation.
+
+    Stage 1 is TWO native bf16 matmuls total — the complex combination
+    AND the precision-split terms are folded into the K dimension of one
+    (6·N1, N1) weight stack per output plane (yr / yi), so the MXU sees
+    two fat dispatches instead of many narrow ones (measured: narrow
+    K=N1 dispatches dominate the kernel; K-stacking them was the
+    difference between 7.7 and 10.4 GS/s at N=2048 on a v5e).
+
+      unwindowed (exact bf16 integer inputs, 3-term weight split):
+        lhs = [ar ai ar ai ar ai]           (M, 6·N1)
+        WR  = [w1r₀ −w1i₀ w1r₁ −w1i₁ w1r₂ −w1i₂]ᵀ-stacked → yr = lhs @ WR
+        WI  = [w1i₀  w1r₀ w1i₁  w1r₁ w1i₂  w1r₂]  likewise → yi
+      windowed (f32 inputs, 2-term input × 2-term weight, cross dropped):
+        lhs = [a0r a0i a0r a0i a1r a1i]
+        WR  = [w1r₀ −w1i₀ w1r₁ −w1i₁ w1r₀ −w1i₀] etc.
+
+    The twiddle W_N^{n2·k1} stays f32 (elementwise on the native-f32
+    VPU); stage-2 W_{N2} planes carry 2-term bf16 splits (Karatsuba with
+    per-product z-splits in the kernel).
+    """
     def dft(n):
         a = np.arange(n, dtype=np.float64)
         ang = -2.0 * np.pi * ((np.outer(a, a)) % n) / n
-        return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+        return np.cos(ang), np.sin(ang)
 
     w1r, w1i = dft(N1)
     w2r, w2i = dft(N2)
@@ -74,23 +181,46 @@ def _constants(N: int, N1: int, N2: int):
     ang = -2.0 * np.pi * ((n2 * k1) % N) / N
     twr = np.cos(ang).astype(np.float32)   # (N2, N1): matches the
     twi = np.sin(ang).astype(np.float32)   # in-kernel twiddle layout
-    return w1r, w1i, twr, twi, w2r, w2i
+
+    r = _bf16_terms(w1r, 3).astype(np.float64)
+    i = _bf16_terms(w1i, 3).astype(np.float64)
+    if not windowed:
+        # Exact integer inputs: weight-only 3-term split, K = 6·N1.
+        order = (0, 1, 2)
+    else:
+        # f32 inputs: 3-term input × 3-term weight with (i+j ≥ 3) cross
+        # terms dropped — the kernel stacks input terms [a0 a0 a0 a1 a1 a2]
+        # so the weight-term order per block is:
+        order = (0, 1, 2, 0, 1, 0)         # K = 12·N1
+    WR = np.vstack([m for j in order for m in (r[j], -i[j])])
+    WI = np.vstack([m for j in order for m in (i[j], r[j])])
+    # Stage 2 under large dynamic range (a strong tone): absolute error
+    # from the big bins leaks into small bins, so 2-term splits blow the
+    # relative budget there (measured 2.2e-5 with a 35 dB tone). The
+    # 3-input × 3-weight scheme with (i+j ≥ 3) dropped — products z0·c0,
+    # z0·c1, z0·c2, z1·c0, z1·c1, z2·c0 — holds ~3e-7 and costs only
+    # ~60 µs/step more at N=2048 (867 vs 806 µs).
+    return (WR.astype(_BF16), WI.astype(_BF16),
+            twr, twi,
+            _bf16_terms(w2r, 3), _bf16_terms(w2i, 3),
+            _bf16_terms(w2r + w2i, 3))
 
 
 def _kernel(N: int, N1: int, N2: int, TILE_F: int, windowed: bool):
-    """Kernel body: every matmul is 2D so Mosaic maps it onto the MXU.
+    """Kernel body: four fat 2D native-bf16 MXU dispatches per tile.
+    (Wide-N2 variants add two stage-2 refinement passes; see _constants.)
 
     Layout walk (per frame tile, T = TILE_F):
-      raw u16 (T, N) → dequant → (T, N) f32 planes
-      view (T, N1, N2) [n = N2·n1 + n2] → transpose → (T, N2, N1)
-      → merge (T·N2, N1): stage-1 2D matmul contracts n1 (K = N1)
+      raw u16 (T, N) → view (T, N1, N2) [n = N2·n1 + n2] → transpose →
+      (T, N2, N1) → merge (T·N2, N1) → dequant
+      → lhs [· ·]×3 (T·N2, 6·N1): stage-1 K-stacked matmuls → yr, yi
       twiddle elementwise in (T, N2, N1) layout (pre-transposed constants)
-      → transpose → merge (T·N1, N2): stage-2 2D matmul contracts n2
+      → transpose → merge (T·N1, N2): stage-2 Karatsuba split matmuls
       |X|² → masked frame sum → (N1, N2) → (N2, N1) output tile
       (the bin flatten k = k1 + N1·k2 happens outside the kernel).
     """
-    def kernel(nvalid_ref, raw_ref, w1r_ref, w1i_ref, twr_ref, twi_ref,
-               w2r_ref, w2i_ref, *rest):
+    def kernel(nvalid_ref, raw_ref, wr_ref, wi_ref,
+               twr_ref, twi_ref, w2r_ref, w2i_ref, w2s_ref, *rest):
         if windowed:
             win_ref = rest[0]
             out_ref = rest[1]
@@ -98,46 +228,78 @@ def _kernel(N: int, N1: int, N2: int, TILE_F: int, windowed: bool):
             out_ref = rest[0]
 
         pid = pl.program_id(0)
+        f32 = jnp.float32
+        bf16 = jnp.bfloat16
 
-        # u16 lane = interleaved (re, im) byte pair (little endian).
-        v = raw_ref[:].astype(jnp.int32)          # (TILE_F, N)
-        re = (v & 0xFF).astype(jnp.float32) - 127.0
-        im = (v >> 8).astype(jnp.float32) - 127.0
-        if windowed:
-            w = win_ref[:]                         # (1, N)
-            re = re * w
-            im = im * w
+        # One 2-byte transpose on the raw data instead of two 4-byte
+        # f32-plane transposes (dequant commutes with the transpose).
+        vt = jnp.swapaxes(raw_ref[:].reshape(TILE_F, N1, N2), 1, 2)
+        v = vt.reshape(TILE_F * N2, N1).astype(jnp.int32)
 
-        # n = N2·n1 + n2 → (T, N2, N1) with n1 minor, then 2D.
-        def to_stage1(x):
-            x3 = x.reshape(TILE_F, N1, N2)
-            return jnp.swapaxes(x3, 1, 2).reshape(TILE_F * N2, N1)
+        def split3(z):
+            z0 = z.astype(bf16)
+            r1 = z - z0.astype(f32)
+            z1 = r1.astype(bf16)
+            z2 = (r1 - z1.astype(f32)).astype(bf16)
+            return z0, z1, z2
 
-        ar = to_stage1(re)
-        ai = to_stage1(im)
+        if not windowed:
+            # u16 lane = interleaved (re, im) byte pair (little endian);
+            # dequantized integers (|x| ≤ 256) are bf16-EXACT.
+            ar = ((v & 0xFF) - 127).astype(bf16)
+            ai = ((v >> 8) - 127).astype(bf16)
+            lhs = jnp.concatenate([ar, ai, ar, ai, ar, ai], axis=1)
+        else:
+            # Window (pre-transposed to (N2, N1)) makes inputs f32: a
+            # runtime 3-term input split feeds the 3×3-drop weight stack
+            # (blocks [a0 a0 a0 a1 a1 a2] matching _constants' order).
+            w = win_ref[:].reshape(1, N2, N1)
+            arf = ((v & 0xFF).astype(f32) - 127.0).reshape(TILE_F, N2, N1)
+            aif = ((v >> 8).astype(f32) - 127.0).reshape(TILE_F, N2, N1)
+            arf = (arf * w).reshape(TILE_F * N2, N1)
+            aif = (aif * w).reshape(TILE_F * N2, N1)
+            a0r, a1r, a2r = split3(arf)
+            a0i, a1i, a2i = split3(aif)
+            lhs = jnp.concatenate([a0r, a0i, a0r, a0i, a0r, a0i,
+                                   a1r, a1i, a1r, a1i, a2r, a2i], axis=1)
 
-        def cmatmul2d(ar, ai, br, bi):
-            rr = jnp.dot(ar, br, precision=_HI) - jnp.dot(ai, bi, precision=_HI)
-            ri = jnp.dot(ar, bi, precision=_HI) + jnp.dot(ai, br, precision=_HI)
-            return rr, ri
-
-        # Stage 1 (2D MXU matmul, K = N1): Y[(f,n2), k1].
-        yr, yi = cmatmul2d(ar, ai, w1r_ref[:], w1i_ref[:])
+        # Stage 1: TWO dispatches total (complex combination + precision
+        # splits folded into K).
+        yr = jnp.dot(lhs, wr_ref[:],
+                     preferred_element_type=f32).reshape(TILE_F, N2, N1)
+        yi = jnp.dot(lhs, wi_ref[:],
+                     preferred_element_type=f32).reshape(TILE_F, N2, N1)
 
         # Twiddle in the (T, N2, N1) layout: T2[n2, k1] = W_N^{n2·k1}.
-        yr = yr.reshape(TILE_F, N2, N1)
-        yi = yi.reshape(TILE_F, N2, N1)
         twr = twr_ref[:]                           # (N2, N1), pre-transposed
         twi = twi_ref[:]
         zr = yr * twr - yi * twi
         zi = yr * twi + yi * twr
 
-        # → (T, N1, N2) → (T·N1, N2): stage-2 2D matmul, K = N2.
+        # → (T, N1, N2) → (T·N1, N2): stage-2 Karatsuba, 2-term z-split ×
+        # 2-term weight split with the z1·c1 cross dropped (3 passes per
+        # real product; scheme error ~2⁻¹⁸ given the near-exact stage 1).
         def to_stage2(x):
             return jnp.swapaxes(x, 1, 2).reshape(TILE_F * N1, N2)
 
-        xr, xi = cmatmul2d(to_stage2(zr), to_stage2(zi),
-                           w2r_ref[:], w2i_ref[:])
+        zrm = to_stage2(zr)
+        zim = to_stage2(zi)
+        zsm = zrm + zim
+
+        def s2(z, w2_ref):
+            z0, z1, z2 = split3(z)
+            return (jnp.dot(z0, w2_ref[0], preferred_element_type=f32)
+                    + jnp.dot(z0, w2_ref[1], preferred_element_type=f32)
+                    + jnp.dot(z0, w2_ref[2], preferred_element_type=f32)
+                    + jnp.dot(z1, w2_ref[0], preferred_element_type=f32)
+                    + jnp.dot(z1, w2_ref[1], preferred_element_type=f32)
+                    + jnp.dot(z2, w2_ref[0], preferred_element_type=f32))
+
+        u1 = s2(zrm, w2r_ref)
+        u2 = s2(zim, w2i_ref)
+        u3 = s2(zsm, w2s_ref)
+        xr = u1 - u2
+        xi = u3 - u1 - u2
 
         pwr = (xr * xr + xi * xi).reshape(TILE_F, N1, N2)  # (f, k1, k2)
 
@@ -158,7 +320,7 @@ def _kernel(N: int, N1: int, N2: int, TILE_F: int, windowed: bool):
 
 
 def make_fused_psd_fn(N: int, F: int, windowed: bool,
-                      tile_f: int = 128, n1: Optional[int] = None,
+                      tile_f: Optional[int] = None, n1: Optional[int] = None,
                       interpret: Optional[bool] = None):
     """Build fn(raw_u16 (F, N), n_valid i32[, window (N,) f32]) -> (N,) f32
     partial power sum (unshifted bins), as a jittable function.
@@ -167,8 +329,9 @@ def make_fused_psd_fn(N: int, F: int, windowed: bool,
     uint16 — a free reinterpretation on the host (arr.view(np.uint16)) or
     via jax.lax.bitcast_convert_type.
     """
-    if not fused_psd_available(N):
-        raise ValueError(f"fused kernel unavailable for N={N}")
+    if not fused_psd_available(N, F, windowed):
+        raise ValueError(f"fused kernel unavailable for N={N}, F={F} "
+                         "(needs a power of two >= 256 within VMEM budget)")
     if interpret is None:
         # Compiled Mosaic needs a TPU backend; everywhere else (the CPU
         # test harness) the kernel runs in interpreter mode.
@@ -182,29 +345,39 @@ def make_fused_psd_fn(N: int, F: int, windowed: bool,
         os.environ.setdefault("TPU_ACCELERATOR_TYPE", "v5litepod-1")
     N1, N2 = _split(N) if n1 is None else (n1, N // n1)
     assert N1 * N2 == N
+    if tile_f is None:
+        tile_f = pick_tile_f(N, F, windowed)
+        assert tile_f is not None  # guaranteed by fused_psd_available
     TILE_F = min(tile_f, F)
     if F % TILE_F != 0:
         raise ValueError(f"F={F} must be a multiple of tile_f={TILE_F}")
-    consts = tuple(jnp.asarray(c) for c in _constants(N, N1, N2))
+    consts = tuple(jnp.asarray(c) for c in _constants(N, N1, N2, windowed))
 
     grid = (F // TILE_F,)
     kernel = _kernel(N, N1, N2, TILE_F, windowed)
 
-    const_specs = [
-        pl.BlockSpec((N1, N1), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((N1, N1), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((N2, N1), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((N2, N1), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((N2, N2), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((N2, N2), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
-    ]
-    win_spec = [pl.BlockSpec((1, N), lambda i, *_: (0, 0),
-                             memory_space=pltpu.VMEM)] if windowed else []
+    def _whole(shape):
+        zeros = (0,) * len(shape)
+        return pl.BlockSpec(shape, lambda i, *_, z=zeros: z,
+                            memory_space=pltpu.VMEM)
 
-    flops_per_frame = 8 * N * (N1 + N2) + 10 * N
+    k1 = (12 if windowed else 6) * N1
+    const_specs = [
+        _whole((k1, N1)),               # stage-1 K-stacked WR
+        _whole((k1, N1)),               # stage-1 K-stacked WI
+        _whole((N2, N1)),               # twiddle cos
+        _whole((N2, N1)),               # twiddle sin
+        _whole((3, N2, N2)),            # w2r splits
+        _whole((3, N2, N2)),            # w2i splits
+        _whole((3, N2, N2)),            # w2(r+i) splits
+    ]
+    win_spec = [_whole((N2, N1))] if windowed else []
+
+    # Stage 1: 2 dispatches of K=(6 or 12)·N1; stage 2: 18 passes of K=N2.
+    flops_per_frame = (24 if windowed else 12) * N * N1 + 36 * N * N2 + 10 * N
     cost = pl.CostEstimate(
         flops=flops_per_frame * F,
-        bytes_accessed=F * N * 2 + 4 * N,
+        bytes_accessed=F * N * 2 + _const_bytes(N, N1, N2, windowed),
         transcendentals=0,
     )
 
@@ -232,7 +405,8 @@ def make_fused_psd_fn(N: int, F: int, windowed: bool,
     if windowed:
         def fn(raw_u16, n_valid, window):
             nv = jnp.asarray(n_valid, jnp.int32).reshape(1)
-            out = call(nv, raw_u16, *consts, window.reshape(1, N))
+            wt = jnp.swapaxes(window.reshape(N1, N2), 0, 1)  # (N2, N1)
+            out = call(nv, raw_u16, *consts, wt)
             return out.reshape(N)  # (k2, k1) row-major == bin order
     else:
         def fn(raw_u16, n_valid):

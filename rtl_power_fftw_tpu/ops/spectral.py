@@ -143,6 +143,7 @@ class PsdStep:
             self.window = w
         self._power = _power_backend(backend, N)
         self._nv_full = None
+        self._u16_in = False   # set by _make_step when the pallas kernel ships
         self._step = jax.jit(self._make_step())
 
     def _make_step(self):
@@ -150,25 +151,40 @@ class PsdStep:
         window = None if self.window is None else jnp.asarray(self.window)
         power_fn = self._power
 
-        if self.backend == "pallas":
+        if self.backend in ("pallas", "auto"):
             from .kernels.fused_psd import fused_psd_available, make_fused_psd_fn
-            if not fused_psd_available(N):
+            windowed = window is not None
+            eligible = fused_psd_available(N, F, windowed=windowed)
+            if self.backend == "pallas" and not eligible:
                 raise ValueError(
-                    f"pallas backend unavailable for N={N} (needs a power of "
-                    "two >= 256); use backend='auto'")
-            tile = next(t for t in (128, 64, 32, 16, 8) if F % t == 0)
-            fused = make_fused_psd_fn(N, F, windowed=window is not None,
-                                      tile_f=tile)
+                    f"pallas backend unavailable for N={N}, F={F} (needs a "
+                    "power of two >= 256 whose working set fits VMEM); "
+                    "use backend='auto'")
+            # auto: the fused kernel wins on real TPUs for large power-of-2
+            # N (measured v5e, GS/s pallas vs four-step/XLA: N=2048 10.4 vs
+            # 9.4 unwindowed but a loss windowed; N=4096 13.4 vs 9.4; N=8192
+            # 13.8 vs 8.3; N=65536 10.5 vs 7.0). Below 4096 the stage-1
+            # matmuls are too narrow; on the CPU test harness the kernel
+            # only interprets. The 'high' precision knob applies to the
+            # four-step path, so an explicit request keeps it.
+            auto_pallas = (eligible and (N >= 4096 if windowed else N >= 2048)
+                           and jax.default_backend() == "tpu"
+                           and self._precision == jax.lax.Precision.HIGHEST)
+            if self.backend == "pallas" or auto_pallas:
+                fused = make_fused_psd_fn(N, F, windowed=windowed)
+                # The interleaved (re, im) u8 pair is one little-endian u16
+                # lane. The reinterpretation is FREE on the host
+                # (ndarray.view) but a real relayout pass if done on device
+                # (measured 29% of the whole step) — so the pallas step
+                # takes (F, N) u16 and __call__ views the host buffer.
+                self._u16_in = True
 
-            def pallas_step(raw: jax.Array, n_valid: jax.Array) -> jax.Array:
-                # Interleaved (re, im) u8 pair == one little-endian u16 lane.
-                raw16 = jax.lax.bitcast_convert_type(
-                    raw.reshape(F, N, 2), jnp.uint16)
-                if window is not None:
-                    return fused(raw16, n_valid, window)
-                return fused(raw16, n_valid)
+                def pallas_step(raw16: jax.Array, n_valid: jax.Array) -> jax.Array:
+                    if window is not None:
+                        return fused(raw16, n_valid, window)
+                    return fused(raw16, n_valid)
 
-            return pallas_step
+                return pallas_step
 
         fused_partial = None
         if self.backend in ("fourstep", "auto"):
@@ -223,6 +239,8 @@ class PsdStep:
         The all-frames-valid scalar is cached device-side: re-uploading a
         host scalar per step costs real latency on remote-attached TPUs.
         """
+        if self._u16_in and raw.dtype == np.uint8:
+            raw = raw.view(np.uint16)  # free reinterpretation on the host
         if n_valid == self.F:
             if self._nv_full is None:
                 self._nv_full = jnp.int32(self.F)
@@ -230,10 +248,20 @@ class PsdStep:
         return self._step(raw, jnp.int32(n_valid))
 
     def lowered_fn(self):
-        """The raw jitted function, for entry-point/compile checks."""
+        """The raw jitted function, for entry-point/compile checks.
+
+        NOTE: when the fused Pallas kernel is the selected path
+        (``self.takes_u16``), the function takes (F, N) uint16 — the u8
+        buffer viewed as little-endian IQ pairs — instead of (F, 2N) u8."""
         return self._step
 
+    @property
+    def takes_u16(self) -> bool:
+        return self._u16_in
+
     def example_args(self) -> Tuple[np.ndarray, np.ndarray]:
+        if self._u16_in:
+            return np.zeros((self.F, self.N), dtype=np.uint16), np.int32(0)
         raw = np.zeros((self.F, 2 * self.N), dtype=np.uint8)
         return raw, np.int32(0)
 
