@@ -35,7 +35,7 @@ def main() -> None:
 
     from rtl_power_fftw_tpu.auxdata import make_window
     from rtl_power_fftw_tpu.ops.dft import fourstep_psd_partial
-    from rtl_power_fftw_tpu.ops.spectral import dequant_iq
+    from rtl_power_fftw_tpu.ops.spectral import PsdStep, dequant_iq
 
     quick = "--quick" in sys.argv
     dev = jax.devices()[0]
@@ -44,25 +44,27 @@ def main() -> None:
     rows = []
 
     def measure(name, N, F, lo, hi, window=None, baseline=None):
-        """One config: F frames of N bins per step. The transform follows
-        the shipping auto-backend crossover (four-step <= 8192, XLA FFT
-        above), so the table reflects what the tool actually runs."""
+        """One config: F frames of N bins per step, through the SHIPPING
+        PsdStep auto path (round 2: the fused Pallas kernel for
+        power-of-two N >= 2048, four-step matmuls or the XLA FFT
+        elsewhere), so the table reflects what the tool actually runs."""
+        step = PsdStep(N, F, window=window, backend="auto")
+        F = step.F
+        fn = step.lowered_fn()
+        nv = jnp.int32(F)
+        raw_host = rng.integers(0, 256, (F, 2 * N), dtype=np.uint8)
         raw = jax.device_put(
-            rng.integers(0, 256, (F, 2 * N), dtype=np.uint8), dev)
-        w = None if window is None else jnp.asarray(window)
+            raw_host.view(np.uint16) if step.takes_u16 else raw_host, dev)
+        pdt = jnp.uint16 if step.takes_u16 else jnp.uint8
         b = None if baseline is None else jnp.asarray(baseline)
+        print(f"  {name}: auto -> "
+              f"{'fused pallas' if step.takes_u16 else 'four-step/XLA'}",
+              file=sys.stderr)
 
         @partial(jax.jit, static_argnums=1)
         def many(raw, iters):
             def body(carry, i):
-                re, im = dequant_iq(raw + i.astype(jnp.uint8), F, N, w)
-                fmask = jnp.ones((F,), jnp.float32)
-                if N <= 8192:
-                    part = fourstep_psd_partial(re, im, fmask)
-                else:
-                    X = jnp.fft.fft(jax.lax.complex(re, im), axis=-1)
-                    p = jnp.real(X)**2 + jnp.imag(X)**2
-                    part = (p * fmask[:, None]).sum(0)
+                part = fn(raw + i.astype(pdt), nv)
                 if b is not None:
                     part = part - b  # baseline ride-along (output units)
                 return carry + part, ()

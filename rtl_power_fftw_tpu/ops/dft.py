@@ -205,3 +205,286 @@ def dft_power_fourstep(re: jax.Array, im: jax.Array,
 
     pwr = xre * xre + xim * xim  # (F, N1, N2), bin k = k1 + N1·k2
     return jnp.transpose(pwr, (0, 2, 1)).reshape(F, N)
+
+
+def _trunc_split3(z: jax.Array):
+    """Fold-proof 3-term bf16 split of f32 ``z`` (z ≈ z0+z1+z2, residual
+    ~2⁻²⁴·|z|).
+
+    Uses mantissa TRUNCATION via integer bit-masking instead of a
+    bf16→f32 round trip: XLA under ``--xla_allow_excess_precision`` (set
+    on TPU) legally folds ``z - f32(bf16(z))`` to zero, silently
+    destroying round-trip-style splits outside Pallas. Bit arithmetic
+    cannot be folded. Truncation loses ~1 bit per term vs
+    round-to-nearest; the third term absorbs it.
+    """
+    def trunc(v):
+        u = jax.lax.bitcast_convert_type(v, jnp.uint32)
+        return jax.lax.bitcast_convert_type(
+            u & np.uint32(0xFFFF0000), jnp.float32)
+    z0 = trunc(z)
+    r1 = z - z0
+    z1 = trunc(r1)
+    r2 = r1 - z1
+    z2 = trunc(r2)
+    return (z0.astype(jnp.bfloat16), z1.astype(jnp.bfloat16),
+            z2.astype(jnp.bfloat16))
+
+
+@functools.lru_cache(maxsize=8)
+def _mixed_constants(N: int, N1: int, N2: int):
+    """bf16 3-term weight splits + f32 twiddles for the mixed-precision
+    four-step (same split scheme as the fused Pallas kernel, built for
+    XLA-level execution where the kernel's VMEM gate rejects N)."""
+    import ml_dtypes
+
+    def terms3(w):
+        out, r = [], np.asarray(w, np.float64)
+        for _ in range(3):
+            t = r.astype(ml_dtypes.bfloat16)
+            out.append(t)
+            r = r - t.astype(np.float64)
+        return np.stack(out)
+
+    c1, s1 = (m.astype(np.float64) for m in _dft_matrices(N1))
+    c2, s2 = (m.astype(np.float64) for m in _dft_matrices(N2))
+    n2 = np.arange(N2, dtype=np.float64)[:, None]
+    k1 = np.arange(N1, dtype=np.float64)[None, :]
+    ang = -2.0 * np.pi * ((n2 * k1) % N) / N
+    return (terms3(c1), terms3(s1), terms3(c1 + s1),
+            np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32),
+            terms3(c2), terms3(s2), terms3(c2 + s2))
+
+
+def fourstep_psd_partial_mixed(re: jax.Array, im: jax.Array,
+                               fmask: jax.Array,
+                               N1: int | None = None, N2: int | None = None,
+                               chunk: int = 64) -> jax.Array:
+    """Masked partial PSD sum via a MIXED-PRECISION four-step DFT.
+
+    Same transpose-free structure as :func:`fourstep_psd_partial`, but
+    every matmul runs as native bf16 MXU passes with manual splits
+    (the fused Pallas kernel's scheme at the XLA level):
+
+    * stage 1: dequantized integer inputs are bf16-exact, so a 3-term
+      weight-only split gives f32-grade accuracy in 3 native passes per
+      Karatsuba product (vs 6 emulated passes at Precision.HIGHEST);
+    * stage 2: 3-term truncation input split × 3-term weight split with
+      (i+j ≥ 3) cross terms dropped — robust to tone-dominated dynamic
+      range (a 2-term input split leaks ~2e-5 relative into small bins).
+
+    Serves the very-large-N modes (e.g. the 1M-point BASELINE config)
+    where the Pallas kernel's working set exceeds VMEM: measured on a
+    v5e at N=2²⁰ this is ~3× the XLA FFT path. Requires the dequantized
+    integer inputs convention (|re|, |im| ≤ 256, exact in bf16).
+
+    re, im: (F, N) float32; fmask: (F,) float32. Returns (N,) float32.
+    """
+    F, N = re.shape
+    if N1 is None or N2 is None:
+        N1, N2 = best_fourstep_split(N)
+    assert N1 * N2 == N, (N1, N2, N)
+    c1r, c1i, c1s, tc, ts, c2r, c2i, c2s = (
+        jnp.asarray(a) for a in _mixed_constants(N, N1, N2))
+    while F % chunk != 0:
+        chunk //= 2
+    bf16, f32 = jnp.bfloat16, jnp.float32
+
+    dn = (((1,), (0,)), ((), ()))  # contract axis 1 with weight axis 0
+
+    def dot(a, b):
+        return jax.lax.dot_general(a, b, dn, preferred_element_type=f32)
+
+    def wdot3(a, w3):
+        return dot(a, w3[0]) + dot(a, w3[1]) + dot(a, w3[2])
+
+    xr = re.reshape(F, N1, N2)
+    xi = im.reshape(F, N1, N2)
+    xrb = xr.astype(bf16)          # exact: dequantized integers
+    xib = xi.astype(bf16)
+    xsb = (xr + xi).astype(bf16)   # |sum| ≤ 256: still exact
+
+    # Stage 1 (contract n1): Karatsuba, weight-only splits. (F, n2, k1).
+    t1 = wdot3(xrb, c1r)
+    t2 = wdot3(xib, c1i)
+    t3 = wdot3(xsb, c1s)
+    yr = t1 - t2
+    yi = t3 - t1 - t2
+
+    # Twiddle (pre-transposed (n2, k1) layout), f32 on the VPU.
+    zr = yr * tc - yi * ts
+    zi = yr * ts + yi * tc
+
+    # Stage 2 (contract n2, axis 1): 3×3-drop split scheme.
+    def s2(z, w3):
+        z0, z1, z2 = _trunc_split3(z)
+        return (dot(z0, w3[0]) + dot(z0, w3[1]) + dot(z0, w3[2])
+                + dot(z1, w3[0]) + dot(z1, w3[1]) + dot(z2, w3[0]))
+
+    u1 = s2(zr, c2r)
+    u2 = s2(zi, c2i)
+    u3 = s2(zr + zi, c2s)
+    xr2 = u1 - u2                  # (F, k1, k2)
+    xi2 = u3 - u1 - u2
+
+    p = (xr2 * xr2 + xi2 * xi2) * fmask[:, None, None]
+    g = F // chunk
+    s = p.reshape(g, chunk, N1, N2).sum(axis=1).sum(axis=0)  # (k1, k2)
+    return jnp.swapaxes(s, 0, 1).reshape(N)
+
+
+def _mixed_cmatmul(zr, zi, w3r, w3i, w3s, exact: bool, dn):
+    """Karatsuba complex matmul with native-bf16 split passes.
+
+    ``exact``: inputs are bf16-exact integers (weight-only 3-term split,
+    3 passes/product); otherwise a fold-proof 3-term truncation input
+    split with (i+j ≥ 3) cross terms dropped (6 passes/product).
+    """
+    f32, bf16 = jnp.float32, jnp.bfloat16
+
+    def dot(a, b):
+        return jax.lax.dot_general(a, b, dn, preferred_element_type=f32)
+
+    if exact:
+        def prod(z, w3):
+            zb = z.astype(bf16)
+            return dot(zb, w3[0]) + dot(zb, w3[1]) + dot(zb, w3[2])
+    else:
+        def prod(z, w3):
+            z0, z1, z2 = _trunc_split3(z)
+            return (dot(z0, w3[0]) + dot(z0, w3[1]) + dot(z0, w3[2])
+                    + dot(z1, w3[0]) + dot(z1, w3[1]) + dot(z2, w3[0]))
+
+    t1 = prod(zr, w3r)
+    t2 = prod(zi, w3i)
+    t3 = prod(zr + zi, w3s)
+    return t1 - t2, t3 - t1 - t2
+
+
+def best_threestep_split(N: int) -> Tuple[int, int, int]:
+    """N = A·B·C with factors as close to 128 as possible (fat MXU
+    contractions, FLOPs ∝ A+B+C). Only useful for large N."""
+    best = None
+    a = 1
+    while a * a * a <= N:
+        if N % a == 0:
+            rest = N // a
+            b = a
+            bb = int(math.isqrt(rest))
+            for b in range(bb, a - 1, -1):
+                if rest % b == 0:
+                    c = rest // b
+                    cost = a + b + c
+                    if best is None or cost < best[0]:
+                        best = (cost, c, b, a)  # largest factor first
+                    break
+        a += 1
+    if best is None:
+        return (N, 1, 1)
+    return best[1], best[2], best[3]
+
+
+@functools.lru_cache(maxsize=4)
+def _threestep_constants(N: int, A: int, B: int, C: int):
+    """bf16 3-term weight splits for the three stage DFTs + f32 twiddles.
+
+    Decomposition n = a·BC + b·C + c, k = k1 + A·k2 + A·B·k3:
+      y1[b,c,k1] = Σ_a x[a,b,c]·W_A^{a·k1}; twiddle W_N^{k1·(b·C+c)}
+      y2[c,k1,k2] = Σ_b ·W_B^{b·k2};        twiddle W_{BC}^{k2·c}
+      X[k1,k2,k3] = Σ_c ·W_C^{c·k3}
+    """
+    import ml_dtypes
+
+    def terms3(w):
+        out, r = [], np.asarray(w, np.float64)
+        for _ in range(3):
+            t = r.astype(ml_dtypes.bfloat16)
+            out.append(t)
+            r = r - t.astype(np.float64)
+        return np.stack(out)
+
+    def dftm(n):
+        i = np.arange(n, dtype=np.float64)
+        ang = -2.0 * np.pi * ((np.outer(i, i)) % n) / n
+        return np.cos(ang), np.sin(ang)
+
+    wa_c, wa_s = dftm(A)
+    wb_c, wb_s = dftm(B)
+    wc_c, wc_s = dftm(C)
+    b = np.arange(B, dtype=np.float64)[:, None, None]
+    c = np.arange(C, dtype=np.float64)[None, :, None]
+    k1 = np.arange(A, dtype=np.float64)[None, None, :]
+    ang1 = -2.0 * np.pi * (((b * C + c) * k1) % N) / N     # (B, C, A)
+    c2 = np.arange(C, dtype=np.float64)[:, None]
+    k2 = np.arange(B, dtype=np.float64)[None, :]
+    ang2 = -2.0 * np.pi * ((c2 * k2) % (B * C)) / (B * C)  # (C, B)
+    return (terms3(wa_c), terms3(wa_s), terms3(wa_c + wa_s),
+            np.cos(ang1).astype(np.float32), np.sin(ang1).astype(np.float32),
+            terms3(wb_c), terms3(wb_s), terms3(wb_c + wb_s),
+            np.cos(ang2).astype(np.float32), np.sin(ang2).astype(np.float32),
+            terms3(wc_c), terms3(wc_s), terms3(wc_c + wc_s))
+
+
+def threestep_psd_partial_mixed(re: jax.Array, im: jax.Array,
+                                fmask: jax.Array,
+                                split: Tuple[int, int, int] | None = None,
+                                chunk: int = 8) -> jax.Array:
+    """Masked partial PSD via a THREE-level mixed-precision Cooley-Tukey
+    factorization N = A·B·C — the very-large-N transform.
+
+    A two-level split of N = 2²⁰ contracts K = 1024 per stage (≈2048
+    MACs/sample); three levels with A,B,C ≈ 128 need only ≈A+B+C
+    MACs/sample per pass-set — ~6× fewer FLOPs, with every contraction
+    still MXU-fat. Same precision scheme as the fused kernel /
+    :func:`fourstep_psd_partial_mixed` (exact integer stage 1, 3-term
+    truncation splits after; accuracy sits at the four-step family's f32
+    cancellation floor — see that function's docstring).
+
+    re, im: (F, N) float32 dequantized integers. Returns (N,) float32,
+    unshifted bins.
+    """
+    F, N = re.shape
+    if split is None:
+        split = best_threestep_split(N)
+    A, B, C = split
+    assert A * B * C == N, (A, B, C, N)
+    (wa_r, wa_i, wa_s, t1c, t1s, wb_r, wb_i, wb_s, t2c, t2s,
+     wc_r, wc_i, wc_s) = (jnp.asarray(x) for x in
+                          _threestep_constants(N, A, B, C))
+    while F % chunk != 0:
+        chunk //= 2
+
+    dn = (((1,), (0,)), ((), ()))  # contract axis 1 of a 4D operand
+
+    xr = re.reshape(F, A, B * C)
+    xi = im.reshape(F, A, B * C)
+    # Stage A (exact integers): (F, A, BC) → (F, BC, k1).
+    yr, yi = _mixed_cmatmul(xr, xi, wa_r, wa_i, wa_s, True, dn)
+    yr = yr.reshape(F, B, C, A)
+    yi = yi.reshape(F, B, C, A)
+    zr = yr * t1c - yi * t1s
+    zi = yr * t1s + yi * t1c
+
+    # Stage B: contract b (axis 1): (F, B, C·A-view) → (F, C, A, k2).
+    zr = zr.reshape(F, B, C * A)
+    zi = zi.reshape(F, B, C * A)
+    yr, yi = _mixed_cmatmul(zr, zi, wb_r, wb_i, wb_s, False, dn)
+    yr = yr.reshape(F, C, A, B)
+    yi = yi.reshape(F, C, A, B)
+    tw2c = t2c[None, :, None, :]
+    tw2s = t2s[None, :, None, :]
+    zr = yr * tw2c - yi * tw2s
+    zi = yr * tw2s + yi * tw2c
+
+    # Stage C: contract c (axis 1): (F, C, A·B-view) → (F, A, B, k3).
+    zr = zr.reshape(F, C, A * B)
+    zi = zi.reshape(F, C, A * B)
+    xr2, xi2 = _mixed_cmatmul(zr, zi, wc_r, wc_i, wc_s, False, dn)
+    xr2 = xr2.reshape(F, A, B, C)   # (f, k1, k2, k3)
+    xi2 = xi2.reshape(F, A, B, C)
+
+    p = (xr2 * xr2 + xi2 * xi2) * fmask[:, None, None, None]
+    g = F // chunk
+    s = p.reshape(g, chunk, A, B, C).sum(axis=1).sum(axis=0)  # (k1, k2, k3)
+    # Bin k = k1 + A·k2 + A·B·k3 → row-major (k3, k2, k1).
+    return jnp.transpose(s, (2, 1, 0)).reshape(N)

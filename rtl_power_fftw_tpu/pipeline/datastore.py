@@ -194,6 +194,17 @@ class Datastore:
                 # device step instead of one step per buffer.
                 pos = 0
                 while pos < len(frames):
+                    if staged == 0 and len(frames) - pos >= F:
+                        # Direct-feed fast path: a full aligned batch goes to
+                        # the device step as a zero-copy VIEW of the buffer —
+                        # JAX copies numpy inputs at dispatch time, so the
+                        # view need not outlive this call. Skips two host
+                        # memcpy passes (staging fill + staging.copy()).
+                        pending.append(self.step(frames[pos:pos + F], F))
+                        self.repeats_done += F
+                        pos += F
+                        drain(self.max_in_flight)
+                        continue
                     take = min(F - staged, len(frames) - pos)
                     staging[staged:staged + take] = frames[pos:pos + take]
                     staged += take
