@@ -106,6 +106,7 @@ class Acquisition:
                       file=self.err)
             self.pwr = result.pwr
             self.repeats_done = int(result.repeats_done.sum())
+            self.multistream_repeats = result.repeats_done
             self.deviceReadouts = result.device_readouts
             self.successfulReadouts = result.successful_readouts
             self.stream_eof = result.stream_eof
@@ -181,7 +182,14 @@ class Acquisition:
         """Unique (complex) samples consumed — N·repeats_done, except in
         Welch-overlap mode where frames share samples."""
         if self.multistream is not None:
-            return self.params.N * self.repeats_done
+            hop = self.multistream._hop
+            if hop is None or self.repeats_done <= 0:
+                return self.params.N * self.repeats_done
+            # Per-stream overlap: sum hop·(r_s−1)+N over streams.
+            import numpy as _np
+            r = _np.asarray(self.multistream_repeats, dtype=_np.int64)
+            return int((hop * _np.maximum(r - 1, 0)
+                        + _np.where(r > 0, self.params.N, 0)).sum())
         return self.data.unique_samples(self.repeats_done)
 
     def print_summary(self) -> None:
