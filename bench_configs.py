@@ -97,50 +97,41 @@ def main() -> None:
     measure("config4: 256 hops x 2048-bin scan", 2048,
             2048 if not quick else 512, lo, hi)
 
-    # 5. 16 streams psum-reduced over the mesh, measured with the same
-    # slope methodology (the sharded local step + psum chained in-program).
-    from jax.sharding import Mesh, PartitionSpec as P
-    try:
-        from jax import shard_map
-    except ImportError:
-        from jax.experimental.shard_map import shard_map
-    from rtl_power_fftw_tpu.parallel import make_mesh
+    # 5. 16 streams psum-reduced over the mesh: the SHIPPING ShardedPsdStep
+    # (round 2: the fused Pallas kernel's streams variant per shard on TPU),
+    # sharded step + psum chained in-program with the slope methodology.
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from rtl_power_fftw_tpu.parallel import ShardedPsdStep, make_mesh
     S, N5, F5 = 16, 2048, 256 if not quick else 128
     mesh = make_mesh(min(len(jax.devices()), S))
+    step5 = ShardedPsdStep(mesh, N5, F5, streams=S, backend="auto")
+    F5 = step5.F
+    print(f"  config5: sharded auto -> "
+          f"{'fused pallas' if step5.takes_u16 else 'four-step/XLA'}",
+          file=sys.stderr)
+    raw5_host = rng.integers(0, 256, (S, F5, 2 * N5), dtype=np.uint8)
+    raw5 = jax.device_put(
+        raw5_host.view(np.uint16) if step5.takes_u16 else raw5_host,
+        NamedSharding(mesh, P(step5.axis)))
+    nv5 = jnp.asarray(np.full((S,), F5, np.int32))
+    pdt5 = jnp.uint16 if step5.takes_u16 else jnp.uint8
+    fn5 = step5._step
 
-    def local_many(raw, iters):  # iters baked per jit via partial
+    @partial(jax.jit, static_argnums=1)
+    def many5(raw, iters):
         def body(c, i):
-            S_l, F_l = raw.shape[0], raw.shape[1]
-            re, im = dequant_iq(
-                (raw + i.astype(jnp.uint8)).reshape(S_l * F_l, 2 * N5),
-                S_l * F_l, N5)
-            part = fourstep_psd_partial(re, im,
-                                        jnp.ones((S_l * F_l,), jnp.float32))
-            return c + jax.lax.psum(part, "stream"), ()
+            ps, comb = fn5(raw + i.astype(pdt5), nv5)
+            return c + comb, ()
         acc, _ = jax.lax.scan(body, jnp.zeros(N5, jnp.float32),
                               jnp.arange(iters))
         return acc
 
-    import functools
-
-    @functools.lru_cache(maxsize=4)
-    def sharded5_for(iters):
-        fn = functools.partial(local_many, iters=iters)
-        return jax.jit(shard_map(fn, mesh=mesh,
-                                 in_specs=(P("stream"),),
-                                 out_specs=P()))
-
-    raw5 = jax.device_put(
-        rng.integers(0, 256, (S, F5, 2 * N5), dtype=np.uint8),
-        jax.NamedSharding(mesh, P("stream")))
-
     def t5(iters, reps=2):
-        fn = sharded5_for(iters)
-        np.asarray(fn(raw5))
+        np.asarray(many5(raw5, iters))
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            np.asarray(fn(raw5))
+            np.asarray(many5(raw5, iters))
             best = min(best, time.perf_counter() - t0)
         return best
     per = (t5(hi) - t5(lo)) / (hi - lo)

@@ -199,14 +199,17 @@ def _constants(N: int, N1: int, N2: int, windowed: bool):
     # relative budget there (measured 2.2e-5 with a 35 dB tone). The
     # 3-input × 3-weight scheme with (i+j ≥ 3) dropped — products z0·c0,
     # z0·c1, z0·c2, z1·c0, z1·c1, z2·c0 — holds ~3e-7 and costs only
-    # ~60 µs/step more at N=2048 (867 vs 806 µs).
+    # ~60 µs/step more at N=2048 (867 vs 806 µs). Three weight terms are
+    # always materialized; the FAST (precision='high') kernel variant
+    # simply uses fewer of them.
     return (WR.astype(_BF16), WI.astype(_BF16),
             twr, twi,
             _bf16_terms(w2r, 3), _bf16_terms(w2i, 3),
             _bf16_terms(w2r + w2i, 3))
 
 
-def _kernel(N: int, N1: int, N2: int, TILE_F: int, windowed: bool):
+def _kernel(N: int, N1: int, N2: int, TILE_F: int, windowed: bool,
+            fast: bool = False, tiles_per_stream: int = 0):
     """Kernel body: four fat 2D native-bf16 MXU dispatches per tile.
     (Wide-N2 variants add two stage-2 refinement passes; see _constants.)
 
@@ -286,14 +289,26 @@ def _kernel(N: int, N1: int, N2: int, TILE_F: int, windowed: bool):
         zim = to_stage2(zi)
         zsm = zrm + zim
 
-        def s2(z, w2_ref):
-            z0, z1, z2 = split3(z)
-            return (jnp.dot(z0, w2_ref[0], preferred_element_type=f32)
-                    + jnp.dot(z0, w2_ref[1], preferred_element_type=f32)
-                    + jnp.dot(z0, w2_ref[2], preferred_element_type=f32)
-                    + jnp.dot(z1, w2_ref[0], preferred_element_type=f32)
-                    + jnp.dot(z1, w2_ref[1], preferred_element_type=f32)
-                    + jnp.dot(z2, w2_ref[0], preferred_element_type=f32))
+        if fast:
+            # precision='high': 2×2-drop stage 2 (3 passes/product).
+            # ~7% faster at N=2048 (806 vs 865 µs) but the error floor
+            # rises to ~2e-6 uniform / ~4e-5 under a 35 dB tone — outside
+            # the 1e-5 budget for tone-dominated inputs, hence opt-in.
+            def s2(z, w2_ref):
+                z0 = z.astype(bf16)
+                z1 = (z - z0.astype(f32)).astype(bf16)
+                return (jnp.dot(z0, w2_ref[0], preferred_element_type=f32)
+                        + jnp.dot(z0, w2_ref[1], preferred_element_type=f32)
+                        + jnp.dot(z1, w2_ref[0], preferred_element_type=f32))
+        else:
+            def s2(z, w2_ref):
+                z0, z1, z2 = split3(z)
+                return (jnp.dot(z0, w2_ref[0], preferred_element_type=f32)
+                        + jnp.dot(z0, w2_ref[1], preferred_element_type=f32)
+                        + jnp.dot(z0, w2_ref[2], preferred_element_type=f32)
+                        + jnp.dot(z1, w2_ref[0], preferred_element_type=f32)
+                        + jnp.dot(z1, w2_ref[1], preferred_element_type=f32)
+                        + jnp.dot(z2, w2_ref[0], preferred_element_type=f32))
 
         u1 = s2(zrm, w2r_ref)
         u2 = s2(zim, w2i_ref)
@@ -303,15 +318,25 @@ def _kernel(N: int, N1: int, N2: int, TILE_F: int, windowed: bool):
 
         pwr = (xr * xr + xi * xi).reshape(TILE_F, N1, N2)  # (f, k1, k2)
 
-        # Mask padding frames: global frame index < n_valid.
-        base = pid * TILE_F
+        if tiles_per_stream:
+            # Multi-stream batch: frames are grouped per stream and every
+            # tile lies inside ONE stream (F % TILE_F == 0), so the valid
+            # count is a per-tile scalar from the prefetched (S,) array.
+            sid = pid // tiles_per_stream
+            base = (pid % tiles_per_stream) * TILE_F
+            nv = nvalid_ref[sid]
+            first = (pid % tiles_per_stream) == 0
+        else:
+            base = pid * TILE_F
+            nv = nvalid_ref[0]
+            first = pid == 0
         fidx = jax.lax.broadcasted_iota(jnp.int32, (TILE_F, 1, 1), 0) + base
-        pwr = jnp.where(fidx < nvalid_ref[0], pwr, 0.0)
+        pwr = jnp.where(fidx < nv, pwr, 0.0)
 
         s = jnp.sum(pwr, axis=0)                   # (N1, N2)
         partial = jnp.swapaxes(s, 0, 1)            # (N2, N1)
 
-        @pl.when(pid == 0)
+        @pl.when(first)
         def _():
             out_ref[:] = jnp.zeros_like(out_ref)
         out_ref[:] += partial
@@ -321,13 +346,20 @@ def _kernel(N: int, N1: int, N2: int, TILE_F: int, windowed: bool):
 
 def make_fused_psd_fn(N: int, F: int, windowed: bool,
                       tile_f: Optional[int] = None, n1: Optional[int] = None,
-                      interpret: Optional[bool] = None):
+                      interpret: Optional[bool] = None, fast: bool = False,
+                      streams: int = 1):
     """Build fn(raw_u16 (F, N), n_valid i32[, window (N,) f32]) -> (N,) f32
     partial power sum (unshifted bins), as a jittable function.
 
     ``raw_u16`` is the interleaved u8 IQ buffer viewed as little-endian
     uint16 — a free reinterpretation on the host (arr.view(np.uint16)) or
     via jax.lax.bitcast_convert_type.
+
+    With ``streams`` = S > 1 the signature becomes
+    fn(raw_u16 (S·F, N), n_valid (S,) i32[, window]) -> (S, N): frames are
+    grouped per stream (F per stream), masked per-stream, and the kernel
+    accumulates one output tile per stream — the sharded multi-stream
+    step runs this per mesh shard.
     """
     if not fused_psd_available(N, F, windowed):
         raise ValueError(f"fused kernel unavailable for N={N}, F={F} "
@@ -353,8 +385,10 @@ def make_fused_psd_fn(N: int, F: int, windowed: bool,
         raise ValueError(f"F={F} must be a multiple of tile_f={TILE_F}")
     consts = tuple(jnp.asarray(c) for c in _constants(N, N1, N2, windowed))
 
-    grid = (F // TILE_F,)
-    kernel = _kernel(N, N1, N2, TILE_F, windowed)
+    tiles_per_stream = F // TILE_F
+    grid = (streams * tiles_per_stream,)
+    kernel = _kernel(N, N1, N2, TILE_F, windowed, fast=fast,
+                     tiles_per_stream=tiles_per_stream if streams > 1 else 0)
 
     def _whole(shape):
         zeros = (0,) * len(shape)
@@ -381,6 +415,17 @@ def make_fused_psd_fn(N: int, F: int, windowed: bool,
         transcendentals=0,
     )
 
+    if streams > 1:
+        tps = tiles_per_stream
+        out_spec = pl.BlockSpec((1, N2, N1),
+                                lambda i, *_: (i // tps, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((streams, N2, N1), jnp.float32)
+    else:
+        out_spec = pl.BlockSpec((N2, N1), lambda i, *_: (0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((N2, N1), jnp.float32)
+
     call = pl.pallas_call(
         kernel,
         compiler_params=pltpu.CompilerParams(
@@ -394,24 +439,26 @@ def make_fused_psd_fn(N: int, F: int, windowed: bool,
                 *const_specs,
                 *win_spec,
             ],
-            out_specs=pl.BlockSpec((N2, N1), lambda i, *_: (0, 0),
-                                   memory_space=pltpu.VMEM),
+            out_specs=out_spec,
         ),
-        out_shape=jax.ShapeDtypeStruct((N2, N1), jnp.float32),
+        out_shape=out_shape,
         cost_estimate=cost,
         interpret=interpret,
     )
 
+    out_dims = (streams, N) if streams > 1 else (N,)
+    nv_len = streams if streams > 1 else 1
+
     if windowed:
         def fn(raw_u16, n_valid, window):
-            nv = jnp.asarray(n_valid, jnp.int32).reshape(1)
+            nv = jnp.asarray(n_valid, jnp.int32).reshape(nv_len)
             wt = jnp.swapaxes(window.reshape(N1, N2), 0, 1)  # (N2, N1)
             out = call(nv, raw_u16, *consts, wt)
-            return out.reshape(N)  # (k2, k1) row-major == bin order
+            return out.reshape(out_dims)  # (k2, k1) row-major == bin order
     else:
         def fn(raw_u16, n_valid):
-            nv = jnp.asarray(n_valid, jnp.int32).reshape(1)
+            nv = jnp.asarray(n_valid, jnp.int32).reshape(nv_len)
             out = call(nv, raw_u16, *consts)
-            return out.reshape(N)
+            return out.reshape(out_dims)
 
     return fn

@@ -165,13 +165,15 @@ class PsdStep:
             # 9.4 unwindowed but a loss windowed; N=4096 13.4 vs 9.4; N=8192
             # 13.8 vs 8.3; N=65536 10.5 vs 7.0). Below 4096 the stage-1
             # matmuls are too narrow; on the CPU test harness the kernel
-            # only interprets. The 'high' precision knob applies to the
-            # four-step path, so an explicit request keeps it.
+            # only interprets. precision='high' selects the kernel's FAST
+            # stage-2 variant (3 passes/product, ~2e-6 uniform error but
+            # ~4e-5 under strong tones — opt-in relaxed parity).
             auto_pallas = (eligible and (N >= 4096 if windowed else N >= 2048)
-                           and jax.default_backend() == "tpu"
-                           and self._precision == jax.lax.Precision.HIGHEST)
+                           and jax.default_backend() == "tpu")
             if self.backend == "pallas" or auto_pallas:
-                fused = make_fused_psd_fn(N, F, windowed=windowed)
+                fused = make_fused_psd_fn(
+                    N, F, windowed=windowed,
+                    fast=self._precision != jax.lax.Precision.HIGHEST)
                 # The interleaved (re, im) u8 pair is one little-endian u16
                 # lane. The reinterpretation is FREE on the host
                 # (ndarray.view) but a real relayout pass if done on device
@@ -208,10 +210,10 @@ class PsdStep:
                 fused_partial = (fourstep_psd_partial, n1, n2)
         if self._precision != jax.lax.Precision.HIGHEST and fused_partial is None:
             import sys as _sys
-            print("Warning: --precision high only affects the fused "
-                  "four-step path (auto backend, composite N <= 8192); "
-                  f"this step (backend={self.backend}, N={N}) ignores it.",
-                  file=_sys.stderr)
+            print("Warning: --precision high only affects the fused Pallas "
+                  "kernel (TPU, power-of-2 N) and the four-step matmul path "
+                  f"(composite N <= 8192); this step (backend={self.backend}, "
+                  f"N={N}) ignores it.", file=_sys.stderr)
         chunk = self._chunk
 
         def step(raw: jax.Array, n_valid: jax.Array) -> jax.Array:

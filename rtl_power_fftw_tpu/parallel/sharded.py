@@ -57,16 +57,42 @@ class ShardedPsdStep:
         power_fn = _power_backend(backend, N)
         N_, F_, chunk = self.N, self.F, self._chunk
 
-        # Same fused-transform selection as PsdStep's auto path: the
-        # transpose-free four-step with fused per-stream reduction for
-        # composite N up to the measured crossover (vmapped over local
-        # streams), XLA FFT otherwise.
+        # Same path selection as PsdStep's auto: the fused Pallas kernel
+        # (streams variant: per-stream masking + per-stream output tiles)
+        # on real TPUs for large power-of-two N; the transpose-free
+        # four-step with fused per-stream reduction for composite N up to
+        # the measured crossover; XLA FFT otherwise.
+        self._u16_in = False
+        pallas_kernel = None
+        if backend in ("pallas", "auto"):
+            from ..ops.kernels.fused_psd import (fused_psd_available,
+                                                 make_fused_psd_fn)
+            windowed = window_arr is not None
+            S_local = streams // n_dev
+            eligible = fused_psd_available(N, self.F, windowed=windowed)
+            want = (backend == "pallas"
+                    or (eligible and (N >= 4096 if windowed else N >= 2048)
+                        and jax.default_backend() == "tpu"))
+            if want and eligible:
+                pallas_kernel = make_fused_psd_fn(
+                    N, self.F, windowed=windowed, streams=S_local)
+                self._u16_in = True
+
         fused = None
-        if backend in ("fourstep", "auto"):
+        if pallas_kernel is None and backend in ("fourstep", "auto"):
             from ..ops.dft import best_fourstep_split, fourstep_psd_partial
             n1, n2 = best_fourstep_split(N)
             if (n1 > 1 if backend == "fourstep" else (n1 >= 8 and N <= 8192)):
                 fused = (fourstep_psd_partial, n1, n2)
+
+        def local_step_pallas(raw16, n_valid, *w):
+            # raw16: (S_local, F, N) u16 (host-side view of the u8 pairs).
+            S_l = raw16.shape[0]
+            per_stream = pallas_kernel(
+                raw16.reshape(S_l * F_, N_), n_valid,
+                *(w if w else ())).reshape(S_l, N_)
+            combined = jax.lax.psum(per_stream.sum(axis=0), axis)
+            return per_stream, combined
 
         def local_step(raw, n_valid, *w):
             # raw: (S_local, F, 2N) u8; n_valid: (S_local,) i32.
@@ -93,17 +119,30 @@ class ShardedPsdStep:
 
         in_specs = (P(axis), P(axis)) + ((P(),) if window_arr is not None else ())
         out_specs = (P(axis), P())
-        sharded = shard_map(local_step, mesh=mesh,
-                            in_specs=in_specs, out_specs=out_specs)
+        # check_vma=False: pallas_call's out_shape cannot declare varying-
+        # mesh-axes metadata, which the default vma check demands when a
+        # kernel runs inside shard_map.
+        sharded = shard_map(
+            local_step_pallas if pallas_kernel is not None else local_step,
+            mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False)
         self._window = window_arr
         self._step = jax.jit(sharded)
         self._raw_sharding = NamedSharding(mesh, P(axis))
+
+    @property
+    def takes_u16(self) -> bool:
+        return self._u16_in
 
     def __call__(self, raw, n_valid) -> Tuple[jax.Array, jax.Array]:
         """raw: (S, F, 2N) u8, n_valid: (S,) int32 — numpy hosts arrays or
         already-placed jax Arrays (e.g. multi-host global Arrays).
         Returns (per_stream (S,N) f32 — sharded, combined (N,) f32 — replicated)."""
         if isinstance(raw, np.ndarray):
+            if self._u16_in and raw.dtype == np.uint8:
+                # Free host-side reinterpretation of the interleaved IQ
+                # pairs as u16 lanes (the fused kernel's input convention).
+                raw = raw.view(np.uint16)
             # Explicit host→device placement along the stream sharding, so
             # each device receives only its stream shard.
             raw = jax.device_put(raw, self._raw_sharding)
@@ -114,7 +153,10 @@ class ShardedPsdStep:
         return self._step(raw, n_valid)
 
     def example_args(self):
-        raw = np.zeros((self.S, self.F, 2 * self.N), dtype=np.uint8)
+        if self._u16_in:
+            raw = np.zeros((self.S, self.F, self.N), dtype=np.uint16)
+        else:
+            raw = np.zeros((self.S, self.F, 2 * self.N), dtype=np.uint8)
         nv = np.zeros((self.S,), dtype=np.int32)
         return (raw, nv) + ((np.asarray(self._window),)
                             if self._window is not None else ())

@@ -129,3 +129,19 @@ def test_fused_compiled_windowed_on_tpu():
                         jnp.asarray(w)), dtype=np.float64)
     want, _ = golden_accumulate(raw.ravel(), N, F, window=w)
     np.testing.assert_allclose(got, unshift(want), rtol=1e-5)
+
+
+def test_fused_fast_variant_interpret():
+    """precision='high' selects the FAST stage-2 kernel (3 passes/product):
+    still well under 1e-4, distinct from the default 6-pass scheme."""
+    N, F = 2048, 64
+    rng = np.random.default_rng(13)
+    raw = rng.integers(0, 256, (F, 2 * N), dtype=np.uint8)
+    want, _ = golden_accumulate(raw.ravel(), N, F)
+    for fast, tol in ((False, 1e-5), (True, 1e-4)):
+        raw16 = raw.reshape(F, N, 2).view(np.uint16).reshape(F, N)
+        fn = make_fused_psd_fn(N, F, windowed=False, interpret=True,
+                               fast=fast)
+        got = np.asarray(fn(raw16, np.int32(F)), dtype=np.float64)
+        np.testing.assert_allclose(got, unshift(want), rtol=tol,
+                                   err_msg=f"fast={fast}")

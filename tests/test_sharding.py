@@ -302,3 +302,40 @@ def test_multistream_stream_eof_partial(tmp_path):
     res = acq.run(freq=1_000_000)
     assert res.stream_eof
     assert res.repeats_done.tolist() == [repeats, 10]
+
+
+@pytest.mark.parametrize("streams", [8, 16])
+def test_sharded_pallas_kernel_matches(streams):
+    """The fused Pallas kernel's streams variant composes with shard_map
+    over the 8-device mesh (interpret mode on this CPU harness): per-
+    stream masking + psum parity against the xla sharded path."""
+    N, F = 2048, 16
+    mesh = make_mesh(8)
+    raw = make_streams(streams, F, N, seed=5)
+    nv = np.resize(np.array([F, 3, 0, F, 7, F, 1, F], dtype=np.int32),
+                   streams)
+    ref_step = ShardedPsdStep(mesh, N, F, streams=streams, backend="xla")
+    want_ps, want_comb = ref_step(raw, nv)
+    step = ShardedPsdStep(mesh, N, F, streams=streams, backend="pallas")
+    assert step.takes_u16
+    ps, comb = step(raw, nv)
+    np.testing.assert_allclose(np.asarray(ps), np.asarray(want_ps),
+                               rtol=1e-4, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(comb), np.asarray(want_comb),
+                               rtol=1e-4, atol=1e-2)
+
+
+def test_sharded_pallas_kernel_windowed():
+    N, F, streams = 2048, 16, 8
+    mesh = make_mesh(8)
+    w = make_window("hann", N)
+    raw = make_streams(streams, F, N, seed=6)
+    nv = np.full((streams,), F, dtype=np.int32)
+    ref_step = ShardedPsdStep(mesh, N, F, streams=streams, backend="xla",
+                              window=w)
+    _, want_comb = ref_step(raw, nv)
+    step = ShardedPsdStep(mesh, N, F, streams=streams, backend="pallas",
+                          window=w)
+    _, comb = step(raw, nv)
+    np.testing.assert_allclose(np.asarray(comb), np.asarray(want_comb),
+                               rtol=1e-4, atol=1e-2)
