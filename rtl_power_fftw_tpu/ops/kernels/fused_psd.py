@@ -18,7 +18,9 @@ loop (datastore.cxx:66-88) as ONE VMEM-resident kernel:
   sequential-grid guarantee.
 
 Precision + dispatch design (v5) — manual mixed-precision bf16 splits
-instead of Mosaic's f32-HIGHEST (bf16x6) emulation, exploiting problem
+(Ozaki-scheme-style error-free slicing onto low-precision matmul units,
+cf. the mixed-precision tensor-core FFT literature, PAPERS.md) instead
+of Mosaic's f32-HIGHEST (bf16x6) emulation, exploiting problem
 structure, with the split terms K-STACKED into fat matmuls:
 
 * stage 1's inputs are dequantized u8 integers (|x| ≤ 256) — EXACT in
