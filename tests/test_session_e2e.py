@@ -428,3 +428,22 @@ def test_multistream_summary_counters_truthful(tmp_path):
     m = [l for l in err.split("\n")
          if l.startswith("Actual number of device readouts:")]
     assert m and int(m[0].split(":")[1]) > 0
+
+
+def test_session_with_pallas_backend_matches_auto():
+    """Full session with --fft-backend pallas (interpret mode here):
+    exercises the u16 host-view path through Datastore/PsdStep end to end
+    and must match the auto path's output exactly at format precision."""
+    def run_backend(backend):
+        src = SyntheticSource(tones=[(100_050_000, 30.0)], noise=5.0, seed=21)
+        rv, out, err, params = run(
+            ["-f", "100M", "-n", "24", "-b", "256",
+             "--fft-backend", backend, "--source", "synthetic:"], src)
+        assert rv == ReturnValue.Success
+        return [l for l in out.split("\n") if l and not l.startswith("#")]
+    pallas_lines = run_backend("pallas")
+    auto_lines = run_backend("auto")
+    assert len(pallas_lines) == len(auto_lines) == 256
+    diffs = sum(1 for a, b in zip(pallas_lines, auto_lines) if a != b)
+    # identical at 6-sig-fig output precision for all but a few bins
+    assert diffs <= 3, f"{diffs} differing lines"
