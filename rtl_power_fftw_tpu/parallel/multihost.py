@@ -85,9 +85,17 @@ class MultiHostPsdStep:
         import jax
         assert local_raw.shape[0] == self.streams_local, (
             local_raw.shape, self.streams_local)
-        raw = self._globalize(
-            np.ascontiguousarray(local_raw, dtype=np.uint8),
-            (self.streams_global, self.F, 2 * self.N))
+        local8 = np.ascontiguousarray(local_raw, dtype=np.uint8)
+        if self.step.takes_u16:
+            # The fused-kernel path takes the IQ pairs as u16 lanes; the
+            # view must happen host-side, BEFORE assembling the global
+            # Array (a device-side bitcast is a real relayout pass).
+            raw = self._globalize(
+                local8.view(np.uint16),
+                (self.streams_global, self.F, self.N))
+        else:
+            raw = self._globalize(
+                local8, (self.streams_global, self.F, 2 * self.N))
         nv = self._globalize(
             np.asarray(local_n_valid, dtype=np.int32),
             (self.streams_global,))

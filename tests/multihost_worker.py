@@ -3,6 +3,7 @@ runtime (4 virtual CPU devices each), accumulates its local streams'
 spectra through MultiHostPsdStep, writes the combined result to a file.
 
 Usage: python multihost_worker.py <process_id> <coordinator> <outfile>
+       [N] [backend]
 """
 
 import os
@@ -11,6 +12,8 @@ import sys
 proc_id = int(sys.argv[1])
 coordinator = sys.argv[2]
 outfile = sys.argv[3]
+N_arg = int(sys.argv[4]) if len(sys.argv) > 4 else 64
+backend = sys.argv[5] if len(sys.argv) > 5 else "auto"
 
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 os.environ["JAX_PLATFORMS"] = "cpu"
@@ -29,8 +32,8 @@ from rtl_power_fftw_tpu.parallel.multihost import (  # noqa: E402
 
 initialize(coordinator, num_processes=2, process_id=proc_id)
 
-N, F = 64, 16
-step = MultiHostPsdStep(N, F)
+N, F = N_arg, 16
+step = MultiHostPsdStep(N, F, backend=backend)
 assert step.streams_global == 8 and step.streams_local == 4
 
 # Global stream s is owned by process s // 4; identical data generation

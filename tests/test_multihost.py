@@ -25,13 +25,18 @@ def _free_port():
     return port
 
 
-def test_two_process_psum_matches_golden(tmp_path):
+@pytest.mark.parametrize("N,backend", [(64, "auto"), (256, "pallas")])
+def test_two_process_psum_matches_golden(tmp_path, N, backend):
+    """backend='pallas' additionally exercises the fused kernel's streams
+    variant (interpret mode) + the host-side u16 view through the global
+    multihost Array assembly."""
     coordinator = f"127.0.0.1:{_free_port()}"
     outs = [str(tmp_path / f"p{i}.npy") for i in range(2)]
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     procs = [subprocess.Popen(
-        [sys.executable, _WORKER, str(i), coordinator, outs[i]],
+        [sys.executable, _WORKER, str(i), coordinator, outs[i],
+         str(N), backend],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
         for i in range(2)]
     for p in procs:
@@ -48,7 +53,7 @@ def test_two_process_psum_matches_golden(tmp_path):
     np.testing.assert_allclose(a, b, rtol=0)  # replicated result identical
 
     # Golden: sum over all 8 streams' float64 accumulations.
-    N, F = 64, 16
+    F = 16
     want = np.zeros(N)
     for s in range(8):
         frames = np.random.default_rng(1000 + s).integers(
