@@ -84,7 +84,8 @@ def main() -> None:
         looped recording; returns wall seconds."""
         argv = ["-f", "100M", "-b", str(N), "-n", str(repeats), "-q",
                 "--frames-per-step", "4096",   # 16.8 MB steps: amortize the
-                "--source", f"file:{path}:loop"]  # tunnel's per-dispatch RTT
+                "-s", str(4096 * 2 * N),       # tunnel's per-dispatch RTT and
+                "--source", f"file:{path}:loop"]  # keep direct-feed aligned
         params = parse_args(argv, stderr=io.StringIO())
         from rtl_power_fftw_tpu.output.stats import SessionStats
         from rtl_power_fftw_tpu.session import Acquisition
@@ -106,8 +107,8 @@ def main() -> None:
     # --- end-to-end session on the attached device -------------------------
     # Warm: compile the step once outside the timed run.
     warm_repeats = 4096
-    params0 = parse_args(["-b", str(N), "-n", str(warm_repeats)],
-                         stderr=io.StringIO())
+    params0 = parse_args(["-b", str(N), "-n", str(warm_repeats),
+                          "--frames-per-step", "4096"], stderr=io.StringIO())
     store = Datastore(params0)
     run_acquisition(warm_repeats, datastore=store)
     repeats = 65536              # 268 MB of IQ through the whole chain
@@ -127,8 +128,8 @@ def main() -> None:
             return self._z
 
     host_repeats = 1 << 19       # 2.1 GB of IQ through the host chain
-    params1 = parse_args(["-b", str(N), "-n", str(host_repeats)],
-                         stderr=io.StringIO())
+    params1 = parse_args(["-b", str(N), "-n", str(host_repeats),
+                          "--frames-per-step", "4096"], stderr=io.StringIO())
     store1 = Datastore(params1)
     store1.step = NullStep(store1.step.F)
     dt1 = run_acquisition(host_repeats, datastore=store1)

