@@ -90,8 +90,9 @@ def main() -> None:
         from rtl_power_fftw_tpu.output.stats import SessionStats
         from rtl_power_fftw_tpu.session import Acquisition
 
-        src = FileSource(path, loop=True, use_native=True,
-                         native_buf_bytes=4 << 20, native_buffers=6)
+        # Auto-sized pool slots == the session's read size: full reads are
+        # zero-copy pool-view passthroughs (recycled by refcount).
+        src = FileSource(path, loop=True, use_native=True, native_buffers=8)
         data = datastore if datastore is not None else Datastore(params)
         data.params = params
         acq = Acquisition(params, AuxData(params, stderr=io.StringIO()),

@@ -126,6 +126,8 @@ class NativeLoader:
         return rc, view
 
     def release(self, slot: int) -> None:
+        if not self._h:
+            return  # closed (e.g. a zero-copy view finalizer firing late)
         self._lib.rpf_loader_release(self._h, slot)
 
     def histogram(self) -> np.ndarray:

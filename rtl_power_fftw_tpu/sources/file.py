@@ -7,7 +7,8 @@ natural TPU-framework equivalent for reproducible runs and benchmarks
 
 from __future__ import annotations
 
-from typing import List, Tuple
+import weakref
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -26,7 +27,20 @@ class FileSource(IQSource):
 
     def __init__(self, path: str, sample_rate: int = 2_048_000,
                  loop: bool = False, use_native: bool = True,
-                 native_buf_bytes: int = 1 << 20, native_buffers: int = 4):
+                 native_buf_bytes: Optional[int] = None,
+                 native_buffers: int = 8):
+        """``native_buf_bytes=None`` (default) sizes the loader's pool
+        slots to the FIRST read request, enabling the zero-copy path:
+        full reads then return pool views directly (recycled by a
+        refcount finalizer when the consumer drops them) instead of being
+        copied out. An explicit size keeps fixed slots (copy path).
+
+        Pool-depth note: with zero-copy views the pool must be deeper
+        than the number of buffers the downstream consumer can pin at
+        once (the Datastore's bounded queue holds up to ``--buffers``,
+        default 5; the default pool of 8 covers it with headroom — a
+        temporarily starved pool degrades to dropped-samples retries,
+        never a deadlock)."""
         self.path = path
         self._rate = int(sample_rate)
         self.loop = loop
@@ -38,16 +52,31 @@ class FileSource(IQSource):
         self._freq = 0
         self._gain = 0
         self._native = None
+        self._native_cfg = None
         self._held = None    # (slot, view, offset): partially-consumed pool slot
         self._stash = None   # leftover copied bytes after a timeout (rare)
         if use_native:
             try:
-                from ..native import NativeLoader, native_available
+                from ..native import native_available
                 if native_available():
-                    self._native = NativeLoader(native_buf_bytes, native_buffers)
-                    self._native.start_fd(self._file.fileno(), loop=loop)
+                    # Lazy start: slot size is decided at the first read.
+                    self._native_cfg = (native_buf_bytes, native_buffers)
             except Exception:
-                self._native = None  # silent fallback to the Python path
+                pass
+
+    def _ensure_native(self, nbytes: int) -> None:
+        if self._native is not None or self._native_cfg is None:
+            return
+        buf_bytes, n_buffers = self._native_cfg
+        if buf_bytes is None:
+            buf_bytes = min(max(int(nbytes), 1 << 16), 32 << 20)
+        try:
+            from ..native import NativeLoader
+            self._native = NativeLoader(buf_bytes, n_buffers)
+            self._native.start_fd(self._file.fileno(), loop=self.loop)
+        except Exception:
+            self._native = None       # silent fallback to the Python path
+            self._native_cfg = None
 
     def gains(self) -> List[int]:
         return [0]
@@ -88,6 +117,26 @@ class FileSource(IQSource):
         pending-chunk list or concatenation pass. This is what lets the
         host pipeline run at memcpy-class speed (measured 2× the previous
         copy+concat formulation in bench_ingest.py)."""
+        if (self._held is None and nbytes == self._native.buf_bytes
+                and (self._stash is None or not len(self._stash))):
+            # ZERO-COPY fast path: a full read exactly matches one pool
+            # slot, so the pool view is handed out directly. The slot
+            # recycles when the LAST reference to the view (or any slice
+            # of it) is dropped — CPython refcounting makes that prompt:
+            # the Datastore consumer direct-feeds views into the device
+            # step, which copies at dispatch, then drops them.
+            try:
+                item = self._native.acquire(timeout_ms=30_000)
+            except TimeoutError:
+                return np.zeros(nbytes, dtype=np.uint8), False
+            if item is None:
+                self._eof(None)
+            slot, view = item
+            if len(view) == nbytes:
+                weakref.finalize(view, self._native.release, slot)
+                return view, True
+            # Short slot (stream tail): fall through to the copy path.
+            self._held = (slot, view, 0)
         out = np.empty(nbytes, dtype=np.uint8)
         filled = 0
         if self._stash is not None and len(self._stash):
@@ -122,6 +171,7 @@ class FileSource(IQSource):
         return out, True
 
     def read(self, nbytes: int) -> Tuple[np.ndarray, bool]:
+        self._ensure_native(nbytes)
         if self._native is not None:
             return self._read_native(nbytes)
         chunks = []

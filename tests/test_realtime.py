@@ -28,12 +28,11 @@ def test_realtime_rate_sustained(tmp_path):
     rec.write_bytes(rng.integers(0, 256, n_bytes, dtype=np.uint8).tobytes())
 
     src = FileSource(str(rec), sample_rate=rate, use_native=True)
-    # Pace the native reader at exactly the real-time byte rate.
-    src._native.stop()
-    src._native.close()
+    # Pace the native reader at exactly the real-time byte rate (the
+    # loader starts lazily, so install the paced one before any read).
     from rtl_power_fftw_tpu.native import NativeLoader
-    src._file.seek(0)
     src._native = NativeLoader(1 << 20, 4)
+    src._native_cfg = None
     src._native.start_fd(src._file.fileno(), pace_bytes_per_s=2 * rate)
 
     params = parse_args(

@@ -135,8 +135,9 @@ def test_file_source_native_path(tmp_path):
     data = (np.arange(300000) % 256).astype(np.uint8)
     p.write_bytes(data.tobytes())
     src = FileSource(str(p), use_native=True, native_buf_bytes=65536)
-    assert src._native is not None
+    assert src._native_cfg is not None  # native path armed (starts lazily)
     got1, ok1 = src.read(100000)
+    assert src._native is not None
     got2, ok2 = src.read(150000)
     assert ok1 and ok2
     np.testing.assert_array_equal(np.concatenate([got1, got2]), data[:250000])
@@ -209,3 +210,29 @@ def test_rtlsdr_wrapper_parity(monkeypatch):
     assert src.gains() == [0, 97, 372]
     src.close()
     sys.modules.pop("rtl_power_fftw_tpu.sources.rtlsdr", None)
+
+
+def test_file_source_zero_copy_slot_passthrough(tmp_path):
+    """Auto-sized pool slots: full reads return pool VIEWS (no copy) and
+    slots recycle via refcount finalizers, so many reads flow through a
+    small pool; tail + EOF still behave."""
+    from rtl_power_fftw_tpu.native import native_available
+    if not native_available():
+        pytest.skip("native loader unavailable")
+    from rtl_power_fftw_tpu.sources import FileSource
+    chunk = 1 << 17
+    n_chunks = 10
+    data = np.arange(n_chunks * chunk + 1000, dtype=np.int64) % 256
+    data = data.astype(np.uint8)
+    p = tmp_path / "zc.iq"
+    p.write_bytes(data.tobytes())
+    src = FileSource(str(p), use_native=True, native_buffers=3)
+    for i in range(n_chunks):
+        got, ok = src.read(chunk)   # views recycle through the 3-slot pool
+        assert ok
+        np.testing.assert_array_equal(got, data[i * chunk:(i + 1) * chunk])
+        del got                     # drop the view -> slot recycles
+    with pytest.raises(StreamEOF) as e:
+        src.read(chunk)             # only 1000 bytes left
+    np.testing.assert_array_equal(e.value.partial, data[-1000:])
+    src.close()
