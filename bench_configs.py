@@ -26,7 +26,16 @@ def _slope_time(many, lo, hi):
             np.asarray(many(iters))
             best = min(best, time.perf_counter() - t0)
         return best
-    return (t(hi) - t(lo)) / (hi - lo)
+    for _attempt in range(3):
+        slope = (t(hi) - t(lo)) / (hi - lo)
+        if slope > 0:
+            return slope
+        # Noise exceeded the signal (short --quick runs on the shared
+        # chip can even go negative): retry rather than print nonsense.
+    import sys
+    print("  warning: slope noise-dominated; increase iteration counts",
+          file=sys.stderr)
+    return abs(slope) if slope else float("nan")
 
 
 def main() -> None:
@@ -126,15 +135,7 @@ def main() -> None:
                               jnp.arange(iters))
         return acc
 
-    def t5(iters, reps=2):
-        np.asarray(many5(raw5, iters))
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            np.asarray(many5(raw5, iters))
-            best = min(best, time.perf_counter() - t0)
-        return best
-    per = (t5(hi) - t5(lo)) / (hi - lo)
+    per = _slope_time(lambda iters: many5(raw5, iters), lo, hi)
     spectra = S * F5 / per
     rows.append(("config5: 16 streams psum", N5, S * F5,
                  f"{per*1e6:,.0f}", f"{spectra:,.0f}",
