@@ -43,8 +43,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     from rtl_power_fftw_tpu.auxdata import make_window
-    from rtl_power_fftw_tpu.ops.dft import fourstep_psd_partial
-    from rtl_power_fftw_tpu.ops.spectral import PsdStep, dequant_iq
+    from rtl_power_fftw_tpu.ops.spectral import PsdStep
 
     quick = "--quick" in sys.argv
     dev = jax.devices()[0]
