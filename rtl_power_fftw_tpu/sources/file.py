@@ -40,7 +40,13 @@ class FileSource(IQSource):
         once (the Datastore's bounded queue holds up to ``--buffers``,
         default 5; the default pool of 8 covers it with headroom — a
         temporarily starved pool degrades to dropped-samples retries,
-        never a deadlock)."""
+        never a deadlock).
+
+        Lifetime: call ``close()`` only after the consumer has drained
+        all outstanding views (the session joins its consumer thread
+        before closing sources); views must not be read after close —
+        the C++ pool memory is freed then. Late finalizers are safe
+        (release() no-ops on a closed loader)."""
         self.path = path
         self._rate = int(sample_rate)
         self.loop = loop
