@@ -1,0 +1,217 @@
+"""Probe: decompose the dequant-side cost of the fused kernel.
+
+s1_lanes.py measured: narrow dequant chain (u16 lane transpose +
+(.,16)-layout arithmetic + concat) = 549 us/step; the same arithmetic
+at full lanes = 68 us. This probe separates transpose vs arithmetic
+and tries cheaper transpose dtypes:
+
+  traw     u16 lane transpose only (+ trivial consume)
+  dqnotr   narrow dequant + concat WITHOUT the transpose (wrong data,
+           timing only) — isolates the narrow-lane arithmetic cost
+  i32tr    upcast to i32 at full lanes, transpose i32, then narrow
+           dequant — does a 4-byte transpose beat the u16 one?
+  f32tr    full-lane dequant to TWO f32 planes, transpose both f32
+           planes, narrow bf16 cast + concat
+  u32tr    bitcast pairs to u32, transpose (T, N1, N2/2) u32 — half
+           the elements at 4 bytes; timing-only (even/odd unpacking
+           not wired to a correct DFT here)
+
+Run: python probes/s1_lanes2.py [variants...]
+"""
+import sys
+import time
+from functools import partial
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rtl_power_fftw_tpu.ops.kernels.fused_psd import _split, _constants
+
+import os
+os.environ.setdefault("TPU_ACCELERATOR_TYPE", "v5litepod-1")
+
+N, F = 2048, 4096
+ITER_LO, ITER_HI = 32, 96
+N1, N2 = _split(N)
+
+
+def build(variant, tile_f=128):
+    T = tile_f
+    consts = tuple(jnp.asarray(c) for c in _constants(N, N1, N2, False))
+
+    def kernel(nvalid_ref, raw_ref, wr_r, wi_r, twr_r, twi_r,
+               w2r_r, w2i_r, w2s_r, out_ref):
+        pid = pl.program_id(0)
+        f32, bf16 = jnp.float32, jnp.bfloat16
+
+        def consume(x2d):
+            # reduce whatever 2-D f32 array to (N2, N1) and accumulate,
+            # so nothing is DCE'd; timing-only variants use this.
+            s = jnp.sum(x2d, axis=0, keepdims=True)
+            s = jnp.sum(s)
+            @pl.when(pid == 0)
+            def _():
+                out_ref[:] = jnp.zeros_like(out_ref)
+            out_ref[:] += s * jnp.ones((N2, N1), f32)
+
+        if variant == "traw":
+            vt = jnp.swapaxes(raw_ref[:].reshape(T, N1, N2), 1, 2)
+            consume(vt.reshape(T * N2, N1).astype(f32))
+            return
+        if variant == "dqnotr":
+            v = raw_ref[:].reshape(T * N2, N1).astype(jnp.int32)
+            ar = ((v & 0xFF) - 127).astype(bf16)
+            ai = ((v >> 8) - 127).astype(bf16)
+            lhs = jnp.concatenate([ar, ai, ar, ai, ar, ai], axis=1)
+            consume(lhs.astype(f32))
+            return
+        if variant == "u32tr":
+            v32 = pltpu.bitcast(raw_ref[:].reshape(T, N1, N2 // 2, 2),
+                                jnp.uint32).reshape(T, N1, N2 // 2)
+            vt = jnp.swapaxes(v32, 1, 2)          # (T, N2/2, N1) u32
+            m = vt.reshape(T * N2 // 2, N1).astype(jnp.int32)
+            lo = m & 0xFFFF
+            hi = jax.lax.shift_right_logical(m, 16)
+            are = ((lo & 0xFF) - 127).astype(bf16)
+            aie = ((lo >> 8) - 127).astype(bf16)
+            aro = ((hi & 0xFF) - 127).astype(bf16)
+            aio = (jax.lax.shift_right_logical(m, 24) - 127).astype(bf16)
+            lhs = jnp.concatenate([are, aie, aro, aio, are, aie], axis=1)
+            consume(lhs.astype(f32))
+            return
+        if variant == "i32tr":
+            vw = raw_ref[:].reshape(T, N1, N2).astype(jnp.int32)
+            vt = jnp.swapaxes(vw, 1, 2)
+            v = vt.reshape(T * N2, N1)
+            ar = ((v & 0xFF) - 127).astype(bf16)
+            ai = ((v >> 8) - 127).astype(bf16)
+        elif variant == "f32tr":
+            vw = raw_ref[:].reshape(T, N1, N2).astype(jnp.int32)
+            arw = ((vw & 0xFF) - 127).astype(f32)
+            aiw = ((vw >> 8) - 127).astype(f32)
+            ar = jnp.swapaxes(arw, 1, 2).reshape(T * N2, N1).astype(bf16)
+            ai = jnp.swapaxes(aiw, 1, 2).reshape(T * N2, N1).astype(bf16)
+        else:  # full
+            vt = jnp.swapaxes(raw_ref[:].reshape(T, N1, N2), 1, 2)
+            v = vt.reshape(T * N2, N1).astype(jnp.int32)
+            ar = ((v & 0xFF) - 127).astype(bf16)
+            ai = ((v >> 8) - 127).astype(bf16)
+
+        lhs = jnp.concatenate([ar, ai, ar, ai, ar, ai], axis=1)
+        yr = jnp.dot(lhs, wr_r[:], preferred_element_type=f32).reshape(T, N2, N1)
+        yi = jnp.dot(lhs, wi_r[:], preferred_element_type=f32).reshape(T, N2, N1)
+        twrv, twiv = twr_r[:], twi_r[:]
+        zr = yr * twrv - yi * twiv
+        zi = yr * twiv + yi * twrv
+
+        def to2(x):
+            return jnp.swapaxes(x, 1, 2).reshape(T * N1, N2)
+
+        def split3(z):
+            z0 = z.astype(bf16)
+            r1 = z - z0.astype(f32)
+            z1 = r1.astype(bf16)
+            z2 = (r1 - z1.astype(f32)).astype(bf16)
+            return z0, z1, z2
+
+        zrm, zim = to2(zr), to2(zi)
+        zsm = zrm + zim
+
+        def s2(z, w2_ref):
+            z0, z1, z2 = split3(z)
+            return (jnp.dot(z0, w2_ref[0], preferred_element_type=f32)
+                    + jnp.dot(z0, w2_ref[1], preferred_element_type=f32)
+                    + jnp.dot(z0, w2_ref[2], preferred_element_type=f32)
+                    + jnp.dot(z1, w2_ref[0], preferred_element_type=f32)
+                    + jnp.dot(z1, w2_ref[1], preferred_element_type=f32)
+                    + jnp.dot(z2, w2_ref[0], preferred_element_type=f32))
+        u1 = s2(zrm, w2r_r)
+        u2 = s2(zim, w2i_r)
+        u3 = s2(zsm, w2s_r)
+        xr = u1 - u2
+        xi = u3 - u1 - u2
+        pwr = (xr * xr + xi * xi).reshape(T, N1, N2)
+        base = pid * T
+        fidx = jax.lax.broadcasted_iota(jnp.int32, (T, 1, 1), 0) + base
+        pwr = jnp.where(fidx < nvalid_ref[0], pwr, 0.0)
+        s = jnp.sum(pwr, axis=0)
+
+        @pl.when(pid == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+        out_ref[:] += jnp.swapaxes(s, 0, 1)
+
+    def _whole(shape):
+        zeros = (0,) * len(shape)
+        return pl.BlockSpec(shape, lambda i, *_, z=zeros: z,
+                            memory_space=pltpu.VMEM)
+
+    const_specs = [_whole((6 * N1, N1))] * 2 + [_whole((N2, N1))] * 2 \
+        + [_whole((3, N2, N2))] * 3
+    call = pl.pallas_call(
+        kernel,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(F // T,),
+            in_specs=[pl.BlockSpec((T, N), lambda i, *_: (i, 0),
+                                   memory_space=pltpu.VMEM), *const_specs],
+            out_specs=pl.BlockSpec((N2, N1), lambda i, *_: (0, 0),
+                                   memory_space=pltpu.VMEM)),
+        out_shape=jax.ShapeDtypeStruct((N2, N1), jnp.float32),
+        interpret=False)
+
+    def fn(raw_u16, nv):
+        return call(jnp.asarray(nv, jnp.int32).reshape(1), raw_u16,
+                    *consts).reshape(N)
+    return fn
+
+
+def timed(fn, raw16, iters, reps=3):
+    @partial(jax.jit, static_argnums=1)
+    def many(raw, it):
+        def body(c, i):
+            return c + fn(raw + i.astype(jnp.uint16), F), ()
+        acc, _ = jax.lax.scan(body, jnp.zeros(N, jnp.float32), jnp.arange(it))
+        return acc
+    np.asarray(many(raw16, iters))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(many(raw16, iters))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+if __name__ == "__main__":
+    rng = np.random.default_rng(0)
+    raw8 = rng.integers(0, 256, size=(F, 2 * N), dtype=np.uint8)
+    raw16 = jax.device_put(raw8.reshape(F, N, 2).view(np.uint16).reshape(F, N))
+    x = (raw8[:, 0::2].astype(np.float64) - 127.0) \
+        + 1j * (raw8[:, 1::2].astype(np.float64) - 127.0)
+    want = (np.abs(np.fft.fft(x, axis=1)) ** 2).sum(0)
+    for spec in (sys.argv[1:] or ["full", "traw", "dqnotr", "u32tr",
+                                  "i32tr", "f32tr"]):
+        tf = 128
+        if ":" in spec:
+            spec, tf = spec.split(":")
+            tf = int(tf)
+        try:
+            fn = build(spec, tf)
+            got = np.asarray(fn(raw16, F), dtype=np.float64)
+            if spec in ("full", "i32tr", "f32tr"):
+                rel = np.abs(got - want) / np.maximum(np.abs(want), 1e-30)
+                parity = f"max_rel={rel.max():.2e}"
+            else:
+                parity = "(timing only)"
+            t_lo = timed(fn, raw16, ITER_LO)
+            t_hi = timed(fn, raw16, ITER_HI)
+            per = (t_hi - t_lo) / (ITER_HI - ITER_LO)
+            print(f"{spec:7s} tile={tf:3d} per-step {per*1e6:8.1f} us  "
+                  f"{F/per*N/1e9:7.3f} GS/s  {parity}")
+        except Exception as e:
+            print(f"{spec:7s} tile={tf:3d} FAILED: {str(e)[:300]}")
