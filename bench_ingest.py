@@ -92,7 +92,7 @@ def main() -> None:
 
         # Auto-sized pool slots == the session's read size: full reads are
         # zero-copy pool-view passthroughs (recycled by refcount).
-        src = FileSource(path, loop=True, use_native=True, native_buffers=8)
+        src = FileSource(path, loop=True, use_native=True)
         data = datastore if datastore is not None else Datastore(params)
         data.params = params
         acq = Acquisition(params, AuxData(params, stderr=io.StringIO()),

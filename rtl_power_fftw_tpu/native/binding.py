@@ -53,7 +53,8 @@ def _load():
         lib.rpf_loader_create.argtypes = [ctypes.c_size_t, ctypes.c_int]
         lib.rpf_loader_start_fd.restype = ctypes.c_int
         lib.rpf_loader_start_fd.argtypes = [ctypes.c_void_p, ctypes.c_int,
-                                            ctypes.c_int, ctypes.c_double]
+                                            ctypes.c_int, ctypes.c_double,
+                                            ctypes.c_int]
         lib.rpf_loader_acquire.restype = ctypes.c_int
         lib.rpf_loader_acquire.argtypes = [ctypes.c_void_p,
                                            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
@@ -105,9 +106,16 @@ class NativeLoader:
         self.buf_bytes = buf_bytes
 
     def start_fd(self, fd: int, loop: bool = False,
-                 pace_bytes_per_s: float = 0.0) -> None:
+                 pace_bytes_per_s: float = 0.0, readers: int = 1) -> None:
+        """``readers`` > 1 enables parallel pread readers with ordered
+        (sequential-exact) delivery — only takes effect for seekable fds
+        of known size with no pacing; the loader caps it at half the pool
+        depth and falls back to one reader otherwise. Keep
+        ``n_buffers >= consumer pins + readers`` to avoid starving the
+        reorder stage against a stalled consumer."""
         rc = self._lib.rpf_loader_start_fd(self._h, fd, int(loop),
-                                           float(pace_bytes_per_s))
+                                           float(pace_bytes_per_s),
+                                           int(readers))
         if rc != 0:
             raise RuntimeError("rpf_loader_start_fd failed")
 

@@ -24,10 +24,12 @@
 #include <cstdint>
 #include <cstring>
 #include <deque>
+#include <map>
 #include <mutex>
 #include <thread>
 #include <vector>
 
+#include <sys/stat.h>
 #include <unistd.h>
 
 namespace {
@@ -57,12 +59,119 @@ struct Loader {
   off_t file_start = 0;
   double pace_bytes_per_s = 0.0;
 
+  // Multi-reader state (seekable files only): readers claim chunk
+  // indices under mu (only ever together with a won slot), pread in
+  // parallel, and deliver IN ORDER through a reorder map — the consumer
+  // sees the exact byte stream the sequential reader would produce.
+  std::vector<std::thread> readers_mt;
+  off_t span = 0;            // stream bytes from file_start
+  long chunks_total = -1;    // !loop: number of chunks; -1 = unbounded
+  long next_chunk = 0;  // guarded by mu
+  long next_deliver = 0;
+  std::map<long, int> pending_mt;  // chunk -> filled slot awaiting order
+
   ~Loader() { join(); }
 
   void join() {
     stop_flag.store(true);
     cv.notify_all();
     if (reader.joinable()) reader.join();
+    for (auto& t : readers_mt)
+      if (t.joinable()) t.join();
+    readers_mt.clear();
+  }
+
+  // Called with mu held: release consecutive pending chunks to the
+  // consumer; at the stream end, recycle any overshoot chunks.
+  void deliver_ready_locked() {
+    if (eof) {  // stream already ended: late chunks are recycled, not leaked
+      for (auto& kv : pending_mt) free_q.push_back(kv.second);
+      pending_mt.clear();
+      cv.notify_all();
+      return;
+    }
+    while (!pending_mt.empty() && pending_mt.begin()->first == next_deliver) {
+      int idx = pending_mt.begin()->second;
+      pending_mt.erase(pending_mt.begin());
+      if (slots[static_cast<size_t>(idx)].filled > 0) {
+        filled_q.push_back(idx);
+      } else {
+        free_q.push_back(idx);
+      }
+      next_deliver++;
+      if (chunks_total >= 0 && next_deliver >= chunks_total) {
+        eof = true;
+        // Chunks past the (possibly error-shortened) end are dead weight.
+        for (auto& kv : pending_mt) free_q.push_back(kv.second);
+        pending_mt.clear();
+        break;
+      }
+    }
+    cv.notify_all();
+  }
+
+  void reader_main_mt() {
+    const size_t B = slots[0].data.size();
+    for (;;) {
+      int slot_idx;
+      long k;
+      {
+        // Claim the chunk index only AFTER winning a slot, under one
+        // lock: a claimed chunk therefore always owns a slot, so ordered
+        // delivery can never starve (claiming first deadlocks — cv
+        // wakeup order is arbitrary, and readers holding high chunks can
+        // drain the pool while the lowest-chunk reader waits slotless).
+        std::unique_lock<std::mutex> lk(mu);
+        size_t free_n = free_q.size();
+        if (free_n >= histogram.size()) free_n = histogram.size() - 1;
+        histogram[free_n]++;
+        cv.wait(lk, [&] { return stop_flag.load() || !free_q.empty(); });
+        if (stop_flag.load()) return;
+        if (chunks_total >= 0 && next_chunk >= chunks_total) return;
+        slot_idx = free_q.front();
+        free_q.pop_front();
+        k = next_chunk++;
+      }
+
+      Slot& slot = slots[static_cast<size_t>(slot_idx)];
+      size_t want = B;
+      if (!loop) {
+        long long remain = static_cast<long long>(span)
+            - static_cast<long long>(k) * static_cast<long long>(B);
+        if (remain < static_cast<long long>(want))
+          want = remain > 0 ? static_cast<size_t>(remain) : 0;
+      }
+      size_t got = 0;
+      bool err = false;
+      while (got < want) {
+        long long stream_pos = static_cast<long long>(k)
+            * static_cast<long long>(B) + static_cast<long long>(got);
+        off_t pos = loop ? static_cast<off_t>(stream_pos % span)
+                         : static_cast<off_t>(stream_pos);
+        size_t len = want - got;
+        if (static_cast<long long>(len) > static_cast<long long>(span - pos))
+          len = static_cast<size_t>(span - pos);
+        ssize_t n = ::pread(fd, slot.data.data() + got, len, file_start + pos);
+        if (n <= 0) { err = true; break; }
+        got += static_cast<size_t>(n);
+        if (stop_flag.load()) break;
+      }
+
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        slot.filled = got;
+        bytes_read += static_cast<long>(got);
+        pending_mt[k] = slot_idx;
+        if (err || (got < want)) {
+          // A short/failed chunk ends the stream exactly where a
+          // sequential reader would have stopped.
+          if (chunks_total < 0 || chunks_total > k + 1)
+            chunks_total = k + 1;
+        }
+        deliver_ready_locked();
+      }
+      if (stop_flag.load()) return;
+    }
   }
 
   void reader_main() {
@@ -146,15 +255,44 @@ Loader* rpf_loader_create(size_t buf_bytes, int n_buffers) {
 
 // Start streaming from a file descriptor. `loop` restarts at the current
 // offset on EOF; `pace_bytes_per_s` throttles delivery (0 = full speed).
-int rpf_loader_start_fd(Loader* L, int fd, int loop, double pace_bytes_per_s) {
-  if (!L || fd < 0 || L->reader.joinable()) return -1;
+// `n_readers` > 1 enables parallel pread readers with ordered delivery —
+// byte-identical to the sequential reader, several times the throughput
+// on page-cache/NVMe-backed recordings (a single read() thread is
+// kernel-memcpy-bound around 3-4 GB/s). Requires a seekable fd of known
+// nonzero size and no pacing; anything else falls back to one reader.
+// Deadlock-freedom: the pool must satisfy n_buffers >= consumer_pins +
+// n_readers, else readers and a stalled consumer can starve each other.
+int rpf_loader_start_fd(Loader* L, int fd, int loop, double pace_bytes_per_s,
+                        int n_readers) {
+  if (!L || fd < 0 || L->reader.joinable() || !L->readers_mt.empty())
+    return -1;
   L->fd = fd;
   L->loop = loop != 0;
   L->file_start = ::lseek(fd, 0, SEEK_CUR);
-  if (L->file_start < 0) L->file_start = 0;  // non-seekable: loop disabled
+  bool seekable = L->file_start >= 0;
+  if (!seekable) L->file_start = 0;  // non-seekable: loop disabled
   L->pace_bytes_per_s = pace_bytes_per_s;
   L->stop_flag.store(false);
   L->eof = false;
+
+  if (n_readers > 1 && seekable && pace_bytes_per_s <= 0.0) {
+    struct stat st;
+    if (::fstat(fd, &st) == 0 && st.st_size > L->file_start) {
+      L->span = st.st_size - L->file_start;
+      const long B = static_cast<long>(L->slots[0].data.size());
+      L->chunks_total = L->loop ? -1
+          : static_cast<long>((static_cast<long long>(L->span) + B - 1) / B);
+      L->next_chunk = 0;
+      L->next_deliver = 0;
+      if (n_readers > static_cast<int>(L->slots.size()) / 2)
+        n_readers = static_cast<int>(L->slots.size()) / 2;
+      if (n_readers > 1) {
+        for (int i = 0; i < n_readers; i++)
+          L->readers_mt.emplace_back(&Loader::reader_main_mt, L);
+        return 0;
+      }
+    }
+  }
   L->reader = std::thread(&Loader::reader_main, L);
   return 0;
 }
@@ -212,4 +350,15 @@ void rpf_loader_destroy(Loader* L) {
   delete L;
 }
 
+
+#include <cstdio>
+extern "C" void rpf_loader_debug(Loader* L) {
+  std::lock_guard<std::mutex> lk(L->mu);
+  fprintf(stderr, "DBG next_deliver=%ld next_chunk=%ld chunks_total=%ld eof=%d "
+          "free=%zu filled=%zu pending=[", L->next_deliver,
+          L->next_chunk, L->chunks_total, (int)L->eof,
+          L->free_q.size(), L->filled_q.size());
+  for (auto& kv : L->pending_mt) fprintf(stderr, "%ld:%d ", kv.first, kv.second);
+  fprintf(stderr, "]\n");
+}
 }  // extern "C"

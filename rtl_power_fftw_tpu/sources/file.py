@@ -28,7 +28,7 @@ class FileSource(IQSource):
     def __init__(self, path: str, sample_rate: int = 2_048_000,
                  loop: bool = False, use_native: bool = True,
                  native_buf_bytes: Optional[int] = None,
-                 native_buffers: int = 8):
+                 native_buffers: int = 12, native_readers: int = 4):
         """``native_buf_bytes=None`` (default) sizes the loader's pool
         slots to the FIRST read request, enabling the zero-copy path:
         full reads then return pool views directly (recycled by a
@@ -38,9 +38,11 @@ class FileSource(IQSource):
         Pool-depth note: with zero-copy views the pool must be deeper
         than the number of buffers the downstream consumer can pin at
         once (the Datastore's bounded queue holds up to ``--buffers``,
-        default 5; the default pool of 8 covers it with headroom — a
-        temporarily starved pool degrades to dropped-samples retries,
-        never a deadlock).
+        default 5) PLUS the parallel reader count (``native_readers``
+        preads chunks concurrently; ordered delivery can hold up to
+        readers−1 out-of-order slots). The default 12-deep pool covers
+        5 pins + 4 readers with headroom — a temporarily starved pool
+        degrades to dropped-samples retries, never a deadlock.
 
         Lifetime: call ``close()`` only after the consumer has drained
         all outstanding views (the session joins its consumer thread
@@ -66,20 +68,25 @@ class FileSource(IQSource):
                 from ..native import native_available
                 if native_available():
                     # Lazy start: slot size is decided at the first read.
-                    self._native_cfg = (native_buf_bytes, native_buffers)
+                    self._native_cfg = (native_buf_bytes, native_buffers,
+                                        native_readers)
             except Exception:
                 pass
 
     def _ensure_native(self, nbytes: int) -> None:
         if self._native is not None or self._native_cfg is None:
             return
-        buf_bytes, n_buffers = self._native_cfg
+        buf_bytes, n_buffers, n_readers = self._native_cfg
         if buf_bytes is None:
             buf_bytes = min(max(int(nbytes), 1 << 16), 32 << 20)
         try:
             from ..native import NativeLoader
             self._native = NativeLoader(buf_bytes, n_buffers)
-            self._native.start_fd(self._file.fileno(), loop=self.loop)
+            # Parallel readers overlap I/O latency (page cache, NVMe,
+            # network FS), which needs no extra cores — don't cap by
+            # cpu_count; the loader caps at half the pool depth.
+            self._native.start_fd(self._file.fileno(), loop=self.loop,
+                                  readers=max(1, int(n_readers)))
         except Exception:
             self._native = None       # silent fallback to the Python path
             self._native_cfg = None

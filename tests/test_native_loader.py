@@ -130,3 +130,91 @@ def test_pipe_source():
         os.close(r)
         if w >= 0:
             os.close(w)
+
+
+# --- multi-reader (parallel pread with ordered delivery) ---------------------
+
+def test_multireader_byte_parity(tmp_path):
+    """4 parallel readers must produce the exact sequential byte stream,
+    including a partial tail chunk (file size not a multiple of the slot)."""
+    p, data = write_stream(tmp_path, 16384 * 7 + 777)
+    fd = os.open(str(p), os.O_RDONLY)
+    try:
+        with NativeLoader(buf_bytes=16384, n_buffers=8) as ld:
+            ld.start_fd(fd, readers=4)
+            got = drain(ld)
+            np.testing.assert_array_equal(got, data)
+            assert ld.bytes_read() == len(data)
+            assert ld.at_eof()
+    finally:
+        os.close(fd)
+
+
+def test_multireader_loop_parity(tmp_path):
+    """Loop mode with parallel readers: several wraps of an odd-sized file
+    must match the infinite repetition of the recording byte-for-byte."""
+    size = 5000  # not a multiple of the slot: chunks wrap mid-file
+    p, data = write_stream(tmp_path, size)
+    fd = os.open(str(p), os.O_RDONLY)
+    try:
+        with NativeLoader(buf_bytes=2048, n_buffers=8) as ld:
+            ld.start_fd(fd, loop=True, readers=4)
+            got = []
+            for _ in range(12):  # ~5 wraps
+                slot, view = ld.acquire(timeout_ms=5000)
+                got.append(view.copy())
+                ld.release(slot)
+            ld.stop()
+        got = np.concatenate(got)
+        want = np.tile(data, int(np.ceil(len(got) / size)) + 1)[:len(got)]
+        np.testing.assert_array_equal(got, want)
+    finally:
+        os.close(fd)
+
+
+def test_multireader_respects_start_offset(tmp_path):
+    """The stream begins at the fd's current offset, same as sequential."""
+    p, data = write_stream(tmp_path, 16384 * 3)
+    fd = os.open(str(p), os.O_RDONLY)
+    try:
+        os.lseek(fd, 1000, os.SEEK_SET)
+        with NativeLoader(buf_bytes=4096, n_buffers=8) as ld:
+            ld.start_fd(fd, readers=3)
+            got = drain(ld)
+            np.testing.assert_array_equal(got, data[1000:])
+    finally:
+        os.close(fd)
+
+
+def test_multireader_pipe_falls_back():
+    """Non-seekable fds silently use the sequential reader."""
+    r, w = os.pipe()
+    payload = (np.arange(3000) % 256).astype(np.uint8)
+    try:
+        with NativeLoader(buf_bytes=1024, n_buffers=4) as ld:
+            ld.start_fd(r, readers=4)
+            os.write(w, payload.tobytes())
+            os.close(w)
+            w = -1
+            got = drain(ld)
+            np.testing.assert_array_equal(got, payload)
+    finally:
+        os.close(r)
+        if w >= 0:
+            os.close(w)
+
+
+def test_multireader_backpressure_stop(tmp_path):
+    """Readers blocked on a full pool must stop cleanly (no hang/leak)."""
+    p, data = write_stream(tmp_path, 16384 * 40)
+    fd = os.open(str(p), os.O_RDONLY)
+    try:
+        ld = NativeLoader(buf_bytes=16384, n_buffers=6)
+        ld.start_fd(fd, readers=3)
+        a = ld.acquire(timeout_ms=5000)
+        time.sleep(0.1)  # let readers fill the pool and block
+        ld.release(a[0])
+        ld.stop()   # must join all readers promptly
+        ld.close()
+    finally:
+        os.close(fd)
