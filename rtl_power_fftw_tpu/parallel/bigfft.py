@@ -1,0 +1,143 @@
+"""Sequence-sharded large-N PSD: ONE transform spread across the mesh.
+
+The other parallel modes shard independent work (streams, or whole
+frames — longint.py); this module shards a SINGLE huge transform, the
+true sequence parallelism of the 1M-point long-integration mode
+(BASELINE config 3, SURVEY §5 "long-context" row): each device holds a
+1/D slice of every frame, so N can exceed one device's working set and
+the per-spectrum latency scales down with the mesh.
+
+Algorithm — the classic distributed four-step (transpose) FFT, mapped
+to TPU collectives:
+
+    frame x[n], n = n1·N2 + n2, viewed as (N1, N2), sharded on n2
+    1. local FFT over n1 (length N1) for the device's n2 columns
+    2. local twiddle by W_N^(n2·k1) (n2 offset from the mesh position)
+    3. lax.all_to_all over the mesh: (k1 full, n2 block) →
+       (k1 block, n2 full) — the distributed transpose rides ICI
+    4. local FFT over n2 (length N2)
+    5. masked |X|² frame reduction → per-device (N1/D, N2) partial bins
+
+Output bins come out unshifted in the k = k1 + N1·k2 convention shared
+with the fused kernel and ops.spectral (fftshift once at finalization —
+same math as the reference's (−1)^n input flip, datastore.cxx:69-75).
+
+The reference has no analogue (FFTW on one core, datastore.cxx:81);
+this is what "scale the sequence axis over ICI" means TPU-natively.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+try:                                    # jax >= 0.8
+    from jax import shard_map
+except ImportError:                     # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import make_mesh
+
+
+def _split(N: int) -> Tuple[int, int]:
+    """Balanced power-of-two N = N1·N2 (N1 ≤ N2)."""
+    n1 = 1 << (int(N).bit_length() - 1 >> 1)
+    return n1, N // n1
+
+
+class ShardedLargeFFTPsd:
+    """PSD accumulator whose FFT is sharded WITHIN each transform.
+
+    fn(raw_u16 (F, N1, N2) sharded on the last axis, n_valid) returns the
+    (N,)-flattened unshifted power partial sum (float32); use
+    ``prepare()`` to view/shard host IQ bytes and ``__call__`` for the
+    whole round trip.
+    """
+
+    def __init__(self, mesh: Optional[Mesh], N: int, F: int,
+                 window: Optional[np.ndarray] = None):
+        if mesh is None:
+            mesh = make_mesh()
+        D = mesh.devices.size
+        if N & (N - 1):
+            raise ValueError(f"N={N} must be a power of two")
+        N1, N2 = _split(N)
+        if N1 % D or N2 % D:
+            raise ValueError(
+                f"mesh size {D} must divide both N1={N1} and N2={N2}")
+        self.mesh = mesh
+        self.N, self.N1, self.N2, self.F, self.D = N, N1, N2, F, D
+        axis = mesh.axis_names[0]
+
+        if window is not None:
+            if len(window) != N:
+                raise ValueError("window length != N")
+            w2d = np.asarray(window, np.float32).reshape(N1, N2)
+        else:
+            w2d = None
+
+        def local_step(x_u16, n_valid, *wargs):
+            # x_u16: (F, N1, N2/D) local columns; u16 lane = (re, im) bytes.
+            d = jax.lax.axis_index(axis)
+            cols = N2 // D
+            v = x_u16.astype(jnp.int32)
+            re = ((v & 0xFF) - 127).astype(jnp.float32)
+            im = ((v >> 8) - 127).astype(jnp.float32)
+            x = jax.lax.complex(re, im)
+            if wargs:
+                wloc = jax.lax.dynamic_slice(
+                    wargs[0], (0, d * cols), (N1, cols))
+                x = x * wloc[None]
+            y = jnp.fft.fft(x, axis=1)                    # over n1 → k1
+            k1 = jnp.arange(N1, dtype=jnp.float32)[:, None]
+            n2 = (d * cols + jnp.arange(cols, dtype=jnp.int32)
+                  ).astype(jnp.float32)[None, :]
+            ang = (-2.0 * np.pi / N) * (k1 * n2)          # (N1, N2/D)
+            z = y * jax.lax.complex(jnp.cos(ang), jnp.sin(ang))[None]
+            # Distributed transpose: split k1 into D blocks, gather n2.
+            z = jax.lax.all_to_all(z, axis, split_axis=1, concat_axis=2,
+                                   tiled=True)            # (F, N1/D, N2)
+            X = jnp.fft.fft(z, axis=2)                    # over n2 → k2
+            pwr = X.real * X.real + X.imag * X.imag
+            fidx = jax.lax.broadcasted_iota(jnp.int32, (F, 1, 1), 0)
+            pwr = jnp.where(fidx < n_valid, pwr, 0.0)
+            return jnp.sum(pwr, axis=0)                   # (N1/D, N2)
+
+        in_specs = [P(None, None, axis), P()]
+        wextra = []
+        if w2d is not None:
+            in_specs.append(P())
+            wextra = [jnp.asarray(w2d)]
+        self._window_dev = wextra
+
+        fn = shard_map(local_step, mesh=mesh, in_specs=tuple(in_specs),
+                       out_specs=P(axis, None))
+        self._fn = jax.jit(fn)
+        self._x_sharding = NamedSharding(mesh, P(None, None, axis))
+
+    def prepare(self, frames_u8: np.ndarray):
+        """View host IQ bytes (F', 2N) u8 (F' ≤ F) as the sharded device
+        input: free u16 view + (F, N1, N2) reshape, padded to F frames,
+        device_put with the column sharding."""
+        Fp = len(frames_u8)
+        if Fp > self.F:
+            raise ValueError(f"got {Fp} frames, step built for {self.F}")
+        u16 = frames_u8.reshape(Fp, -1).view(np.uint16)
+        if Fp < self.F:
+            u16 = np.concatenate(
+                [u16, np.zeros((self.F - Fp, self.N), np.uint16)])
+        x = u16.reshape(self.F, self.N1, self.N2)
+        return jax.device_put(x, self._x_sharding), Fp
+
+    def __call__(self, frames_u8: np.ndarray) -> Tuple[np.ndarray, int]:
+        """Accumulate |FFT|² over the frames; returns ((N,) float64
+        unshifted power sum, frames_used)."""
+        x, n_valid = self.prepare(frames_u8)
+        out = self._fn(x, jnp.int32(n_valid), *self._window_dev)
+        out = np.asarray(out, dtype=np.float64)           # (N1, N2) gathered
+        # Flat bin k = k1 + N1·k2 → row-major (N2, N1) == transpose.
+        return np.ascontiguousarray(out.T).reshape(self.N), n_valid
