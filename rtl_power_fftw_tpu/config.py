@@ -134,7 +134,6 @@ class Params:
     finalfreq: int = 0
     matrix_file: str = ""
     bin_file: str = ""
-    freq_file: str = ""
     meta_file: str = ""
 
     # --- TPU-framework extensions (not present in the reference) ---

@@ -11,7 +11,10 @@ Stitching follows the reference's contract (doc/rtl_power_fftw.1.md:118):
 overlapping spectra are emitted as-is, in hop order — no resampling or
 blending — so downstream treatment stays the user's choice. A
 ``stitch="concat"`` mode returns one concatenated (freqs, psd) pair
-exactly like parsing the reference's multi-spectrum output.
+exactly like parsing the reference's multi-spectrum output, and
+``stitch="merge"`` grid-aligns the hops and averages the overlap
+regions in linear power (utils/stitch.py — the combining step the
+reference leaves to gnuplot users).
 """
 
 from __future__ import annotations
@@ -76,6 +79,9 @@ def scan_psd(hop_captures: np.ndarray,
         freqs = np.concatenate([f for f, _ in out])
         psd = np.concatenate([p for _, p in out])
         return freqs, psd
+    if stitch == "merge":
+        from ..utils.stitch import merge_spectra
+        return merge_spectra(out, db=not linear)
     raise ValueError(f"unknown stitch mode: {stitch}")
 
 
