@@ -447,3 +447,24 @@ def test_session_with_pallas_backend_matches_auto():
     diffs = sum(1 for a, b in zip(pallas_lines, auto_lines) if a != b)
     # identical at 6-sig-fig output precision for all but a few bins
     assert diffs <= 3, f"{diffs} differing lines"
+
+
+def test_multistream_welch_overlap_integration_time():
+    """--streams with --welch-overlap: per-stream hop pacing, truthful
+    unique-sample integration time (hop*(r_s-1)+N summed over streams)."""
+    src = SyntheticSource(noise=5.0, seed=71)
+    rv, out, err, params = run(
+        ["-f", "1M", "-n", "12", "-b", "64", "--streams", "4",
+         "--welch-overlap", "50",
+         "--source", "synthetic:noise=5,seed=71"], src)
+    assert rv == ReturnValue.Success
+    done = int([l for l in err.split("\n")
+                if "Actual number of averaged spectra:" in l][0].split()[-1])
+    assert done == 4 * params.repeats        # every stream met its quota
+    samples = int([l for l in err.split("\n")
+                   if "samples collected:" in l][0].split()[-1])
+    hop = 32                                 # N=64, 50% overlap
+    assert samples == 4 * (hop * (params.repeats - 1) + 64)
+    eff = float([l for l in err.split("\n")
+                 if "Effective integration time:" in l][0].split()[-2])
+    assert eff == pytest.approx(samples / 2_000_000, rel=1e-6)
