@@ -148,6 +148,9 @@ class Params:
     welch_overlap: float = 0.0
     # Number of parallel IQ streams sharded over the device mesh.
     streams: int = 1
+    # Shard each transform across the device mesh (sequence parallelism
+    # for huge N: distributed four-step FFT, parallel/bigfft.py).
+    shard_transform: bool = False
     # Device-step frame batch (0 = derive from buffer length).
     frames_per_step: int = 0
     # FFT backend: "auto" | "xla" | "matmul" | "fourstep" | "pallas".
@@ -223,6 +226,10 @@ def _build_parser() -> _Parser:
                    help="Welch overlap between FFT frames in percent of N (0 = Bartlett).")
     p.add_argument("--streams", type=int, default=1,
                    help="Parallel IQ streams sharded across the TPU mesh.")
+    p.add_argument("--shard-transform", action="store_true",
+                   help="Shard each FFT across the device mesh (sequence "
+                        "parallelism for huge N; power-of-two bins whose "
+                        "four-step factors the mesh size divides).")
     p.add_argument("--frames-per-step", type=int, default=0,
                    help="FFT frames per device step (0 = auto).")
     p.add_argument("--fft-backend", type=str, default="auto",
@@ -407,6 +414,7 @@ def parse_args(argv: List[str], stderr=None) -> Params:
     params.window_function = ns.window_function.lower()
     params.welch_overlap = ns.welch_overlap
     params.streams = max(1, ns.streams)
+    params.shard_transform = ns.shard_transform
     params.frames_per_step = ns.frames_per_step
     params.fft_backend = ns.fft_backend
     params.profile_dir = ns.profile
@@ -420,5 +428,14 @@ def parse_args(argv: List[str], stderr=None) -> Params:
         raise RPFexception(
             "--welch-overlap must be in [0, 100). Exiting.",
             ReturnValue.InvalidArgument)
+    if params.shard_transform and params.streams > 1:
+        raise RPFexception(
+            "Options --shard-transform and --streams are mutually "
+            "exclusive (shard either the transform or the stream axis). "
+            "Exiting.", ReturnValue.InvalidArgument)
+    if params.shard_transform and params.N & (params.N - 1):
+        raise RPFexception(
+            "--shard-transform requires a power-of-two number of bins. "
+            "Exiting.", ReturnValue.InvalidArgument)
 
     return params

@@ -114,9 +114,17 @@ class ShardedLargeFFTPsd:
             wextra = [jnp.asarray(w2d)]
         self._window_dev = wextra
 
-        fn = shard_map(local_step, mesh=mesh, in_specs=tuple(in_specs),
-                       out_specs=P(axis, None))
-        self._fn = jax.jit(fn)
+        sharded = shard_map(local_step, mesh=mesh, in_specs=tuple(in_specs),
+                            out_specs=P(axis, None))
+
+        def flat_fn(x_u16, n_valid, *wargs):
+            out = sharded(x_u16, n_valid, *wargs)        # (N1, N2) [k1, k2]
+            # Flat bin k = k1 + N1·k2 → row-major (N2, N1) == transpose,
+            # done on device so callers get the framework's standard (N,)
+            # unshifted power layout.
+            return jnp.swapaxes(out, 0, 1).reshape(N)
+
+        self._fn = jax.jit(flat_fn)
         self._x_sharding = NamedSharding(mesh, P(None, None, axis))
 
     def prepare(self, frames_u8: np.ndarray):
@@ -126,18 +134,24 @@ class ShardedLargeFFTPsd:
         Fp = len(frames_u8)
         if Fp > self.F:
             raise ValueError(f"got {Fp} frames, step built for {self.F}")
-        u16 = frames_u8.reshape(Fp, -1).view(np.uint16)
+        # Welch-overlap slicers can hand out strided frame views; the u16
+        # view needs contiguous rows (no-op copy otherwise).
+        u16 = np.ascontiguousarray(frames_u8).reshape(Fp, -1).view(np.uint16)
         if Fp < self.F:
             u16 = np.concatenate(
                 [u16, np.zeros((self.F - Fp, self.N), np.uint16)])
         x = u16.reshape(self.F, self.N1, self.N2)
         return jax.device_put(x, self._x_sharding), Fp
 
+    def device_step(self, frames_u8: np.ndarray, n_valid: int):
+        """Datastore-compatible step: (F', 2N) u8 frames → (N,) float32
+        device array (async; np.asarray forces completion). ``n_valid``
+        masks trailing padding frames."""
+        x, _ = self.prepare(frames_u8)
+        return self._fn(x, jnp.int32(n_valid), *self._window_dev)
+
     def __call__(self, frames_u8: np.ndarray) -> Tuple[np.ndarray, int]:
         """Accumulate |FFT|² over the frames; returns ((N,) float64
         unshifted power sum, frames_used)."""
-        x, n_valid = self.prepare(frames_u8)
-        out = self._fn(x, jnp.int32(n_valid), *self._window_dev)
-        out = np.asarray(out, dtype=np.float64)           # (N1, N2) gathered
-        # Flat bin k = k1 + N1·k2 → row-major (N2, N1) == transpose.
-        return np.ascontiguousarray(out.T).reshape(self.N), n_valid
+        out = self.device_step(frames_u8, len(frames_u8))
+        return np.asarray(out, dtype=np.float64), len(frames_u8)

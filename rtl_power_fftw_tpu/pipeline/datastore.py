@@ -39,6 +39,21 @@ class AcquisitionResult:
     repeats_done: int
 
 
+class _ShardedTransformStep:
+    """Adapter giving parallel.bigfft the PsdStep calling convention
+    (.F + __call__(frames_u8, n_valid) -> async (N,) device partial)."""
+
+    def __init__(self, N: int, frames_per_step: int, window):
+        from ..parallel.bigfft import ShardedLargeFFTPsd
+        from ..parallel.mesh import make_mesh
+        self._impl = ShardedLargeFFTPsd(make_mesh(), N, frames_per_step,
+                                        window=window)
+        self.F = frames_per_step
+
+    def __call__(self, frames_u8: np.ndarray, n_valid: int):
+        return self._impl.device_step(frames_u8, n_valid)
+
+
 class Datastore:
     """Buffer pool + device-step consumer.
 
@@ -61,9 +76,17 @@ class Datastore:
             # Default: one buffer's worth of frames per device step, capped
             # to keep step latency and padding waste balanced.
             frames_per_step = max(1, min(params.buf_length // (2 * params.N), 4096))
-        self.step = PsdStep(params.N, frames_per_step, window=window,
-                            backend=params.fft_backend,
-                            precision=params.precision)
+        if getattr(params, "shard_transform", False):
+            # Sequence parallelism: each transform sharded over the device
+            # mesh (distributed four-step FFT, parallel/bigfft.py) instead
+            # of a per-device batched step. Same (F, 2N) u8 -> (N,) f32
+            # partial-power contract as PsdStep.
+            self.step = _ShardedTransformStep(params.N, frames_per_step,
+                                              window)
+        else:
+            self.step = PsdStep(params.N, frames_per_step, window=window,
+                                backend=params.fft_backend,
+                                precision=params.precision)
         self.slicer = FrameSlicer(params.N, hop=hop)
         self.max_in_flight = max_in_flight
 

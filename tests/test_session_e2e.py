@@ -468,3 +468,39 @@ def test_multistream_welch_overlap_integration_time():
     eff = float([l for l in err.split("\n")
                  if "Effective integration time:" in l][0].split()[-2])
     assert eff == pytest.approx(samples / 2_000_000, rel=1e-6)
+
+
+def test_shard_transform_session_matches_default():
+    """--shard-transform: the distributed four-step transform (one FFT
+    sharded over the 8-device mesh, parallel/bigfft.py) produces the
+    same averaged spectrum as the default per-device path."""
+    args = ["-f", "1M", "-n", "16", "-b", "1024",
+            "--source", "synthetic:tone=1.1M/30,noise=5,seed=80"]
+    src1 = SyntheticSource(tones=[(1_100_000, 30.0)], noise=5.0, seed=80)
+    rv1, out1, err1, _ = run(args, src1)
+    src2 = SyntheticSource(tones=[(1_100_000, 30.0)], noise=5.0, seed=80)
+    rv2, out2, err2, _ = run(args + ["--shard-transform"], src2)
+    assert rv1 == ReturnValue.Success and rv2 == ReturnValue.Success
+
+    def vals(out):
+        return np.array([float(l.split()[1]) for l in out.split("\n")
+                         if l and not l.startswith("#")])
+    v1, v2 = vals(out1), vals(out2)
+    assert v1.shape == v2.shape == (1024,)
+    # Same spectrum within the f32-transform budget (different transform
+    # algorithms: batched four-step matmuls vs distributed FFT).
+    np.testing.assert_allclose(v2, v1, rtol=0, atol=2e-4)  # dB values
+    assert int(np.argmax(v1)) == int(np.argmax(v2))
+
+
+def test_shard_transform_excludes_streams():
+    with pytest.raises(RPFexception) as ei:
+        parse_args(["-f", "1M", "--shard-transform", "--streams", "4"],
+                   stderr=io.StringIO())
+    assert ei.value.return_value == ReturnValue.InvalidArgument
+
+
+def test_shard_transform_requires_pow2_bins():
+    with pytest.raises(RPFexception):
+        parse_args(["-f", "1M", "-b", "500", "--shard-transform"],
+                   stderr=io.StringIO())
