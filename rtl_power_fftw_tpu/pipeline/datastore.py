@@ -44,10 +44,18 @@ class _ShardedTransformStep:
     (.F + __call__(frames_u8, n_valid) -> async (N,) device partial)."""
 
     def __init__(self, N: int, frames_per_step: int, window):
+        from ..exceptions import ReturnValue, RPFexception
         from ..parallel.bigfft import ShardedLargeFFTPsd
         from ..parallel.mesh import make_mesh
-        self._impl = ShardedLargeFFTPsd(make_mesh(), N, frames_per_step,
-                                        window=window)
+        try:
+            self._impl = ShardedLargeFFTPsd(make_mesh(), N, frames_per_step,
+                                            window=window)
+        except ValueError as e:
+            # e.g. the mesh size does not divide the four-step factors —
+            # a configuration problem, so the typed CLI exit (3), not a
+            # traceback.
+            raise RPFexception(f"--shard-transform: {e}. Exiting.",
+                               ReturnValue.InvalidArgument)
         self.F = frames_per_step
 
     def __call__(self, frames_u8: np.ndarray, n_valid: int):

@@ -40,6 +40,8 @@ def pytest_collection_modifyitems(config, items):
     skip = pytest.mark.skip(reason="needs an 8-device mesh (CPU harness)")
     for item in items:
         if ("test_sharding" in item.nodeid
+                or "test_bigfft" in item.nodeid
+                or "shard_transform" in item.nodeid
                 or "multistream" in item.nodeid.lower()):
             item.add_marker(skip)
 
