@@ -56,6 +56,7 @@ struct Loader {
 
   int fd = -1;
   bool loop = false;
+  bool started = false;   // a Loader streams once; create a new one to restart
   off_t file_start = 0;
   double pace_bytes_per_s = 0.0;
 
@@ -264,8 +265,8 @@ Loader* rpf_loader_create(size_t buf_bytes, int n_buffers) {
 // n_readers, else readers and a stalled consumer can starve each other.
 int rpf_loader_start_fd(Loader* L, int fd, int loop, double pace_bytes_per_s,
                         int n_readers) {
-  if (!L || fd < 0 || L->reader.joinable() || !L->readers_mt.empty())
-    return -1;
+  if (!L || fd < 0 || L->started) return -1;
+  L->started = true;
   L->fd = fd;
   L->loop = loop != 0;
   L->file_start = ::lseek(fd, 0, SEEK_CUR);

@@ -218,3 +218,18 @@ def test_multireader_backpressure_stop(tmp_path):
         ld.close()
     finally:
         os.close(fd)
+
+
+def test_loader_streams_once(tmp_path):
+    """A Loader streams once; a second start_fd is rejected (-1 -> raise)."""
+    p, data = write_stream(tmp_path, 16384)
+    fd = os.open(str(p), os.O_RDONLY)
+    try:
+        with NativeLoader(buf_bytes=16384, n_buffers=2) as ld:
+            ld.start_fd(fd)
+            drain(ld)
+            ld.stop()
+            with pytest.raises(RuntimeError):
+                ld.start_fd(fd)
+    finally:
+        os.close(fd)
