@@ -437,5 +437,8 @@ def parse_args(argv: List[str], stderr=None) -> Params:
         raise RPFexception(
             "--shard-transform requires a power-of-two number of bins. "
             "Exiting.", ReturnValue.InvalidArgument)
+    if params.shard_transform and params.fft_backend != "auto":
+        print("Warning: --shard-transform uses the distributed four-step "
+              "transform; --fft-backend is ignored.", file=err)
 
     return params
