@@ -121,8 +121,12 @@ class ShardedLargeFFTPsd:
             out = sharded(x_u16, n_valid, *wargs)        # (N1, N2) [k1, k2]
             # Flat bin k = k1 + N1·k2 → row-major (N2, N1) == transpose,
             # done on device so callers get the framework's standard (N,)
-            # unshifted power layout.
-            return jnp.swapaxes(out, 0, 1).reshape(N)
+            # unshifted power layout. Replicated so every process of a
+            # multi-host mesh can read it locally (a no-op on one host —
+            # the (N,) f32 gather happens at fetch time anyway).
+            flat = jnp.swapaxes(out, 0, 1).reshape(N)
+            return jax.lax.with_sharding_constraint(
+                flat, NamedSharding(mesh, P()))
 
         self._fn = jax.jit(flat_fn)
         self._x_sharding = NamedSharding(mesh, P(None, None, axis))
@@ -155,3 +159,39 @@ class ShardedLargeFFTPsd:
         unshifted power sum, frames_used)."""
         out = self.device_step(frames_u8, len(frames_u8))
         return np.asarray(out, dtype=np.float64), len(frames_u8)
+
+    # --- multi-host (DCN) path ------------------------------------------
+
+    def prepare_global(self, frames_u8: np.ndarray):
+        """Multi-host input assembly: every process passes the SAME full
+        frames; each device_puts only its own column shards, and the
+        global Array is assembled from single-device pieces (the same
+        shape as MultiHostPsdStep._globalize). The all_to_all between the
+        transform stages then rides ICI within a host and DCN across."""
+        import jax
+        Fp = len(frames_u8)
+        if Fp > self.F:
+            raise ValueError(f"got {Fp} frames, step built for {self.F}")
+        u16 = np.ascontiguousarray(frames_u8).reshape(Fp, -1).view(np.uint16)
+        if Fp < self.F:
+            u16 = np.concatenate(
+                [u16, np.zeros((self.F - Fp, self.N), np.uint16)])
+        x = u16.reshape(self.F, self.N1, self.N2)
+        dev_list = list(self.mesh.devices.flat)
+        cols = self.N2 // len(dev_list)
+        shards = []
+        for d in jax.local_devices():
+            gi = dev_list.index(d)
+            shards.append(jax.device_put(
+                np.ascontiguousarray(x[:, :, gi * cols:(gi + 1) * cols]), d))
+        arr = jax.make_array_from_single_device_arrays(
+            (self.F, self.N1, self.N2), self._x_sharding, shards)
+        return arr, Fp
+
+    def call_global(self, frames_u8: np.ndarray) -> Tuple[np.ndarray, int]:
+        """Multi-host __call__: returns the replicated (N,) float64 power
+        sum readable on every process."""
+        x, n_valid = self.prepare_global(frames_u8)
+        out = self._fn(x, jnp.int32(n_valid), *self._window_dev)
+        return (np.asarray(out.addressable_data(0), dtype=np.float64),
+                n_valid)

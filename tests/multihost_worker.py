@@ -33,6 +33,24 @@ from rtl_power_fftw_tpu.parallel.multihost import (  # noqa: E402
 initialize(coordinator, num_processes=2, process_id=proc_id)
 
 N, F = N_arg, 16
+
+if backend == "bigfft":
+    # Sequence parallelism across processes: ONE transform sharded over
+    # the 8-device global mesh; the all_to_all transpose crosses the
+    # process boundary (the DCN leg) for real.
+    from rtl_power_fftw_tpu.parallel.bigfft import ShardedLargeFFTPsd
+    from rtl_power_fftw_tpu.parallel.multihost import global_stream_mesh
+
+    F = 4
+    frames = np.random.default_rng(2000).integers(
+        0, 256, (F, 2 * N), dtype=np.uint8)
+    step = ShardedLargeFFTPsd(global_stream_mesh(), N, F)
+    combined, used = step.call_global(frames)
+    assert used == F
+    np.save(outfile, combined)
+    print(f"[p{proc_id}] bigfft combined[0:3] = {combined[:3]}")
+    sys.exit(0)
+
 step = MultiHostPsdStep(N, F, backend=backend)
 assert step.streams_global == 8 and step.streams_local == 4
 
