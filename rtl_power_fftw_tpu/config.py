@@ -162,6 +162,8 @@ class Params:
     precision: str = "highest"
     # Append machine-readable per-scan stats (JSON lines) to this file.
     stats_json: str = ""
+    # Record the raw consumed IQ bytes for replay (--source file:...).
+    record_file: str = ""
 
     @classmethod
     def from_argv(cls, argv: List[str]) -> "Params":
@@ -240,6 +242,10 @@ def _build_parser() -> _Parser:
                    help="Transform matmul precision: 'highest' holds the "
                         "1e-5 reference parity; 'high' is ~19%% faster at "
                         "~2e-5 error.")
+    p.add_argument("--record", type=str, default="", metavar="file",
+                   help="Record the raw consumed IQ bytes to this file "
+                        "(replayable with --source file:<file>; with "
+                        "--streams S, one file per stream: <file>.s<i>).")
     p.add_argument("--stats-json", type=str, default="", metavar="file",
                    help="Append per-scan stats as JSON lines (timestamps, "
                         "tuned freq, repeats, readouts, effective "
@@ -420,6 +426,7 @@ def parse_args(argv: List[str], stderr=None) -> Params:
     params.profile_dir = ns.profile
     params.precision = ns.precision
     params.stats_json = ns.stats_json
+    params.record_file = ns.record
     if params.window and params.window_function:
         raise RPFexception(
             "Options --window and --window-function are mutually exclusive. Exiting.",

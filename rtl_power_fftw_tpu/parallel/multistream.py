@@ -89,6 +89,21 @@ class MultiStreamAcquisition:
         # (the multi-stream analogue of datastore.h:45's per-grab count).
         self.queue_histogram: List[int] = [0] * (self.QUEUE_DEPTH + 1)
         self._hist_lock = threading.Lock()
+        self._record_files: Optional[List] = None
+
+    def start_recording(self, base_path: str, stderr=None) -> None:
+        """Raw-IQ capture (extension): one file per stream, written by
+        that stream's producer thread (no cross-thread sharing)."""
+        import sys
+        err = stderr if stderr is not None else sys.stderr
+        self._record_files = [open(f"{base_path}.s{i}", "wb")
+                              for i in range(self.S)]
+        print(f"Recording raw IQ to {base_path}.s0..s{self.S - 1}", file=err)
+
+    def stop_recording(self) -> None:
+        for f in self._record_files or []:
+            f.close()
+        self._record_files = None
 
     def print_queue_histogram(self, stderr=None) -> None:
         """Free-slot histogram summed over stream queues (the multistream
@@ -188,6 +203,9 @@ class MultiStreamAcquisition:
                     except StreamEOF as eof:
                         eof_flags[s] = True
                         if eof.partial is not None and len(eof.partial):
+                            if self._record_files is not None:
+                                self._record_files[s].write(
+                                    eof.partial.tobytes())
                             got = slicer.push(
                                 eof.partial,
                                 max_frames=params.repeats - n_frames)
@@ -198,6 +216,8 @@ class MultiStreamAcquisition:
                     if ok:
                         counters[s, 1] += 1
                         data_read += need
+                        if self._record_files is not None:
+                            self._record_files[s].write(buf.tobytes())
                         got = slicer.push(buf,
                                           max_frames=params.repeats - n_frames)
                         n_frames += len(got)

@@ -47,7 +47,7 @@ class Acquisition:
     def __init__(self, params: Params, aux: AuxData, source: IQSource,
                  data: Datastore, actual_samplerate: int, freq: int,
                  stats: SessionStats, stderr: Optional[IO[str]] = None,
-                 multistream=None):
+                 multistream=None, record=None):
         self.params = params
         self.aux = aux
         self.source = source
@@ -64,6 +64,7 @@ class Acquisition:
         self.repeats_done = 0
         self.pwr: Optional[np.ndarray] = None
         self.multistream = multistream
+        self.record = record      # open binary file: raw consumed IQ copy
         self.stream_eof = False
 
     def run(self) -> None:
@@ -149,6 +150,8 @@ class Acquisition:
                 # strict-time semantics (acquisition.cxx:326-331), not a
                 # fatal AcquisitionError.
                 if eof.partial is not None and len(eof.partial):
+                    if self.record is not None:
+                        self.record.write(eof.partial.tobytes())
                     self.data.push_buffer(eof.partial)
                 self.stream_eof = True
                 print(f"End of input stream: {eof}", file=self.err)
@@ -162,6 +165,10 @@ class Acquisition:
             else:
                 self.successfulReadouts += 1
                 data_read += data_needed
+                if self.record is not None:
+                    # Raw-IQ capture (extension): the consumed byte stream,
+                    # exactly what --source file:<record> would replay.
+                    self.record.write(buffer.tobytes())
                 self.data.push_buffer(buffer)
 
             if params.strict_time and time.monotonic() >= stop_time:
@@ -317,6 +324,17 @@ def run_session(params: Params, source: IQSource, aux: AuxData,
         matrix_writer = MatrixWriter(params.bin_file, params.meta_file, stats)
         matrix_writer.truncate()
 
+    record = None
+    if params.record_file and multistream is None:
+        # Raw-IQ capture (extension): one file for the whole session; with
+        # hopping the per-hop streams are appended in scan order.
+        record = open(params.record_file, "wb")
+        print(f"Recording raw IQ to {params.record_file}", file=err)
+    elif params.record_file:
+        # Multi-stream: one file per stream (<file>.s<i>), written by the
+        # per-stream producers.
+        multistream.start_recording(params.record_file, stderr=err)
+
     params.finalfreq = plan.freqs_to_tune[-1]
     freqs_meta_needed = True
     do_exit = False
@@ -334,7 +352,8 @@ def run_session(params: Params, source: IQSource, aux: AuxData,
             hist_before = list(hist_source.queue_histogram)
             acquisition = Acquisition(params, aux, source, data,
                                       actual_samplerate, freq, stats,
-                                      stderr=err, multistream=multistream)
+                                      stderr=err, multistream=multistream,
+                                      record=record)
             try:
                 acquisition.run()
                 i += 1
@@ -448,6 +467,11 @@ def run_session(params: Params, source: IQSource, aux: AuxData,
 
     if params.matrixMode and matrix_writer is not None:
         matrix_writer.write_meta(params.N, last_repeats_done, actual_samplerate)
+
+    if record is not None:
+        record.close()
+    if multistream is not None:
+        multistream.stop_recording()
 
     if len(plan.freqs_to_tune) == 0:
         raise RPFexception("No valid frequencies left.",

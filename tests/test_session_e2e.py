@@ -504,3 +504,36 @@ def test_shard_transform_requires_pow2_bins():
     with pytest.raises(RPFexception):
         parse_args(["-f", "1M", "-b", "500", "--shard-transform"],
                    stderr=io.StringIO())
+
+
+def test_record_replay_identical(tmp_path):
+    """--record captures the consumed raw IQ; replaying the file through
+    --source file: reproduces the spectrum byte-for-byte."""
+    rec = str(tmp_path / "cap.iq")
+    args = ["-f", "2M", "-n", "20", "-b", "128"]
+    src = SyntheticSource(tones=[(2_040_000, 25.0)], noise=6.0, seed=90)
+    rv1, out1, err1, params = run(
+        args + ["--record", rec,
+                "--source", "synthetic:tone=2.04M/25,noise=6,seed=90"], src)
+    assert rv1 == ReturnValue.Success
+    assert os.path.getsize(rec) >= 2 * 128 * params.repeats
+
+    from rtl_power_fftw_tpu.sources import FileSource
+    replay = FileSource(rec)
+    rv2, out2, err2, _ = run(args + ["--source", f"file:{rec}"], replay)
+    assert rv2 == ReturnValue.Success
+
+    def data(out):
+        return [l for l in out.split("\n") if l and not l.startswith("#")]
+    assert data(out1) == data(out2)
+
+
+def test_record_multistream_per_stream_files(tmp_path):
+    rec = str(tmp_path / "cap.iq")
+    src = SyntheticSource(noise=5.0, seed=91)
+    rv, out, err, params = run(
+        ["-f", "1M", "-n", "8", "-b", "64", "--streams", "2",
+         "--record", rec, "--source", "synthetic:noise=5,seed=91"], src)
+    assert rv == ReturnValue.Success
+    for i in range(2):
+        assert os.path.getsize(f"{rec}.s{i}") >= 2 * 64 * params.repeats
