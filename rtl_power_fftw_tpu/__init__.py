@@ -7,7 +7,7 @@ sessions, graceful interrupts, gnuplot-ready text output and binary matrix
 output with metadata sidecars.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from .exceptions import ReturnValue, RPFexception, TuneError  # noqa: F401
 from .config import Params, parse_args, parse_frequency, parse_time  # noqa: F401
