@@ -18,6 +18,16 @@ from .session import run_session
 from .sources.registry import open_device
 
 
+def _jax_runtime_errors():
+    """The device-runtime exception class(es), resolved lazily so the CLI
+    never imports jax before the session needs it."""
+    try:
+        from jax.errors import JaxRuntimeError
+        return (JaxRuntimeError,)
+    except ImportError:  # pragma: no cover - ancient jax
+        return ()
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     if argv is None:
         argv = sys.argv[1:]
@@ -41,6 +51,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     except RPFexception as exception:
         print(str(exception), file=sys.stderr)
         final_retval = exception.return_value
+    except _jax_runtime_errors() as exception:
+        # A device-side runtime failure (lost/preempted TPU, device OOM)
+        # is this framework's analogue of a librtlsdr hardware failure:
+        # the reference exits 7 there (exceptions.h:25-34, device.cxx).
+        print(f"Device runtime error: {exception}", file=sys.stderr)
+        final_retval = ReturnValue.HardwareError
     finally:
         if source is not None:
             source.close()

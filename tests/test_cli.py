@@ -62,3 +62,21 @@ def test_window_via_stdin_subprocess(tmp_path):
     data_lines = [l for l in proc.stdout.splitlines()
                   if l and not l.startswith("#")]
     assert len(data_lines) == N
+
+
+def test_device_runtime_error_maps_to_hardware_exit(monkeypatch, capsys):
+    """A device-side runtime failure (lost TPU, device OOM) exits 7 with
+    a clean message — the reference's hardware-error semantics
+    (exceptions.h:25-34) — instead of a traceback."""
+    import jax.errors
+
+    import rtl_power_fftw_tpu.cli as cli
+
+    def boom(*a, **k):
+        raise jax.errors.JaxRuntimeError("DEVICE_LOST: tunnel dropped")
+
+    monkeypatch.setattr(cli, "run_session", boom)
+    rc = cli.main(["-f", "1M", "-n", "4", "-b", "64",
+                   "--source", "synthetic:"])
+    assert rc == 7
+    assert "Device runtime error" in capsys.readouterr().err
