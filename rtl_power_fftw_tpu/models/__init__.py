@@ -5,3 +5,4 @@ from .scan import scan_psd, plan_hop_freqs  # noqa: F401
 from .kurtosis import spectral_kurtosis  # noqa: F401
 from .multitaper import multitaper_psd  # noqa: F401
 from .coherence import coherence  # noqa: F401
+from .cyclo import spectral_correlation  # noqa: F401

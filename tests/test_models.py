@@ -201,3 +201,47 @@ def test_coherence_dc_bin_not_spurious():
     _, g2, _ = coherence(white(65), white(66), N, rate)
     assert g2[N // 2] < 0.05, g2[N // 2]
     assert np.median(g2) < 0.05
+
+
+def test_spectral_correlation_numpy_parity():
+    """SCF vs a literal float64 numpy transcription on random data."""
+    from rtl_power_fftw_tpu.models import spectral_correlation
+    N, M, rate = 64, 24, 1_000_000
+    rng = np.random.default_rng(5)
+    iq = rng.integers(0, 256, M * 2 * N, dtype=np.uint8)
+    alphas, scf, coh = spectral_correlation(iq, N, rate, max_alpha_bins=5)
+    assert alphas.shape == (5,) and scf.shape == (5, N)
+    x = (iq[0::2].astype(np.float64) - 127.0) \
+        + 1j * (iq[1::2].astype(np.float64) - 127.0)
+    X = np.fft.fft(x.reshape(M, N), axis=1)
+    want = np.stack([
+        (np.roll(X, -k, axis=1) * np.conj(X)).mean(axis=0)
+        for k in range(5)])
+    np.testing.assert_allclose(scf, want, rtol=2e-5, atol=1e-3)
+    assert np.all(coh <= 1.0 + 1e-9)
+    # alpha=0 row is the plain averaged PSD.
+    np.testing.assert_allclose(scf[0].real,
+                               (np.abs(X) ** 2).mean(axis=0), rtol=2e-5)
+
+
+def test_spectral_correlation_detects_am_cyclostationarity():
+    """An AM signal (tone modulated at fm = j bins) has a cyclic feature
+    at alpha = fm that pure noise lacks."""
+    from rtl_power_fftw_tpu.models import spectral_correlation
+    N, M, rate = 128, 200, 1_000_000
+    t = np.arange(M * N)
+    fm_bins = 4                                # modulation = 4 bin widths
+    carrier = np.exp(2j * np.pi * (17 / N) * t)
+    am = (1.0 + 0.9 * np.cos(2 * np.pi * fm_bins / N * t)) * 40.0 * carrier
+    rng = np.random.default_rng(6)
+    x = am + 3.0 * (rng.standard_normal(M * N)
+                    + 1j * rng.standard_normal(M * N))
+    re = np.clip(np.round(x.real + 127), 0, 255).astype(np.uint8)
+    im = np.clip(np.round(x.imag + 127), 0, 255).astype(np.uint8)
+    iq = np.stack([re, im], axis=-1).reshape(-1)
+    alphas, scf, coh = spectral_correlation(iq, N, rate, max_alpha_bins=8)
+    # Peak coherence off alpha=0 must land at the modulation lag, and be
+    # decisively stronger than a non-feature lag.
+    scores = coh[1:].max(axis=1)               # per-alpha peak coherence
+    assert int(np.argmax(scores)) + 1 == fm_bins
+    assert scores[fm_bins - 1] > 3 * np.median(np.delete(scores, fm_bins - 1))
