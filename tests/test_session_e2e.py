@@ -537,3 +537,21 @@ def test_record_multistream_per_stream_files(tmp_path):
     assert rv == ReturnValue.Success
     for i in range(2):
         assert os.path.getsize(f"{rec}.s{i}") >= 2 * 64 * params.repeats
+
+
+def test_shard_transform_with_welch_overlap():
+    """--shard-transform composes with --welch-overlap (the slicer hands
+    out strided overlapped frame views; prepare() must copy them)."""
+    args = ["-f", "1M", "-n", "12", "-b", "1024", "--welch-overlap", "50",
+            "--source", "synthetic:tone=1.1M/28,noise=5,seed=82"]
+    src1 = SyntheticSource(tones=[(1_100_000, 28.0)], noise=5.0, seed=82)
+    rv1, out1, err1, _ = run(args, src1)
+    src2 = SyntheticSource(tones=[(1_100_000, 28.0)], noise=5.0, seed=82)
+    rv2, out2, err2, _ = run(args + ["--shard-transform"], src2)
+    assert rv1 == ReturnValue.Success and rv2 == ReturnValue.Success
+
+    def vals(out):
+        return np.array([float(l.split()[1]) for l in out.split("\n")
+                         if l and not l.startswith("#")])
+    v1, v2 = vals(out1), vals(out2)
+    np.testing.assert_allclose(v2, v1, rtol=0, atol=2e-4)
