@@ -164,6 +164,8 @@ class Params:
     stats_json: str = ""
     # Record the raw consumed IQ bytes for replay (--source file:...).
     record_file: str = ""
+    # Maintain a stitched wideband spectrum file, refreshed every pass.
+    stitch_file: str = ""
 
     @classmethod
     def from_argv(cls, argv: List[str]) -> "Params":
@@ -246,6 +248,11 @@ def _build_parser() -> _Parser:
                    help="Record the raw consumed IQ bytes to this file "
                         "(replayable with --source file:<file>; with "
                         "--streams S, one file per stream: <file>.s<i>).")
+    p.add_argument("--stitch-out", type=str, default="", metavar="file",
+                   help="Maintain a stitched wideband spectrum in this "
+                        "file (hop overlaps averaged in linear power), "
+                        "rewritten after every completed pass — a live "
+                        "view for endless scans.")
     p.add_argument("--stats-json", type=str, default="", metavar="file",
                    help="Append per-scan stats as JSON lines (timestamps, "
                         "tuned freq, repeats, readouts, effective "
@@ -427,6 +434,7 @@ def parse_args(argv: List[str], stderr=None) -> Params:
     params.precision = ns.precision
     params.stats_json = ns.stats_json
     params.record_file = ns.record
+    params.stitch_file = ns.stitch_out
     if params.window and params.window_function:
         raise RPFexception(
             "Options --window and --window-function are mutually exclusive. Exiting.",

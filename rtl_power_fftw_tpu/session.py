@@ -222,8 +222,9 @@ class Acquisition:
                                 baseline=baseline)
 
     def write_data(self, text_writer: TextWriter,
-                   matrix_writer: Optional[MatrixWriter]) -> None:
-        """acquisition.cxx:360-433."""
+                   matrix_writer: Optional[MatrixWriter]) -> np.ndarray:
+        """acquisition.cxx:360-433. Returns the computed output values
+        (used by the live stitch extension)."""
         values = self.compute_output()
         if self.params.matrixMode:
             assert matrix_writer is not None
@@ -234,6 +235,7 @@ class Acquisition:
             text_writer.write_spectrum(
                 freqs, values, self.startAcqTimestamp, self.endAcqTimestamp,
                 self.tuned_freq, self.actual_samplerate, self.params.N)
+        return values
 
 
 def run_session(params: Params, source: IQSource, aux: AuxData,
@@ -344,6 +346,7 @@ def run_session(params: Params, source: IQSource, aux: AuxData,
 
     while not do_exit:
         i = 0
+        pass_spectra = []   # (freqs, values) per hop for the live stitch
         while i < len(plan.freqs_to_tune):
             freq = plan.freqs_to_tune[i]
             # In --streams mode the single-stream Datastore is never fed;
@@ -397,8 +400,12 @@ def run_session(params: Params, source: IQSource, aux: AuxData,
                 stats.stepFreq = actual_samplerate // params.N
                 freqs_meta_needed = False
 
-            acquisition.write_data(text_writer, matrix_writer)
+            values = acquisition.write_data(text_writer, matrix_writer)
             any_written = True
+            if params.stitch_file:
+                pass_spectra.append(
+                    (bin_frequencies(acquisition.tuned_freq, params.N,
+                                     actual_samplerate), values))
 
             # Observability extension: machine-readable per-scan stats
             # (the reference only prints these to stderr,
@@ -433,6 +440,23 @@ def run_session(params: Params, source: IQSource, aux: AuxData,
 
             if check_interrupt(InterruptState.FinishNow, stderr=err):
                 break
+
+        # Live stitch extension: rewrite the merged wideband spectrum
+        # after every completed pass (overlaps averaged in linear power
+        # unless --linear; utils/stitch.py) — a continuously refreshed
+        # view for endless scans, like the incremental .met refresh.
+        if params.stitch_file and pass_spectra:
+            from .utils.stitch import merge_spectra
+            sfreqs, svals = merge_spectra(pass_spectra,
+                                          db=not params.linear)
+            tmp = params.stitch_file + ".tmp"
+            with open(tmp, "w") as sf:
+                sf.write(f"# stitched spectrum: {len(pass_spectra)} hops, "
+                         f"{len(sfreqs)} bins\n")
+                for f_, v_ in zip(sfreqs, svals):
+                    sf.write(f"{f_:.10g} {v_:.6g}\n")
+            import os as _os
+            _os.replace(tmp, params.stitch_file)  # atomic refresh
 
         if params.outcnt == 0 and params.talkless:
             params.outcnt += 1

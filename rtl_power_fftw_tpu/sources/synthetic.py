@@ -104,6 +104,12 @@ class SyntheticSource(IQSource):
         z = np.zeros(n, dtype=np.complex128)
         for f_abs, amp in self.tones:
             # Complex baseband: emitter shifted by the tuned frequency.
+            # A real front end band-limits before sampling, so emitters
+            # outside the Nyquist band do NOT alias in — without this, a
+            # wideband scan would see every tone in every hop (at the
+            # aliased frequency), which no hardware does.
+            if abs(f_abs - self._freq) > self._rate / 2.0:
+                continue
             z += amp * np.exp(2j * np.pi * (f_abs - self._freq) * t)
         # One interleaved draw per sample pair so the generated stream is
         # invariant to read chunking (same bytes regardless of buffer sizes).

@@ -44,11 +44,17 @@ def merge_spectra(spectra: Sequence[Spectrum], db: bool = True,
     if not spectra:
         raise ValueError("no spectra to stitch")
     if grid_step is None:
-        diffs = np.concatenate([np.diff(f) for f, _ in spectra if len(f) > 1])
-        if len(diffs) == 0:
+        # Infer the common bin width from each spectrum's full span —
+        # (last − first)/(n − 1) averages out the per-line rounding of
+        # text output (6-7 significant digits at ~100 MHz rounds each
+        # frequency by ~100 Hz; a median of adjacent diffs would inherit
+        # that error and drift bin indices across a wide scan).
+        steps = [(float(f[-1]) - float(f[0])) / (len(f) - 1)
+                 for f, _ in spectra if len(f) > 1]
+        if not steps:
             grid_step = 1.0
         else:
-            grid_step = float(np.median(diffs))
+            grid_step = float(np.median(steps))
             if grid_step <= 0:
                 raise ValueError("spectra must be sorted ascending")
     f0 = min(float(f[0]) for f, _ in spectra)

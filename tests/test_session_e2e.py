@@ -555,3 +555,29 @@ def test_shard_transform_with_welch_overlap():
                          if l and not l.startswith("#")])
     v1, v2 = vals(out1), vals(out2)
     np.testing.assert_allclose(v2, v1, rtol=0, atol=2e-4)
+
+
+def test_stitch_out_live_file(tmp_path):
+    """--stitch-out maintains a merged wideband spectrum refreshed per
+    pass; content matches stitching the session's own text output."""
+    sf = str(tmp_path / "wide.dat")
+    src = SyntheticSource(tones=[(103_700_000, 35.0)], noise=5.0, seed=95)
+    rv, out, err, params = run(
+        ["-f", "100M:105M", "-n", "12", "-b", "128", "-o", "30",
+         "--stitch-out", sf,
+         "--source", "synthetic:tone=103.7M/35,noise=5,seed=95"], src)
+    assert rv == ReturnValue.Success
+    import io as _io
+    from rtl_power_fftw_tpu.utils.stitch import merge_spectra, parse_text
+    want_f, want_v = merge_spectra(parse_text(_io.StringIO(out))[0])
+    lines = [l.split() for l in open(sf) if l.strip()
+             and not l.startswith("#")]
+    got_f = np.array([float(a) for a, _ in lines])
+    got_v = np.array([float(b) for _, b in lines])
+    assert len(got_f) == len(want_f)
+    # The live file carries exact float64 bin frequencies; the text
+    # round trip reconstructs them from 6-7 significant digits (~1e-6).
+    np.testing.assert_allclose(got_f, want_f, rtol=1e-6)
+    np.testing.assert_allclose(got_v, want_v, rtol=0, atol=1e-4)
+    # The tone lands at its absolute RF in the merged spectrum.
+    assert abs(got_f[np.argmax(got_v)] - 103_700_000) < 2_048_000 / 128 * 1.5

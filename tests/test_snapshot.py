@@ -18,7 +18,10 @@ from rtl_power_fftw_tpu.config import parse_args
 from rtl_power_fftw_tpu.session import run_session
 from rtl_power_fftw_tpu.sources import SyntheticSource
 
-EXPECTED_SHA256 = "e973fa8fe0288102e0aa26e0d35c6841d7cdfc23f53e0c96c51331adf032d598"
+EXPECTED_SHA256 = "f743f03a462278b20974c3d3fe1c6ac8921a939a97d4a310ab50a33a8d83db9d"
+# Hash history: e973fa8f... before the synthetic source's front-end
+# band-limit (out-of-band tones used to alias into every hop; now they
+# are absent from hops that couldn't physically see them).
 
 
 def test_session_output_snapshot():
