@@ -581,3 +581,17 @@ def test_stitch_out_live_file(tmp_path):
     np.testing.assert_allclose(got_v, want_v, rtol=0, atol=1e-4)
     # The tone lands at its absolute RF in the merged spectrum.
     assert abs(got_f[np.argmax(got_v)] - 103_700_000) < 2_048_000 / 128 * 1.5
+
+
+def test_record_excludes_dropped_readouts(tmp_path):
+    """Dropped readouts contribute nothing to the average and must not be
+    recorded: the capture replays to the same spectrum."""
+    rec = str(tmp_path / "cap.iq")
+    src = SyntheticSource(noise=5.0, seed=92, drop_every=2)
+    rv, out, err, params = run(
+        ["-f", "1M", "-n", "512", "-b", "64", "-s", "16384",
+         "--record", rec, "--source", "synthetic:noise=5,seed=92"], src)
+    assert rv == ReturnValue.Success
+    assert "Error: dropped samples." in err
+    # Only successful reads are captured: exactly the consumed bytes.
+    assert os.path.getsize(rec) == 2 * 64 * 512

@@ -122,3 +122,15 @@ def test_cli_empty_input_errors():
     err = io.StringIO()
     rc = main(["/dev/null"], stderr=err)
     assert rc == 1
+
+
+def test_cli_linear_mode(tmp_path):
+    p = tmp_path / "scan.dat"
+    p.write_text("100 2\n101 2\n\n101 4\n102 4\n\n\n")
+    out = io.StringIO()
+    rc = main([str(p), "--linear"], stdout=out)
+    assert rc == 0
+    lines = [l.split() for l in out.getvalue().splitlines()
+             if l and not l.startswith("#")]
+    # overlap bin 101: plain mean of 2 and 4 (no delog in --linear mode)
+    np.testing.assert_allclose(float(lines[1][1]), 3.0)
