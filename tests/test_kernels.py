@@ -96,7 +96,7 @@ def test_fused_explicit_split():
 
 
 @pytest.mark.parametrize("N,F", [(256, 128), (2048, 128), (8192, 64),
-                                 (65536, 16)])
+                                 (65536, 16), (131072, 8)])
 def test_fused_compiled_on_tpu(N, F):
     """Compiled (non-interpret) kernel parity across small/large N — runs
     only in RPF_TEST_PLATFORM=tpu mode on real hardware; skipped on the
