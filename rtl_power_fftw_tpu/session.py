@@ -337,6 +337,23 @@ def run_session(params: Params, source: IQSource, aux: AuxData,
         # per-stream producers.
         multistream.start_recording(params.record_file, stderr=err)
 
+    try:
+        return _session_loop(params, aux, source, data, multistream, record,
+                             plan, stats, actual_samplerate, text_writer,
+                             matrix_writer, err, exit_time)
+    finally:
+        # Close capture files on EVERY exit path (errors included), so
+        # buffered tails are flushed and library callers don't leak fds.
+        if record is not None:
+            record.close()
+        if multistream is not None:
+            multistream.stop_recording()
+
+
+def _session_loop(params, aux, source, data, multistream, record, plan,
+                  stats, actual_samplerate, text_writer, matrix_writer,
+                  err, exit_time) -> ReturnValue:
+    """The measurement loop proper (rtl_power_fftw.cxx:132-225)."""
     params.finalfreq = plan.freqs_to_tune[-1]
     freqs_meta_needed = True
     do_exit = False
@@ -491,11 +508,6 @@ def run_session(params: Params, source: IQSource, aux: AuxData,
 
     if params.matrixMode and matrix_writer is not None:
         matrix_writer.write_meta(params.N, last_repeats_done, actual_samplerate)
-
-    if record is not None:
-        record.close()
-    if multistream is not None:
-        multistream.stop_recording()
 
     if len(plan.freqs_to_tune) == 0:
         raise RPFexception("No valid frequencies left.",

@@ -595,3 +595,22 @@ def test_record_excludes_dropped_readouts(tmp_path):
     assert "Error: dropped samples." in err
     # Only successful reads are captured: exactly the consumed bytes.
     assert os.path.getsize(rec) == 2 * 64 * 512
+
+
+def test_record_closed_and_flushed_on_error(tmp_path):
+    """--record must flush/close on the error exit path too: a stream too
+    short for one spectrum raises AcquisitionError, but the bytes that
+    were consumed are on disk afterwards."""
+    short = tmp_path / "short.iq"
+    short.write_bytes(bytes(100))            # < one 64-bin frame
+    rec = str(tmp_path / "cap.iq")
+    from rtl_power_fftw_tpu.sources import FileSource
+    params = parse(["-f", "1M", "-n", "4", "-b", "64",
+                    "--record", rec, "--source", f"file:{short}"])
+    src = FileSource(str(short))
+    with pytest.raises(RPFexception) as e:
+        run_session(params, src, AuxData(params, stderr=io.StringIO()),
+                    stdout=io.StringIO(), stderr=io.StringIO(),
+                    install_sigint=False)
+    assert e.value.retval == ReturnValue.AcquisitionError
+    assert os.path.getsize(rec) == 100       # partial captured + flushed
