@@ -327,15 +327,24 @@ def run_session(params: Params, source: IQSource, aux: AuxData,
         matrix_writer.truncate()
 
     record = None
-    if params.record_file and multistream is None:
-        # Raw-IQ capture (extension): one file for the whole session; with
-        # hopping the per-hop streams are appended in scan order.
-        record = open(params.record_file, "wb")
-        print(f"Recording raw IQ to {params.record_file}", file=err)
-    elif params.record_file:
-        # Multi-stream: one file per stream (<file>.s<i>), written by the
-        # per-stream producers.
-        multistream.start_recording(params.record_file, stderr=err)
+    try:
+        if params.record_file and multistream is None:
+            # Raw-IQ capture (extension): one file for the whole session;
+            # with hopping the per-hop streams are appended in scan order.
+            record = open(params.record_file, "wb")
+            print(f"Recording raw IQ to {params.record_file}", file=err)
+        elif params.record_file:
+            # Multi-stream: one file per stream (<file>.s<i>), written by
+            # the per-stream producers.
+            multistream.start_recording(params.record_file, stderr=err)
+        if params.stitch_file:
+            # Validate writability up front — failing five minutes into a
+            # scan because the directory doesn't exist helps nobody.
+            with open(params.stitch_file, "a"):
+                pass
+    except OSError as e:
+        raise RPFexception(f"Could not open output file: {e}. Exiting.",
+                           ReturnValue.InvalidInput)
 
     try:
         return _session_loop(params, aux, source, data, multistream, record,
@@ -467,13 +476,20 @@ def _session_loop(params, aux, source, data, multistream, record, plan,
             sfreqs, svals = merge_spectra(pass_spectra,
                                           db=not params.linear)
             tmp = params.stitch_file + ".tmp"
-            with open(tmp, "w") as sf:
-                sf.write(f"# stitched spectrum: {len(pass_spectra)} hops, "
-                         f"{len(sfreqs)} bins\n")
-                for f_, v_ in zip(sfreqs, svals):
-                    sf.write(f"{f_:.10g} {v_:.6g}\n")
-            import os as _os
-            _os.replace(tmp, params.stitch_file)  # atomic refresh
+            try:
+                with open(tmp, "w") as sf:
+                    sf.write(f"# stitched spectrum: {len(pass_spectra)} "
+                             f"hops, {len(sfreqs)} bins\n")
+                    for f_, v_ in zip(sfreqs, svals):
+                        sf.write(f"{f_:.10g} {v_:.6g}\n")
+                import os as _os
+                _os.replace(tmp, params.stitch_file)  # atomic refresh
+            except OSError as e:
+                # A live-view failure (disk full, path removed) must not
+                # kill the measurement: warn once and stop refreshing.
+                print(f"Warning: could not refresh {params.stitch_file}: "
+                      f"{e}; live stitching disabled.", file=err)
+                params.stitch_file = ""
 
         if params.outcnt == 0 and params.talkless:
             params.outcnt += 1

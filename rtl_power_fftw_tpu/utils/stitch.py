@@ -23,7 +23,7 @@ and on saved output files.
 from __future__ import annotations
 
 import sys
-from typing import IO, Iterable, List, Optional, Sequence, Tuple
+from typing import IO, List, Optional, Sequence, Tuple
 
 import numpy as np
 

@@ -33,6 +33,10 @@ FLAG_POOL = [
     ["--window-function", "hann"], ["--window-function", "nope"],
     ["--welch-overlap", "50"], ["--welch-overlap", "200"],
     ["--streams", "2"], ["--fft-backend", "matmul"],
+    ["--shard-transform"], ["--record", "/tmp/fuzz_rec.iq"],
+    ["--stitch-out", "/tmp/fuzz_stitch.dat"],
+    ["--record", "/nonexistent-dir/x.iq"],
+    ["--precision", "high"],
     ["--source", "synthetic:noise=3"], ["--source", "bogus:"],
     ["--source", "synthetic:tone=zzz"],
     ["--unknown-flag"],

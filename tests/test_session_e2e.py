@@ -614,3 +614,27 @@ def test_record_closed_and_flushed_on_error(tmp_path):
                     install_sigint=False)
     assert e.value.retval == ReturnValue.AcquisitionError
     assert os.path.getsize(rec) == 100       # partial captured + flushed
+
+
+def test_record_bad_path_is_invalid_input():
+    src = SyntheticSource(noise=5.0, seed=93)
+    params = parse(["-f", "1M", "-n", "4", "-b", "64",
+                    "--record", "/nonexistent-dir/x.iq",
+                    "--source", "synthetic:"])
+    with pytest.raises(RPFexception) as e:
+        run_session(params, src, AuxData(params, stderr=io.StringIO()),
+                    stdout=io.StringIO(), stderr=io.StringIO(),
+                    install_sigint=False)
+    assert e.value.retval == ReturnValue.InvalidInput
+
+
+def test_stitch_out_bad_path_is_invalid_input():
+    src = SyntheticSource(noise=5.0, seed=94)
+    params = parse(["-f", "1M", "-n", "4", "-b", "64",
+                    "--stitch-out", "/nonexistent-dir/x.dat",
+                    "--source", "synthetic:"])
+    with pytest.raises(RPFexception) as e:
+        run_session(params, src, AuxData(params, stderr=io.StringIO()),
+                    stdout=io.StringIO(), stderr=io.StringIO(),
+                    install_sigint=False)
+    assert e.value.retval == ReturnValue.InvalidInput
