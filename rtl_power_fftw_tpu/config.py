@@ -237,8 +237,10 @@ def _build_parser() -> _Parser:
     p.add_argument("--frames-per-step", type=int, default=0,
                    help="FFT frames per device step (0 = auto).")
     p.add_argument("--fft-backend", type=str, default="auto",
-                   choices=["auto", "xla", "matmul", "fourstep", "pallas"],
-                   help="FFT implementation used on device.")
+                   choices=["auto", "xla", "matmul", "fourstep", "fft4",
+                            "pallas"],
+                   help="FFT implementation used on device (fft4 = "
+                        "two-level FFT four-step, the very-large-N path).")
     p.add_argument("--precision", type=str, default="highest",
                    choices=["highest", "high"],
                    help="Transform matmul precision: 'highest' holds the "

@@ -97,9 +97,10 @@ def _power_backend(backend: str, N: int) -> Callable[[jax.Array, jax.Array], jax
         return dft_power_matmul
     if backend == "fourstep":
         return dft_power_fourstep
-    if backend in ("xla", "auto", "pallas"):
-        # "pallas" currently routes power computation to the fused Pallas
-        # kernel at the PsdStep level; the plain backends land here.
+    if backend in ("xla", "auto", "pallas", "fft4"):
+        # "pallas"/"fft4" route power computation to their fused paths at
+        # the PsdStep level; the plain backends (and the fallbacks for
+        # ineligible shapes, e.g. prime N) land here.
         def xla_fft_power(re, im):
             x = jax.lax.complex(re, im)
             X = jnp.fft.fft(x, axis=-1)
@@ -208,6 +209,24 @@ class PsdStep:
                 ok = n1 >= 8 and N <= 8192
             if ok:
                 fused_partial = (fourstep_psd_partial, n1, n2)
+        if (fused_partial is None and self.backend in ("fft4", "auto")
+                and (N > 8192 or self.backend == "fft4")):
+            # Very-large-N: the two-level FFT four-step. XLA lowers a
+            # MONOLITHIC huge FFT poorly (measured at N=2²⁰ on a v5e:
+            # ~1.2-1.3 GS/s, stable across many runs) while two batched
+            # factor-length FFT stages with a twiddle hit the HBM bound
+            # (2-8 GS/s depending on chip contention; never observed
+            # below the monolithic path from 2¹⁹ up, ties at 2¹⁷-2¹⁸ —
+            # probes/fftfourstep_sweep.py).
+            from .dft import best_fourstep_split, fourstep_fft_psd_partial
+            precision_cfg = None
+            n1, n2 = best_fourstep_split(N)
+            if n1 >= 8:
+                fused_partial = (fourstep_fft_psd_partial, n1, n2)
+                # Take the IQ pairs as u16 lanes (host-side view): the
+                # device-side (F, 2N)u8 → u16 bitcast is a real relayout
+                # pass that costs ~3.5 ms at N=2²⁰ (over half the step).
+                self._u16_in = True
         if self._precision != jax.lax.Precision.HIGHEST and fused_partial is None:
             import sys as _sys
             print("Warning: --precision high only affects the fused Pallas "
@@ -215,10 +234,20 @@ class PsdStep:
                   f"(composite N <= 8192); this step (backend={self.backend}, "
                   f"N={N}) ignores it.", file=_sys.stderr)
         chunk = self._chunk
+        u16_in = self._u16_in
 
         def step(raw: jax.Array, n_valid: jax.Array) -> jax.Array:
-            # raw: (F, 2N) uint8 interleaved IQ; n_valid: scalar int32.
-            re, im = dequant_iq(raw, F, N, window)
+            # raw: (F, 2N) uint8 interleaved IQ — or (F, N) uint16 when
+            # the step takes the host-side u16 view; n_valid: scalar i32.
+            if u16_in:
+                v = raw.astype(jnp.int32)
+                re = ((v & 0xFF) - 127).astype(jnp.float32)
+                im = ((v >> 8) - 127).astype(jnp.float32)
+                if window is not None:
+                    re = re * window
+                    im = im * window
+            else:
+                re, im = dequant_iq(raw, F, N, window)
             fmask = (jax.lax.broadcasted_iota(jnp.int32, (F,), 0)
                      < n_valid).astype(jnp.float32)
             if fused_partial is not None:

@@ -84,6 +84,16 @@ class ShardedPsdStep:
             n1, n2 = best_fourstep_split(N)
             if (n1 > 1 if backend == "fourstep" else (n1 >= 8 and N <= 8192)):
                 fused = (fourstep_psd_partial, n1, n2)
+        if (pallas_kernel is None and fused is None
+                and backend in ("fft4", "auto")
+                and (N > 8192 or backend == "fft4")):
+            # Very-large-N (e.g. the frame-sharded 1M mode, longint.py):
+            # the two-level FFT four-step beats the monolithic XLA FFT —
+            # see ops/spectral.py's auto rule and probes/fftfourstep_sweep.
+            from ..ops.dft import best_fourstep_split, fourstep_fft_psd_partial
+            n1, n2 = best_fourstep_split(N)
+            if n1 >= 8:
+                fused = (fourstep_fft_psd_partial, n1, n2)
 
         def local_step_pallas(raw16, n_valid, *w):
             # raw16: (S_local, F, N) u16 (host-side view of the u8 pairs).

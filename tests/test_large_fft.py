@@ -43,3 +43,56 @@ def test_frame_slicer_1m_frames():
     b = np.zeros(150, np.uint8)
     frames = slicer.push(b)
     assert frames.shape == (1, 2 * N)
+
+
+def test_1m_auto_uses_fft_fourstep():
+    """auto at very large N selects the two-level FFT four-step (and the
+    u16 input convention) — parity against numpy float64."""
+    N, F = 1 << 20, 2
+    rng = np.random.default_rng(7)
+    raw = rng.integers(0, 256, (F, 2 * N), dtype=np.uint8)
+    step = PsdStep(N, F, backend="auto")
+    assert step.takes_u16            # the fft4 path's input convention
+    padded = np.concatenate([raw, np.zeros((step.F - F, 2 * N), np.uint8)])
+    got = np.asarray(step(padded, F), dtype=np.float64)
+    want = np.zeros(N)
+    for f in range(F):
+        z = (raw[f, 0::2].astype(np.float64) - 127.0) \
+            + 1j * (raw[f, 1::2].astype(np.float64) - 127.0)
+        X = np.fft.fft(z)
+        want += X.real ** 2 + X.imag ** 2
+    np.testing.assert_allclose(got, want, rtol=2e-4)
+
+
+def test_fft_fourstep_explicit_backend_small_n():
+    """Explicit backend='fft4' works at any composite N, tight parity."""
+    N, F = 768, 16                     # 768 = 24 x 32: non-pow2 composite
+    rng = np.random.default_rng(8)
+    raw = rng.integers(0, 256, (F, 2 * N), dtype=np.uint8)
+    step = PsdStep(N, F, backend="fft4")
+    got = np.asarray(step(raw, F), dtype=np.float64)
+    want = np.zeros(N)
+    for f in range(F):
+        z = (raw[f, 0::2].astype(np.float64) - 127.0) \
+            + 1j * (raw[f, 1::2].astype(np.float64) - 127.0)
+        X = np.fft.fft(z)
+        want += X.real ** 2 + X.imag ** 2
+    rel = (np.abs(got - want) / np.maximum(np.abs(want), 1e-30)).max()
+    assert rel < 1e-5
+
+
+def test_fft_fourstep_windowed_and_masked():
+    N, F = 1 << 14, 8
+    rng = np.random.default_rng(9)
+    raw = rng.integers(0, 256, (5, 2 * N), dtype=np.uint8)   # 5 valid of 8
+    w = np.hanning(N).astype(np.float32)
+    step = PsdStep(N, F, backend="fft4", window=w)
+    padded = np.concatenate([raw, np.zeros((step.F - 5, 2 * N), np.uint8)])
+    got = np.asarray(step(padded, 5), dtype=np.float64)
+    want = np.zeros(N)
+    for f in range(5):
+        z = ((raw[f, 0::2].astype(np.float64) - 127.0)
+             + 1j * (raw[f, 1::2].astype(np.float64) - 127.0)) * w
+        X = np.fft.fft(z)
+        want += X.real ** 2 + X.imag ** 2
+    np.testing.assert_allclose(got, want, rtol=2e-5)
