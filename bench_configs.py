@@ -66,7 +66,7 @@ def main() -> None:
         pdt = jnp.uint16 if step.takes_u16 else jnp.uint8
         b = None if baseline is None else jnp.asarray(baseline)
         print(f"  {name}: auto -> "
-              f"{'fused pallas' if step.takes_u16 else 'four-step/XLA'}",
+              f"{'u16-view fused path' if step.takes_u16 else 'four-step/XLA'}",
               file=sys.stderr)
 
         @partial(jax.jit, static_argnums=1)
@@ -115,7 +115,7 @@ def main() -> None:
     step5 = ShardedPsdStep(mesh, N5, F5, streams=S, backend="auto")
     F5 = step5.F
     print(f"  config5: sharded auto -> "
-          f"{'fused pallas' if step5.takes_u16 else 'four-step/XLA'}",
+          f"{'u16-view fused path' if step5.takes_u16 else 'four-step/XLA'}",
           file=sys.stderr)
     raw5_host = rng.integers(0, 256, (S, F5, 2 * N5), dtype=np.uint8)
     raw5 = jax.device_put(
