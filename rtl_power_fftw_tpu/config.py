@@ -157,8 +157,9 @@ class Params:
     fft_backend: str = "auto"
     # Write a jax.profiler trace of the session to this directory.
     profile_dir: str = ""
-    # Matmul precision for the transform: "highest" keeps the 1e-5 parity
-    # budget; "high" trades ~2.4e-5 error for ~+19% throughput.
+    # Transform precision: "highest" keeps the 1e-5 parity budget
+    # (tone-robust); "high" picks the fastest relaxed-parity step per
+    # size (see MANUAL.md for the per-path error classes).
     precision: str = "highest"
     # Append machine-readable per-scan stats (JSON lines) to this file.
     stats_json: str = ""
@@ -243,9 +244,9 @@ def _build_parser() -> _Parser:
                         "two-level FFT four-step, the very-large-N path).")
     p.add_argument("--precision", type=str, default="highest",
                    choices=["highest", "high"],
-                   help="Transform matmul precision: 'highest' holds the "
-                        "1e-5 reference parity; 'high' is ~19%% faster at "
-                        "~2e-5 error.")
+                   help="Transform precision: 'highest' holds the 1e-5 "
+                        "reference parity; 'high' picks the fastest "
+                        "relaxed-parity step per size (+7-90%%).")
     p.add_argument("--record", type=str, default="", metavar="file",
                    help="Record the raw consumed IQ bytes to this file "
                         "(replayable with --source file:<file>; with "

@@ -152,6 +152,38 @@ class PsdStep:
         window = None if self.window is None else jnp.asarray(self.window)
         power_fn = self._power
 
+        if (self.backend == "auto"
+                and self._precision != jax.lax.Precision.HIGHEST):
+            # precision='high' (relaxed parity): the FFT four-step is the
+            # fastest step at small/mid N — measured v5e GS/s vs the
+            # tone-robust defaults: N=512 16.3 vs 8.3, N=1024 15.6 vs
+            # 8.3, N=2048 11.3-11.8 vs pallas 9.4-9.8, windowed-2048
+            # 11.3 vs 8.6, N=3072 10.9 vs 8.3. Its error is f32-XLA-FFT
+            # class: ~2e-7 on uniform input but up to ~9e-5 under a
+            # 35 dB tone (XLA's FFT is ~6x less tone-accurate than
+            # FFTW-class; measured, probes/fftfourstep_sweep.py) — hence
+            # opt-in. Beyond 3072 the HIGHEST paths are faster anyway.
+            from .dft import best_fourstep_split, fourstep_fft_psd_partial
+            n1_, _ = best_fourstep_split(N)
+            if n1_ >= 8 and N <= 3072:
+                self._u16_in = True
+                chunk = self._chunk
+                windowed_arr = window
+
+                def fast_step(raw16: jax.Array, n_valid: jax.Array) -> jax.Array:
+                    v = raw16.astype(jnp.int32)
+                    re = ((v & 0xFF) - 127).astype(jnp.float32)
+                    im = ((v >> 8) - 127).astype(jnp.float32)
+                    if windowed_arr is not None:
+                        re = re * windowed_arr
+                        im = im * windowed_arr
+                    fmask = (jax.lax.broadcasted_iota(jnp.int32, (F,), 0)
+                             < n_valid).astype(jnp.float32)
+                    return fourstep_fft_psd_partial(re, im, fmask,
+                                                    chunk=chunk)
+
+                return fast_step
+
         if self.backend in ("pallas", "auto"):
             from .kernels.fused_psd import fused_psd_available, make_fused_psd_fn
             windowed = window is not None
@@ -203,9 +235,11 @@ class PsdStep:
             if self.backend == "fourstep":
                 ok = n1 > 1  # honor an explicit request for any composite N
             else:
-                # auto: four-step costs ~16·√N FLOPs/sample vs the FFT's
-                # ~5·log2 N; measured on v5e the MXU advantage covers that
-                # up to N≈8192 and XLA's FFT wins beyond (BENCHMARKS.md).
+                # auto: four-step matmuls cost ~16·√N FLOPs/sample vs the
+                # FFT's ~5·log2 N; measured on v5e the MXU advantage
+                # covers that up to N≈8192. Beyond, the fused Pallas
+                # kernel (pow-2) or the FFT four-step below wins
+                # (BENCHMARKS.md).
                 ok = n1 >= 8 and N <= 8192
             if ok:
                 fused_partial = (fourstep_psd_partial, n1, n2)

@@ -96,3 +96,24 @@ def test_fft_fourstep_windowed_and_masked():
         X = np.fft.fft(z)
         want += X.real ** 2 + X.imag ** 2
     np.testing.assert_allclose(got, want, rtol=2e-5)
+
+
+def test_precision_high_selects_fft_fourstep_small_n():
+    """precision='high' (relaxed parity) ships the FFT four-step at
+    small/mid N — uniform-input parity stays tight (~1e-5; the relaxed
+    part is extreme-tone robustness, documented in BENCHMARKS.md)."""
+    for N in (1024, 2048):
+        F = 64
+        rng = np.random.default_rng(10 + N)
+        raw = rng.integers(0, 256, (F, 2 * N), dtype=np.uint8)
+        step = PsdStep(N, F, backend="auto", precision="high")
+        assert step.takes_u16
+        got = np.asarray(step(raw, F), dtype=np.float64)
+        want = np.zeros(N)
+        for f in range(F):
+            z = (raw[f, 0::2].astype(np.float64) - 127.0) \
+                + 1j * (raw[f, 1::2].astype(np.float64) - 127.0)
+            X = np.fft.fft(z)
+            want += X.real ** 2 + X.imag ** 2
+        rel = (np.abs(got - want) / np.maximum(np.abs(want), 1e-30)).max()
+        assert rel < 1e-5, (N, rel)
