@@ -41,10 +41,11 @@ def main() -> None:
 
     from rtl_power_fftw_tpu.ops.spectral import PsdStep
 
-    # The SHIPPING step: PsdStep's auto path. On a real TPU at N=2048 this
-    # selects the fused Pallas kernel (dequant + K-stacked mixed-precision
-    # four-step DFT + |X|² + masked reduce in one VMEM pass); elsewhere it
-    # is the transpose-free four-step matmul formulation.
+    # The SHIPPING step: PsdStep's auto path. At N=2048 this is the
+    # hybrid four-step (batched FFT stage 1 + split twiddle +
+    # Precision.HIGHEST matmul stage 2 — tone-robust at <=1e-5 and the
+    # fastest default; the fused Pallas kernel ships the 4096-131072
+    # power-of-two band).
     step = PsdStep(N, F, backend="auto")
     step_fn = step.lowered_fn()
     nv = jnp.int32(F)
@@ -54,7 +55,7 @@ def main() -> None:
     raw = jax.device_put(
         raw_host.view(np.uint16) if step.takes_u16 else raw_host, dev)
     perturb_dtype = jnp.uint16 if step.takes_u16 else jnp.uint8
-    print(f"auto path: {'fused pallas kernel' if step.takes_u16 else 'four-step matmul'}",
+    print(f"auto path: {'u16-view fused step (hybrid/pallas/fft4)' if step.takes_u16 else 'four-step matmul'}",
           file=sys.stderr)
 
     @partial(jax.jit, static_argnums=1)

@@ -239,9 +239,11 @@ def _build_parser() -> _Parser:
                    help="FFT frames per device step (0 = auto).")
     p.add_argument("--fft-backend", type=str, default="auto",
                    choices=["auto", "xla", "matmul", "fourstep", "fft4",
-                            "pallas"],
-                   help="FFT implementation used on device (fft4 = "
-                        "two-level FFT four-step, the very-large-N path).")
+                            "hybrid", "pallas"],
+                   help="FFT implementation used on device (hybrid = FFT "
+                        "stage 1 + matmul stage 2, the tone-robust "
+                        "mid-N default; fft4 = two-level FFT four-step, "
+                        "the very-large-N path).")
     p.add_argument("--precision", type=str, default="highest",
                    choices=["highest", "high"],
                    help="Transform precision: 'highest' holds the 1e-5 "

@@ -214,6 +214,72 @@ def fourstep_fft_psd_partial(re: jax.Array, im: jax.Array, fmask: jax.Array,
     return jnp.swapaxes(s, 0, 1).reshape(N)
 
 
+@functools.lru_cache(maxsize=16)
+def _hybrid_constants(N: int, N1: int, N2: int):
+    """Split twiddle (hi + f32-residual lo, so the table is effectively
+    f64-accurate) + stage-2 DFT matrix for the hybrid four-step."""
+    k1 = np.arange(N1, dtype=np.float64)[:, None]
+    n2 = np.arange(N2, dtype=np.float64)[None, :]
+    ang = -2.0 * np.pi * ((k1 * n2) % N) / N
+    tr, ti = np.cos(ang), np.sin(ang)
+    thr = tr.astype(np.float32)
+    thi = ti.astype(np.float32)
+    tlr = (tr - thr).astype(np.float32)
+    tli = (ti - thi).astype(np.float32)
+    c2, s2 = _dft_matrices(N2)
+    return thr, thi, tlr, tli, c2, s2
+
+
+def fourstep_hybrid_psd_partial(re: jax.Array, im: jax.Array,
+                                fmask: jax.Array,
+                                N1: int | None = None, N2: int | None = None,
+                                chunk: int = 64,
+                                precision=None) -> jax.Array:
+    """Masked partial PSD via the HYBRID four-step: stage 1 is a batched
+    factor-length FFT, stage 2 a Precision.HIGHEST matmul, with a SPLIT
+    twiddle (hi + residual) between them.
+
+    The design comes from a measured error decomposition at N=2048 under
+    a 35 dB tone (probes/fftfourstep_sweep.py narrative in
+    BENCHMARKS.md): XLA's FFT stages are ~6× less tone-accurate than
+    FFTW class, but the leak is almost entirely STAGE 2 — its inputs
+    carry the tone coherently amplified by stage 1 (gain ~N1), so
+    absolute stage-2 errors swamp small bins. Keeping the cheap fast
+    stage 1 as an FFT (inputs are small dequantized integers), doing
+    stage 2 as an f32-faithful matmul on the MXU, and splitting the
+    twiddle lands at ≤8e-6 under the same tone — BETTER than the fused
+    Pallas kernel's 9e-6 — while running 10.8-13.2 GS/s at N=512-2048
+    on a v5e vs the 8.3-9.8 of the previous tone-robust defaults.
+
+    re, im: (F, N) float32; fmask: (F,) float32. Returns (N,) float32,
+    unshifted bins. ``precision`` applies to the stage-2 matmuls
+    (default HIGHEST).
+    """
+    F, N = re.shape
+    if N1 is None or N2 is None:
+        N1, N2 = best_fourstep_split(N)
+    assert N1 * N2 == N, (N1, N2, N)
+    thr, thi, tlr, tli, c2, s2 = (
+        jnp.asarray(a) for a in _hybrid_constants(N, N1, N2))
+    while F % chunk != 0:
+        chunk //= 2
+    prec = _HI if precision is None else precision
+
+    x = jax.lax.complex(re, im).reshape(F, N1, N2)
+    y = jnp.fft.fft(x, axis=1)                    # over n1 → (F, k1, n2)
+    yr, yi = jnp.real(y), jnp.imag(y)
+    zr = (yr * thr[None] - yi * thi[None]) + (yr * tlr[None] - yi * tli[None])
+    zi = (yr * thi[None] + yi * thr[None]) + (yr * tli[None] + yi * tlr[None])
+    Xr = (jnp.matmul(zr, c2, precision=prec)
+          - jnp.matmul(zi, s2, precision=prec))   # over n2 → (F, k1, k2)
+    Xi = (jnp.matmul(zr, s2, precision=prec)
+          + jnp.matmul(zi, c2, precision=prec))
+    p = (Xr * Xr + Xi * Xi) * fmask[:, None, None]
+    g = F // chunk
+    s = p.reshape(g, chunk, N1, N2).sum(axis=1).sum(axis=0)   # (k1, k2)
+    return jnp.swapaxes(s, 0, 1).reshape(N)
+
+
 def dft_power_fourstep(re: jax.Array, im: jax.Array,
                        N1: int | None = None, N2: int | None = None) -> jax.Array:
     """|DFT(re + i·im)|² via the four-step (Bailey) algorithm on the MXU.

@@ -97,7 +97,7 @@ def _power_backend(backend: str, N: int) -> Callable[[jax.Array, jax.Array], jax
         return dft_power_matmul
     if backend == "fourstep":
         return dft_power_fourstep
-    if backend in ("xla", "auto", "pallas", "fft4"):
+    if backend in ("xla", "auto", "pallas", "fft4", "hybrid"):
         # "pallas"/"fft4" route power computation to their fused paths at
         # the PsdStep level; the plain backends (and the fallbacks for
         # ineligible shapes, e.g. prime N) land here.
@@ -201,7 +201,10 @@ class PsdStep:
             # only interprets. precision='high' selects the kernel's FAST
             # stage-2 variant (3 passes/product, ~2e-6 uniform error but
             # ~4e-5 under strong tones — opt-in relaxed parity).
-            auto_pallas = (eligible and (N >= 4096 if windowed else N >= 2048)
+            # Round-2 ladder change: the hybrid four-step below took over
+            # N = 2048 (faster at equal-or-better tone robustness), so the
+            # kernel's auto band starts at 4096 either way.
+            auto_pallas = (eligible and N >= 4096
                            and jax.default_backend() == "tpu")
             if self.backend == "pallas" or auto_pallas:
                 fused = make_fused_psd_fn(
@@ -222,7 +225,25 @@ class PsdStep:
                 return pallas_step
 
         fused_partial = None
-        if self.backend in ("fourstep", "auto"):
+        if self.backend in ("hybrid", "auto"):
+            # The tone-robust default for 512 ≤ composite N ≤ 3072: FFT
+            # stage 1 + split twiddle + HIGHEST-matmul stage 2. Measured
+            # v5e (tone error ≤ 8e-6, better than the fused kernel's
+            # 9e-6): N=512 ~12.9 GS/s (old default 8.3), N=1024
+            # ~11.6-13.2 (8.3), N=2048 ~10.8-12.0 (pallas 9.4-9.8).
+            # See fourstep_hybrid_psd_partial's docstring for the error
+            # decomposition that motivates the structure.
+            from .dft import best_fourstep_split, fourstep_hybrid_psd_partial
+            precision_cfg = self._precision
+            n1, n2 = best_fourstep_split(N)
+            if self.backend == "hybrid":
+                ok = n1 > 1
+            else:
+                ok = n1 >= 8 and 512 <= N <= 3072
+            if ok:
+                fused_partial = (fourstep_hybrid_psd_partial, n1, n2)
+                self._u16_in = True   # host-side u16 view input
+        if fused_partial is None and self.backend in ("fourstep", "auto"):
             # The transpose-free fused-reduction formulation halves HBM
             # traffic; it is the default ("auto") path for factorable N.
             # Degenerate splits (e.g. N = 2·prime → N1 = 2) would make

@@ -175,23 +175,24 @@ def test_auto_backend_8192_matches_golden():
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-4)
 
 
-def test_auto_backend_large_n_uses_xla():
-    """The auto backend's crossovers: on CPU, four-step below the
-    crossover and XLA FFT above; on TPU the fused Pallas kernel covers
-    power-of-two N up to the VMEM gate and the XLA FFT takes the
-    1M-point mode."""
+def test_auto_backend_ladder():
+    """The auto backend's crossovers: the hybrid four-step (FFT stage 1 +
+    matmul stage 2) covers 512-3072, pure matmul four-step sits outside
+    that band up to 8192, and the FFT four-step serves the huge-N modes
+    (two fft ops in the jaxpr)."""
     import jax
-    on_tpu = jax.default_backend() == "tpu"
-    s_small = PsdStep(2048, 8, backend="auto")
-    s_large = PsdStep((1 << 20) if on_tpu else (1 << 15), 8, backend="auto")
-    small_ir = jax.make_jaxpr(s_small.lowered_fn())(
-        *s_small.example_args())
-    large_ir = jax.make_jaxpr(s_large.lowered_fn())(
-        *s_large.example_args())
-    assert "fft" not in str(small_ir)      # four-step/pallas: no FFT op
-    assert "fft" in str(large_ir)          # XLA FFT op present
-    if on_tpu:
-        assert s_small.takes_u16           # the fused kernel ships there
+    s_small = PsdStep(256, 8, backend="auto")      # matmul four-step
+    s_mid = PsdStep(2048, 8, backend="auto")       # hybrid: one fft stage
+    # Large non-pow2 composite: fft4 on every platform (a pow-2 here
+    # would route to the fused Pallas kernel on real TPUs).
+    s_large = PsdStep(3 << 13, 8, backend="auto")
+    def n_ffts(s):
+        return str(jax.make_jaxpr(s.lowered_fn())(*s.example_args())
+                   ).count(" fft[")
+    assert n_ffts(s_small) == 0
+    assert n_ffts(s_mid) == 1
+    assert s_mid.takes_u16
+    assert n_ffts(s_large) == 2
 
 
 def test_precision_knob_api():
