@@ -64,6 +64,7 @@ class ShardedPsdStep:
         # the measured crossover; XLA FFT otherwise.
         self._u16_in = False
         pallas_kernel = None
+        fused = None
         if backend in ("pallas", "auto"):
             from ..ops.kernels.fused_psd import (fused_psd_available,
                                                  make_fused_psd_fn)
@@ -77,9 +78,23 @@ class ShardedPsdStep:
                 pallas_kernel = make_fused_psd_fn(
                     N, self.F, windowed=windowed, streams=S_local)
                 self._u16_in = True
+        if pallas_kernel is None and backend in ("hybrid", "auto"):
+            # The hybrid four-step serves the band the streams kernel
+            # can't. NOTE: unlike PsdStep, the streams variant of the
+            # pallas kernel KEEPS priority at N=2048 here — the sharded
+            # hybrid pays the device-side u8→u16 bitcast inside
+            # dequant_iq and measured 7.8 GS/s vs the kernel's 9.2-10.0
+            # at config-5 shapes (a u16-view sharded hybrid is a
+            # round-3 candidate).
+            from ..ops.dft import (best_fourstep_split,
+                                   fourstep_hybrid_psd_partial)
+            n1, n2 = best_fourstep_split(N)
+            if (n1 > 1 if backend == "hybrid"
+                    else (n1 >= 8 and 512 <= N <= 3072)):
+                fused = (fourstep_hybrid_psd_partial, n1, n2)
 
-        fused = None
-        if pallas_kernel is None and backend in ("fourstep", "auto"):
+        if (pallas_kernel is None and fused is None
+                and backend in ("fourstep", "auto")):
             from ..ops.dft import best_fourstep_split, fourstep_psd_partial
             n1, n2 = best_fourstep_split(N)
             if (n1 > 1 if backend == "fourstep" else (n1 >= 8 and N <= 8192)):
