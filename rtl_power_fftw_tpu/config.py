@@ -219,7 +219,9 @@ def _build_parser() -> _Parser:
                    help="Number of bins in FFT spectrum (must be even number).")
     p.add_argument("-B", "--baseline", type=str, default=None, metavar="file|-",
                    help="Subtract baseline, read baseline data from file or stdin.")
-    p.add_argument("--version", action="version", version="rtl_power_fftw_tpu 0.1.0")
+    from . import __version__
+    p.add_argument("--version", action="version",
+                   version=f"rtl_power_fftw_tpu {__version__}")
 
     # Extensions.
     p.add_argument("--source", type=str, default="",

@@ -350,16 +350,4 @@ void rpf_loader_stop(Loader* L) {
 void rpf_loader_destroy(Loader* L) {
   delete L;
 }
-
-
-#include <cstdio>
-extern "C" void rpf_loader_debug(Loader* L) {
-  std::lock_guard<std::mutex> lk(L->mu);
-  fprintf(stderr, "DBG next_deliver=%ld next_chunk=%ld chunks_total=%ld eof=%d "
-          "free=%zu filled=%zu pending=[", L->next_deliver,
-          L->next_chunk, L->chunks_total, (int)L->eof,
-          L->free_q.size(), L->filled_q.size());
-  for (auto& kv : L->pending_mt) fprintf(stderr, "%ld:%d ", kv.first, kv.second);
-  fprintf(stderr, "]\n");
-}
 }  // extern "C"

@@ -214,6 +214,33 @@ def fourstep_fft_psd_partial(re: jax.Array, im: jax.Array, fmask: jax.Array,
     return jnp.swapaxes(s, 0, 1).reshape(N)
 
 
+def best_hybrid_split(N: int, lo: int = 64, hi: int = 512,
+                      target: int = 128) -> Tuple[int, int]:
+    """Split for the LARGE-N hybrid four-step: stage 2 (the f32-faithful
+    HIGHEST matmul, the tone-robustness anchor) gets a small lane-friendly
+    length N2 near ``target`` so its O(N2) MACs/sample stay cheap, while
+    stage 1 (a batched FFT over the bf16-exact integer inputs) takes
+    N1 = N/N2. A symmetric split (best_fourstep_split) would make the
+    stage-2 contraction K = √N — at N = 2²⁰ that is 18× the FLOPs for no
+    accuracy gain, since the tone leak lives in stage 2's *precision*,
+    not its length (see fourstep_hybrid_psd_partial).
+
+    Returns (N1, N2); falls back to best_fourstep_split when N has no
+    divisor in [lo, hi].
+    """
+    best = None
+    for n2 in range(lo, hi + 1):
+        if N % n2 == 0:
+            score = (abs(n2 - target), n2)
+            if best is None or score < best[0]:
+                best = (score, n2)
+    if best is None:
+        n1, n2 = best_fourstep_split(N)
+        return n1, n2
+    n2 = best[1]
+    return N // n2, n2
+
+
 @functools.lru_cache(maxsize=16)
 def _hybrid_constants(N: int, N1: int, N2: int):
     """Split twiddle (hi + f32-residual lo, so the table is effectively

@@ -276,18 +276,35 @@ class PsdStep:
             from .dft import best_fourstep_split, fourstep_fft_psd_partial
             precision_cfg = None
             n1, n2 = best_fourstep_split(N)
-            if n1 >= 8:
+            # auto needs n1 >= 8 (a degenerate 2·prime split gains nothing
+            # over the monolithic FFT); an EXPLICIT fft4 request is honored
+            # for any composite N — it is still exact, just not faster.
+            if n1 >= 8 or (self.backend == "fft4" and n1 > 1):
                 fused_partial = (fourstep_fft_psd_partial, n1, n2)
                 # Take the IQ pairs as u16 lanes (host-side view): the
                 # device-side (F, 2N)u8 → u16 bitcast is a real relayout
                 # pass that costs ~3.5 ms at N=2²⁰ (over half the step).
                 self._u16_in = True
-        if self._precision != jax.lax.Precision.HIGHEST and fused_partial is None:
-            import sys as _sys
-            print("Warning: --precision high only affects the fused Pallas "
-                  "kernel (TPU, power-of-2 N) and the four-step matmul path "
-                  f"(composite N <= 8192); this step (backend={self.backend}, "
-                  f"N={N}) ignores it.", file=_sys.stderr)
+            elif self.backend == "fft4":
+                raise ValueError(
+                    f"backend='fft4' needs composite N (N={N} is prime); "
+                    "use backend='auto'")
+        if self._precision != jax.lax.Precision.HIGHEST:
+            fp_name = fused_partial[0].__name__ if fused_partial else None
+            if fused_partial is None:
+                import sys as _sys
+                print("Warning: --precision high affects the fused Pallas "
+                      "kernel (TPU, power-of-2 N >= 4096), the FFT four-step "
+                      "fast path (composite N <= 3072), and the hybrid/"
+                      "matmul four-step stage-2 matmuls (composite N); this "
+                      f"step (backend={self.backend}, N={N}) ignores it.",
+                      file=_sys.stderr)
+            elif fp_name == "fourstep_fft_psd_partial":
+                import sys as _sys
+                print("Note: --precision high is a no-op on the FFT "
+                      f"four-step path selected here (backend={self.backend}, "
+                      f"N={N}): FFT stages have no matmul precision knob.",
+                      file=_sys.stderr)
         chunk = self._chunk
         u16_in = self._u16_in
 

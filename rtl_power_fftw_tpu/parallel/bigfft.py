@@ -93,10 +93,14 @@ class ShardedLargeFFTPsd:
                     wargs[0], (0, d * cols), (N1, cols))
                 x = x * wloc[None]
             y = jnp.fft.fft(x, axis=1)                    # over n1 → k1
-            k1 = jnp.arange(N1, dtype=jnp.float32)[:, None]
-            n2 = (d * cols + jnp.arange(cols, dtype=jnp.int32)
-                  ).astype(jnp.float32)[None, :]
-            ang = (-2.0 * np.pi / N) * (k1 * n2)          # (N1, N2/D)
+            # k1·n2 exceeds f32's 2^24 exact-integer range once N ≳ 2^26;
+            # reduce mod N in int32 first (angles are periodic in N) like
+            # _fft_fourstep_twiddle's host tables. int32 is exact here:
+            # k1·n2 < N1·N2 = N < 2^31 for any representable plan.
+            k1 = jnp.arange(N1, dtype=jnp.int32)[:, None]
+            n2 = (d * cols + jnp.arange(cols, dtype=jnp.int32))[None, :]
+            kn = ((k1 * n2) % N).astype(jnp.float32)
+            ang = (-2.0 * np.pi / N) * kn                 # (N1, N2/D)
             z = y * jax.lax.complex(jnp.cos(ang), jnp.sin(ang))[None]
             # Distributed transpose: split k1 into D blocks, gather n2.
             z = jax.lax.all_to_all(z, axis, split_axis=1, concat_axis=2,

@@ -96,8 +96,16 @@ class MultiStreamAcquisition:
         that stream's producer thread (no cross-thread sharing)."""
         import sys
         err = stderr if stderr is not None else sys.stderr
-        self._record_files = [open(f"{base_path}.s{i}", "wb")
-                              for i in range(self.S)]
+        # Track every opened fd as we go so a failure partway (e.g. an
+        # unwritable directory) closes the files already opened instead of
+        # leaking them in a discarded partial list.
+        self._record_files = []
+        try:
+            for i in range(self.S):
+                self._record_files.append(open(f"{base_path}.s{i}", "wb"))
+        except OSError:
+            self.stop_recording()
+            raise
         print(f"Recording raw IQ to {base_path}.s0..s{self.S - 1}", file=err)
 
     def stop_recording(self) -> None:
