@@ -71,8 +71,12 @@ class ShardedPsdStep:
             windowed = window_arr is not None
             S_local = streams // n_dev
             eligible = fused_psd_available(N, self.F, windowed=windowed)
+            # Same band as PsdStep's auto (>= 4096): with the u16-view
+            # sharded hybrid below, the hybrid wins 512-3072 here too —
+            # the round-2 exception (streams kernel kept N=2048 because
+            # the hybrid paid a device-side bitcast) no longer applies.
             want = (backend == "pallas"
-                    or (eligible and (N >= 4096 if windowed else N >= 2048)
+                    or (eligible and N >= 4096
                         and jax.default_backend() == "tpu"))
             if want and eligible:
                 pallas_kernel = make_fused_psd_fn(
@@ -80,12 +84,11 @@ class ShardedPsdStep:
                 self._u16_in = True
         if pallas_kernel is None and backend in ("hybrid", "auto"):
             # The hybrid four-step serves the band the streams kernel
-            # can't. NOTE: unlike PsdStep, the streams variant of the
-            # pallas kernel KEEPS priority at N=2048 here — the sharded
-            # hybrid pays the device-side u8→u16 bitcast inside
-            # dequant_iq and measured 7.8 GS/s vs the kernel's 9.2-10.0
-            # at config-5 shapes (a u16-view sharded hybrid is a
-            # round-3 candidate).
+            # can't. Round-3 change: the fused four-step family now takes
+            # the host-side u16 VIEW of the IQ pairs (like PsdStep), so
+            # the device-side u8→u16 bitcast that made the round-2
+            # sharded hybrid lose to the Pallas streams kernel (7.8 vs
+            # 9.2-10.0 GS/s at config-5 shapes) is gone.
             from ..ops.dft import (best_fourstep_split,
                                    fourstep_hybrid_psd_partial)
             n1, n2 = best_fourstep_split(N)
@@ -119,11 +122,24 @@ class ShardedPsdStep:
             combined = jax.lax.psum(per_stream.sum(axis=0), axis)
             return per_stream, combined
 
+        if fused is not None:
+            self._u16_in = True
+        u16_in = self._u16_in
+
         def local_step(raw, n_valid, *w):
-            # raw: (S_local, F, 2N) u8; n_valid: (S_local,) i32.
+            # raw: (S_local, F, 2N) u8 — or (S_local, F, N) u16 when the
+            # step takes the free host-side view; n_valid: (S_local,) i32.
             S_local = raw.shape[0]
-            re, im = dequant_iq(raw.reshape(S_local * F_, 2 * N_),
-                                S_local * F_, N_, w[0] if w else None)
+            if u16_in:
+                v = raw.reshape(S_local * F_, N_).astype(jnp.int32)
+                re = ((v & 0xFF) - 127).astype(jnp.float32)
+                im = ((v >> 8) - 127).astype(jnp.float32)
+                if w:
+                    re = re * w[0]
+                    im = im * w[0]
+            else:
+                re, im = dequant_iq(raw.reshape(S_local * F_, 2 * N_),
+                                    S_local * F_, N_, w[0] if w else None)
             fmask = (jax.lax.broadcasted_iota(
                 jnp.int32, (S_local, F_), 1)
                 < n_valid[:, None]).astype(jnp.float32)
