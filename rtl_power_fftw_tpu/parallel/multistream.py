@@ -57,6 +57,20 @@ class MultiStreamAcquisition:
     #: pool is 5 deep, params.h:44 — same backpressure role).
     QUEUE_DEPTH = 4
 
+    #: straggler window: once at least one stream has a batch ready, how
+    #: long a round waits for the remaining on-pace streams before
+    #: shipping partially filled. It only needs to cover the inter-stream
+    #: JITTER of same-rate streams (so homogeneous rounds coalesce into
+    #: one device step), NOT the batch cadence — a genuinely slower
+    #: stream should miss the window, get flagged after LAG_ROUNDS
+    #: consecutive misses, and stop gating dispatch entirely (it rejoins
+    #: the moment its data arrives). That way one stalled/slow source
+    #: cannot throttle the other S−1 — the multi-stream analogue of the
+    #: reference's backpressure-without-a-global-barrier
+    #: (acquisition.cxx:276-332).
+    STRAGGLER_TIMEOUT = 0.01
+    LAG_ROUNDS = 2
+
     def __init__(self, params: Params, sources: Sequence[IQSource],
                  window: Optional[np.ndarray] = None,
                  mesh=None, frames_per_step: int = 0):
@@ -154,6 +168,7 @@ class MultiStreamAcquisition:
         self._tune_all(freq)
 
         queues = [_queue.Queue(maxsize=self.QUEUE_DEPTH) for _ in range(S)]
+        items_sem = threading.Semaphore(0)  # one permit per queued item
         errors: List[BaseException] = []
         err_lock = threading.Lock()
         counters = np.zeros((S, 2), dtype=np.int64)  # readouts, successes
@@ -180,6 +195,7 @@ class MultiStreamAcquisition:
                             max(0, min(free, self.QUEUE_DEPTH))] += 1
                     # Blocks when the queue is full: backpressure.
                     queues[s].put((staging[:staged].copy(), staged))
+                    items_sem.release()
                     staged = 0
 
             def stage(frames: np.ndarray) -> None:
@@ -242,6 +258,7 @@ class MultiStreamAcquisition:
                     errors.append(e)
             finally:
                 queues[s].put(None)  # end-of-stream sentinel
+                items_sem.release()
 
         threads = [threading.Thread(target=produce, args=(s,), daemon=True)
                    for s in range(S)]
@@ -267,15 +284,60 @@ class MultiStreamAcquisition:
 
         try:
             active = set(range(S))
+            behind = np.zeros(S, dtype=np.int64)  # consecutive missed rounds
             while active:
+                # --- collect one round, without a global barrier ---
+                # Block until at least one item exists anywhere, then sweep
+                # all queues; wait (bounded) only for streams that are on
+                # pace. A stream that missed LAG_ROUNDS consecutive rounds
+                # no longer gates dispatch — its producer keeps filling its
+                # own bounded queue and the stream rejoins the first sweep
+                # that finds its data.
+                items_sem.acquire()
+                credit = 1  # permits consumed ahead of items retrieved
+                got: dict = {}
+
+                def sweep() -> None:
+                    nonlocal credit
+                    for s in sorted(active):
+                        if s in got:
+                            continue
+                        try:
+                            item = queues[s].get_nowait()
+                        except _queue.Empty:
+                            continue
+                        if credit > 0:
+                            credit -= 1
+                        else:
+                            items_sem.acquire()  # immediate: item's permit
+                        if item is None:
+                            active.discard(s)
+                        else:
+                            got[s] = item
+
+                sweep()
+                deadline = time.monotonic() + self.STRAGGLER_TIMEOUT
+                while active:
+                    expected = [s for s in active
+                                if behind[s] < self.LAG_ROUNDS]
+                    if all(s in got for s in expected):
+                        break
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0 or not items_sem.acquire(
+                            timeout=remaining):
+                        break
+                    credit += 1
+                    sweep()
+                for _ in range(credit):  # return unconsumed permits
+                    items_sem.release()
+
+                for s in list(active):
+                    behind[s] = 0 if s in got else behind[s] + 1
+
+                # --- dispatch the (possibly partial) round ---
                 n_valid = np.zeros(S, dtype=np.int32)
                 staging_all[:] = 0
-                for s in sorted(active):
-                    item = queues[s].get()
-                    if item is None:
-                        active.discard(s)
-                        continue
-                    batch, nv = item
+                for s, (batch, nv) in got.items():
                     staging_all[s, :nv] = batch
                     n_valid[s] = nv
                 if n_valid.any():

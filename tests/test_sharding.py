@@ -339,3 +339,68 @@ def test_sharded_pallas_kernel_windowed():
     _, comb = step(raw, nv)
     np.testing.assert_allclose(np.asarray(comb), np.asarray(want_comb),
                                rtol=1e-4, atol=1e-2)
+
+
+def test_multistream_slow_stream_isolation():
+    """One 10x slower stream must not throttle the fast producers
+    (acquisition.cxx:276-332: backpressure without a global barrier):
+    partial rounds ship after the straggler window, so fast streams drain
+    at their own pace — and the combined result stays exact."""
+    import io
+    import time as _t
+    from rtl_power_fftw_tpu.config import parse_args
+    from rtl_power_fftw_tpu.parallel.multistream import MultiStreamAcquisition
+    from rtl_power_fftw_tpu.sources import SyntheticSource
+    from golden import golden_accumulate
+
+    S, N, rate = 4, 64, 2_048_000
+    repeats = 1024                      # 8 paced reads per stream
+    params = parse_args(["-b", str(N), "-n", str(repeats), "-r", str(rate),
+                         "-s", "16384"], stderr=io.StringIO())
+
+    last_read = [0.0] * S
+    t0 = _t.monotonic()
+
+    class Paced(SyntheticSource):
+        def __init__(self, idx, delay, **kw):
+            super().__init__(**kw)
+            self._idx, self._delay = idx, delay
+
+        def read(self, nbytes):
+            _t.sleep(self._delay)
+            out = super().read(nbytes)
+            last_read[self._idx] = _t.monotonic() - t0
+            return out
+
+    delays = [0.005, 0.005, 0.005, 0.05]   # stream 3 is 10x slower
+    srcs = [Paced(i, delays[i], noise=5.0, seed=i) for i in range(S)]
+    for s in srcs:
+        s.set_sample_rate(rate)
+    acq = MultiStreamAcquisition(params, srcs, frames_per_step=128)
+    # Warm the jitted device step: the first dispatch compiles (~0.4 s on
+    # this harness) and would stall the consumer mid-run, swamping the
+    # pacing signal under test.
+    np.asarray(acq.step(
+        np.zeros((S, acq.step.F, 2 * N), np.uint8),
+        np.zeros(S, np.int32))[1])
+    t0 = _t.monotonic()
+    res = acq.run(freq=100_000_000)
+
+    assert res.repeats_done.tolist() == [repeats] * S
+    # Fast producers must have finished reading well before the slow one —
+    # under the old lockstep consumer they were gated to the slow stream's
+    # pace (within queue-depth slack) and finished at ~the same time.
+    fast_done = max(last_read[:3])
+    slow_done = last_read[3]
+    assert fast_done < 0.5 * slow_done, (fast_done, slow_done)
+
+    # Numerical identity is independent of round composition.
+    want = np.zeros(N)
+    for i in range(S):
+        src = SyntheticSource(noise=5.0, seed=i)
+        src.set_sample_rate(rate)
+        src.set_frequency(100_000_000)
+        stream, _ = src.read(2 * N * repeats)
+        pwr, _ = golden_accumulate(stream, N, repeats)
+        want += np.fft.ifftshift(pwr)
+    np.testing.assert_allclose(res.pwr, want, rtol=1e-5)
