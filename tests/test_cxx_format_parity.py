@@ -97,3 +97,133 @@ def test_output_style_values(cxx_formatter):
         pwr = rng.uniform(-120, 40)
         pairs.append((6, pwr))
     check(cxx_formatter, pairs)
+
+
+_CXX_PREC_SRC = r"""
+// The reference's significantPlacesFreq formula, verbatim semantics
+// (acquisition.cxx:379-383): int division rate/N, double log10s, ceil,
+// then the (int) conversion implicit in setprecision. Reads
+// "tuned_freq rate N freq_bits" per line; writes
+// "<places as %.17g> <formatted freq or '-'>".
+#include <cmath>
+#include <cstdio>
+#include <iostream>
+#include <iomanip>
+#include <sstream>
+#include <limits>
+int main() {
+    long long tuned_freq, rate, N;
+    unsigned long long bits;
+    while (std::cin >> tuned_freq >> rate >> N >> std::hex >> bits >> std::dec) {
+        double places = std::ceil(std::floor(std::log10((double)tuned_freq))
+                                  - std::log10((double)(rate / N)) + 1 + 2);
+        double f;
+        __builtin_memcpy(&f, &bits, sizeof(f));
+        std::printf("%.17g ", places);
+        if (std::isfinite(places)
+            && places >= -1000000 && places <= 1000000) {
+            std::ostringstream os;
+            os << std::setprecision((int)places) << f;
+            std::printf("%s\n", os.str().c_str());
+        } else {
+            std::printf("-\n");
+        }
+    }
+    return 0;
+}
+"""
+
+
+@pytest.fixture(scope="module")
+def cxx_prec(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cxxprec")
+    src = d / "prec.cpp"
+    exe = d / "prec"
+    src.write_text(_CXX_PREC_SRC)
+    subprocess.run(["g++", "-O1", "-o", str(exe), str(src)], check=True)
+    return str(exe)
+
+
+def test_freq_precision_fuzz_vs_reference_formula(cxx_prec):
+    """Drive freq_precision + cxx_float over degenerate and extreme
+    (tuned_freq, rate, N) triples against the reference formula COMPILED
+    with g++, pinning exactly where the documented clamps diverge from
+    the reference's UB cases (acquisition.cxx:379-383):
+
+    * well-defined places in [1, 40]  -> byte parity, same precision;
+    * places > 40                     -> we clamp to 40 (reference would
+                                         print more digits than float64
+                                         holds — pure noise);
+    * places < 1                      -> we clamp to 1 (libstdc++ treats
+                                         negative precision as 6 via
+                                         printf, i.e. reference output
+                                         depends on UB);
+    * tuned_freq <= 0 or rate < N     -> log10 of <= 0: reference UB
+                                         (places is nan/inf); we return 17
+                                         (round-trip-exact float64).
+    """
+    from rtl_power_fftw_tpu.output.text import freq_precision
+    from rtl_power_fftw_tpu.ops.spectral import bin_frequencies
+
+    rng = np.random.default_rng(1234)
+    triples = []
+    # Degenerate classes, deliberately over-sampled.
+    for _ in range(300):
+        triples.append((0, int(rng.integers(1, 10**7)),
+                        int(rng.integers(2, 4096))))                 # f = 0
+        triples.append((-int(rng.integers(1, 10**9)),
+                        int(rng.integers(1, 10**7)),
+                        int(rng.integers(2, 4096))))                 # f < 0
+        N = int(rng.integers(2, 1 << 21))
+        triples.append((int(rng.integers(1, 10**10)),
+                        int(rng.integers(1, N)), N))                 # rate < N
+    # Extreme-but-defined: huge f over tiny step and vice versa.
+    for _ in range(700):
+        f = int(10 ** rng.uniform(0, 12))
+        rate = int(10 ** rng.uniform(0, 8))
+        N = int(rng.integers(2, 1 << 21))
+        triples.append((f, rate, N))
+    # Realistic band for good measure.
+    for _ in range(500):
+        f = int(rng.integers(10**5, 2 * 10**9))
+        rate = int(rng.integers(10**5, 4 * 10**6))
+        N = int(rng.integers(2, 1 << 16))
+        triples.append((f, rate, N))
+
+    lines = []
+    test_freqs = []
+    for f, rate, N in triples:
+        tf = bin_frequencies(f, 2, rate)[0]  # a representative bin value
+        test_freqs.append(tf)
+        lines.append(f"{f} {rate} {N} {np.float64(tf).view(np.uint64):x}")
+    out = subprocess.run([cxx_prec], input="\n".join(lines) + "\n",
+                         capture_output=True, text=True, check=True)
+    rows = out.stdout.splitlines()
+    assert len(rows) == len(triples)
+
+    mismatches = []
+    for (f, rate, N), tf, row in zip(triples, test_freqs, rows):
+        places_s, formatted = row.split(" ", 1)
+        places = float(places_s)
+        ours = freq_precision(f, rate, N)
+        step = rate // N
+        if f <= 0 or step <= 0:
+            # Reference UB (log10 of <= 0) — our documented clamp.
+            if ours != 17:
+                mismatches.append((f, rate, N, "ub-clamp", ours))
+        elif not np.isfinite(places):
+            mismatches.append((f, rate, N, "unexpected-inf", places))
+        elif places > 40:
+            if ours != 40:
+                mismatches.append((f, rate, N, "hi-clamp", ours, places))
+        elif places < 1:
+            if ours != 1:
+                mismatches.append((f, rate, N, "lo-clamp", ours, places))
+        else:
+            # Well-defined: same precision AND byte-identical formatting.
+            if ours != int(places):
+                mismatches.append((f, rate, N, "prec", ours, places))
+            elif cxx_float(tf, ours) != formatted:
+                mismatches.append((f, rate, N, "bytes",
+                                   cxx_float(tf, ours), formatted))
+    assert not mismatches, (len(mismatches), mismatches[:10])
