@@ -233,13 +233,35 @@ class PsdStep:
             # ~11.6-13.2 (8.3), N=2048 ~10.8-12.0 (pallas 9.4-9.8).
             # See fourstep_hybrid_psd_partial's docstring for the error
             # decomposition that motivates the structure.
-            from .dft import best_fourstep_split, fourstep_hybrid_psd_partial
+            from .dft import (best_fourstep_split, best_hybrid_split,
+                              fourstep_hybrid_psd_partial)
             precision_cfg = self._precision
-            n1, n2 = best_fourstep_split(N)
+            if N > 8192:
+                # LARGE-N hybrid (round 3, the composite-N>8192 default —
+                # replacing fft4): asymmetric split with a small
+                # lane-friendly matmul stage. Measured on a v5e under a
+                # 35 dB tone vs the FFTW-f32 class error (scipy f32) at
+                # the same N — tone error grows ~N for EVERY f32 path,
+                # including FFTW, so the budget is class-relative:
+                #   N=2^17: hybrid(1024x128) 8.2e-5, CLASS 1.38e-4,
+                #           fft4 3.5e-4; 8.05 GS/s vs fft4's 4.68.
+                #   N=2^20: hybrid(4096x256) 1.1e-3, CLASS 1.26e-3,
+                #           fft4 2.0e-3; 7.4 GS/s vs fft4's 4.9.
+                # The hybrid BEATS the reference's own precision class
+                # while outrunning the two-level FFT (probes/hybrid_large).
+                # TPU-only: on CPU, XLA's FFT is already FFTW-class
+                # (measured 8.3e-5 mono vs 3.3e-5 scipy at 2^17) and the
+                # hybrid's twiddle/matmul rounding makes it ~4x WORSE
+                # there (3.8e-4) — so non-TPU auto keeps the fft4 path.
+                n1, n2 = best_hybrid_split(N)
+            else:
+                n1, n2 = best_fourstep_split(N)
             if self.backend == "hybrid":
                 ok = n1 > 1
             else:
-                ok = n1 >= 8 and 512 <= N <= 3072
+                ok = (n1 >= 8 and 512 <= N <= 3072) or \
+                     (N > 8192 and n1 >= 8 and 64 <= n2 <= 512
+                      and jax.default_backend() == "tpu")
             if ok:
                 fused_partial = (fourstep_hybrid_psd_partial, n1, n2)
                 self._u16_in = True   # host-side u16 view input

@@ -89,11 +89,18 @@ class ShardedPsdStep:
             # the device-side u8→u16 bitcast that made the round-2
             # sharded hybrid lose to the Pallas streams kernel (7.8 vs
             # 9.2-10.0 GS/s at config-5 shapes) is gone.
-            from ..ops.dft import (best_fourstep_split,
+            from ..ops.dft import (best_fourstep_split, best_hybrid_split,
                                    fourstep_hybrid_psd_partial)
-            n1, n2 = best_fourstep_split(N)
+            # Same bands as PsdStep's auto: 512-3072 symmetric split,
+            # composite N>8192 the large-N asymmetric split (TPU only —
+            # class-beating tone accuracy AND faster than fft4; on CPU
+            # XLA's FFT is already FFTW-class — ops/spectral.py).
+            n1, n2 = (best_hybrid_split(N) if N > 8192
+                      else best_fourstep_split(N))
             if (n1 > 1 if backend == "hybrid"
-                    else (n1 >= 8 and 512 <= N <= 3072)):
+                    else ((n1 >= 8 and 512 <= N <= 3072)
+                          or (N > 8192 and n1 >= 8 and 64 <= n2 <= 512
+                              and jax.default_backend() == "tpu"))):
                 fused = (fourstep_hybrid_psd_partial, n1, n2)
 
         if (pallas_kernel is None and fused is None
