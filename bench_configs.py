@@ -70,7 +70,7 @@ def main() -> None:
     rng = np.random.default_rng(0)
     rows = []
 
-    def measure(name, N, F, lo, hi, window=None, baseline=None):
+    def measure(name, N, F, lo, hi, window=None, baseline=None, isolate=1):
         """One config: F frames of N bins per step, through the SHIPPING
         PsdStep auto path (round 2: the fused Pallas kernel for
         power-of-two N >= 2048, four-step matmuls or the XLA FFT
@@ -99,7 +99,8 @@ def main() -> None:
                                   jnp.arange(iters))
             return acc
 
-        per = _slope_time(lambda iters: many(raw, iters), lo, hi)
+        per = _slope_time(lambda iters: many(raw, iters), lo, hi,
+                         isolate=isolate)
         spectra = F / per
         gsps = spectra * N / 1e9
         rows.append((name, N, F, f"{per*1e6:,.0f}",
@@ -117,8 +118,11 @@ def main() -> None:
             1024 if not quick else 256, lo, hi,
             window=make_window("hann", 8192),
             baseline=np.linspace(-1, 1, 8192).astype(np.float32))
-    # 3. 1M-point long-integration FFT.
-    measure("config3: 1M-point FFT", 1 << 20, 8, max(lo // 2, 4), hi // 2)
+    # 3. 1M-point long-integration FFT — best-of-5 ISOLATED slopes with
+    # the spread printed (round-2's published 3.3-6.5 GS/s range was
+    # chip-contention, not the kernel; the committed protocol pins it).
+    measure("config3: 1M-point FFT", 1 << 20, 8, max(lo // 2, 4), hi // 2,
+            isolate=5)
     # 4. 256 hops x 2048 bins batched: the hop axis folds into the frame
     # batch (8 frames per hop x 256 hops = 2048 frames per step).
     measure("config4: 256 hops x 2048-bin scan", 2048,
