@@ -17,14 +17,17 @@ from functools import partial
 import numpy as np
 
 
-def _slope_time(many, lo, hi, isolate=1):
-    """Two-point slope; with ``isolate`` > 1, best-of-k ISOLATED repeats
-    with the spread printed — the committed protocol for configs whose
-    published range was contention-dominated (config 3's 3.3-6.5 GS/s in
-    round 2). Each repeat interleaves fresh t(lo)/t(hi) pairs so a chip
-    time-slice hitting one sample cannot fabricate a low (or negative)
-    slope; contention only ever slows, so min is the honest figure and
-    (max-min)/min the contention spread."""
+def _slope_time(many, lo, hi, isolate=3):
+    """Contention-robust two-point slope, the committed protocol since
+    round 3: k isolated rounds each time t(lo) and t(hi) (best-of-reps),
+    and the reported figure is the slope between the POOLED minima of
+    the two endpoints. Chip time-slicing on this shared terminal only
+    ever SLOWS a sample, so the pooled minimum of each endpoint is its
+    honest uncontended value — whereas min-of-per-round-slopes can be
+    fabricated FAST by a stall that hits only t(lo) (observed: a 49.9
+    GS/s artifact on config 2 whose isolated re-measure read 13.2).
+    Per-round slopes are printed with their spread as the contention
+    diagnostic (round-2's config-3 "3.3-6.5 GS/s" was this spread)."""
     def t(iters, reps=2):
         np.asarray(many(iters))
         best = float("inf")
@@ -34,27 +37,24 @@ def _slope_time(many, lo, hi, isolate=1):
             best = min(best, time.perf_counter() - t0)
         return best
 
-    slopes = []
-    attempts = 0
-    while len(slopes) < isolate and attempts < isolate + 3:
-        attempts += 1
-        slope = (t(hi) - t(lo)) / (hi - lo)
-        if slope > 0:
-            slopes.append(slope)
-        # Noise exceeded the signal (short --quick runs on the shared
-        # chip can even go negative): retry rather than record nonsense.
-    if not slopes:
+    t_lo, t_hi, slopes = float("inf"), float("inf"), []
+    for _round in range(max(isolate, 1)):
+        a, b = t(lo), t(hi)
+        t_lo, t_hi = min(t_lo, a), min(t_hi, b)
+        if b > a:
+            slopes.append((b - a) / (hi - lo))
+    if t_hi <= t_lo:
         import sys
         print("  warning: slope noise-dominated; increase iteration counts",
               file=sys.stderr)
-        return abs(slope) if slope else float("nan")
-    if isolate > 1:
+        return float("nan")
+    if slopes:
         import sys
         spread = (max(slopes) - min(slopes)) / min(slopes)
-        print(f"  isolated slopes (us/step): "
+        print(f"  per-round slopes (us/step): "
               + " ".join(f"{s*1e6:,.0f}" for s in sorted(slopes))
               + f"  spread {spread*100:.0f}%", file=sys.stderr)
-    return min(slopes)
+    return (t_hi - t_lo) / (hi - lo)
 
 
 def main() -> None:
