@@ -259,9 +259,24 @@ class PsdStep:
             if self.backend == "hybrid":
                 ok = n1 > 1
             else:
-                ok = (n1 >= 8 and 512 <= N <= 3072) or \
-                     (N > 8192 and n1 >= 8 and 64 <= n2 <= 512
-                      and jax.default_backend() == "tpu")
+                # auto bands (tone-accuracy distributions measured over
+                # >=30 adversarial 35 dB-tone realizations/band,
+                # probes/tone_distribution.py):
+                # * 512-3072 everywhere: hybrid max <= 1x the FFTW-f32
+                #   class max (8.3e-5 vs 6.3e-5 TPU, 5.7e-5 vs 6.3e-5
+                #   CPU) and fastest;
+                # * 3072 < N <= 8192 TPU-only, non-pallas shapes: the
+                #   four-step matmul's PLAIN f32 twiddle leaks ~5x class
+                #   there (CPU-measured 3.7e-4 vs 7.2e-5 at 8192); the
+                #   hybrid's split twiddle brings it to ~1.4-2.8x. On
+                #   CPU the monolithic XLA FFT is itself 1.3x class and
+                #   takes this band instead;
+                # * N > 8192 TPU-only (the large-N asymmetric split).
+                tpu = jax.default_backend() == "tpu"
+                ok = (n1 >= 8
+                      and ((512 <= N <= 3072)
+                           or (tpu and 3072 < N <= 8192)
+                           or (tpu and N > 8192 and 64 <= n2 <= 512)))
             if ok:
                 fused_partial = (fourstep_hybrid_psd_partial, n1, n2)
                 self._u16_in = True   # host-side u16 view input
@@ -278,12 +293,13 @@ class PsdStep:
             if self.backend == "fourstep":
                 ok = n1 > 1  # honor an explicit request for any composite N
             else:
-                # auto: four-step matmuls cost ~16·√N FLOPs/sample vs the
-                # FFT's ~5·log2 N; measured on v5e the MXU advantage
-                # covers that up to N≈8192. Beyond, the fused Pallas
-                # kernel (pow-2) or the FFT four-step below wins
-                # (BENCHMARKS.md).
-                ok = n1 >= 8 and N <= 8192
+                # auto: only small composite N (< 512) remain with the
+                # plain-twiddle matmul four-step — its f32 twiddle table
+                # leaks ~5x the FFTW-f32 class under adversarial tones at
+                # mid N (probes/tone_distribution.py), so the hybrid's
+                # split twiddle took 512-8192; at tiny N the leak scales
+                # away (~sqrt(N)) and the matmul path is fastest.
+                ok = n1 >= 8 and N < 512
             if ok:
                 fused_partial = (fourstep_psd_partial, n1, n2)
         if (fused_partial is None and self.backend in ("fft4", "auto")
