@@ -262,20 +262,19 @@ class PsdStep:
                 # auto bands (tone-accuracy distributions measured over
                 # >=30 adversarial 35 dB-tone realizations/band,
                 # probes/tone_distribution.py):
-                # * 512-3072 everywhere: hybrid max <= 1x the FFTW-f32
+                # * 512-3072 everywhere: hybrid max <= 1.3x the FFTW-f32
                 #   class max (8.3e-5 vs 6.3e-5 TPU, 5.7e-5 vs 6.3e-5
                 #   CPU) and fastest;
-                # * 3072 < N <= 8192 TPU-only, non-pallas shapes: the
-                #   four-step matmul's PLAIN f32 twiddle leaks ~5x class
-                #   there (CPU-measured 3.7e-4 vs 7.2e-5 at 8192); the
-                #   hybrid's split twiddle brings it to ~1.4-2.8x. On
-                #   CPU the monolithic XLA FFT is itself 1.3x class and
-                #   takes this band instead;
                 # * N > 8192 TPU-only (the large-N asymmetric split).
+                # At 3072 < N <= 8192 the hybrid LOSES on TPU on both
+                # axes (probes/midband_hybrid.py: 10.1-13.5 GS/s vs the
+                # matmul four-step's 12.5-15.5; 30-seed tail 1.93e-4 vs
+                # 1.13e-4 at 8192) — that band stays with the four-step
+                # below (TPU) / the XLA FFT (CPU, where it is
+                # FFTW-class while BLAS-matmul paths leak ~5x).
                 tpu = jax.default_backend() == "tpu"
                 ok = (n1 >= 8
                       and ((512 <= N <= 3072)
-                           or (tpu and 3072 < N <= 8192)
                            or (tpu and N > 8192 and 64 <= n2 <= 512)))
             if ok:
                 fused_partial = (fourstep_hybrid_psd_partial, n1, n2)
@@ -293,13 +292,15 @@ class PsdStep:
             if self.backend == "fourstep":
                 ok = n1 > 1  # honor an explicit request for any composite N
             else:
-                # auto: only small composite N (< 512) remain with the
-                # plain-twiddle matmul four-step — its f32 twiddle table
-                # leaks ~5x the FFTW-f32 class under adversarial tones at
-                # mid N (probes/tone_distribution.py), so the hybrid's
-                # split twiddle took 512-8192; at tiny N the leak scales
-                # away (~sqrt(N)) and the matmul path is fastest.
-                ok = n1 >= 8 and N < 512
+                # auto: composite N < 512 everywhere, plus the TPU
+                # 3072 < N <= 8192 band (measured best there on both
+                # axes: 12.5-15.5 GS/s and a 1.58x-class 30-seed tail vs
+                # the hybrid's 2.7x — the MXU's f32-HIGHEST accumulation
+                # is well-behaved; it is CPU BLAS matmuls that leak ~5x
+                # class, so non-TPU auto uses the FFTW-class XLA FFT
+                # above 3072 instead).
+                tpu = jax.default_backend() == "tpu"
+                ok = n1 >= 8 and (N < 512 or (tpu and N <= 8192))
             if ok:
                 fused_partial = (fourstep_psd_partial, n1, n2)
         if (fused_partial is None and self.backend in ("fft4", "auto")

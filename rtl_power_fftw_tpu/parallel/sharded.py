@@ -101,7 +101,6 @@ class ShardedPsdStep:
             if (n1 > 1 if backend == "hybrid"
                     else (n1 >= 8
                           and ((512 <= N <= 3072)
-                               or (tpu and 3072 < N <= 8192)
                                or (tpu and N > 8192 and 64 <= n2 <= 512)))):
                 fused = (fourstep_hybrid_psd_partial, n1, n2)
 
@@ -109,7 +108,9 @@ class ShardedPsdStep:
                 and backend in ("fourstep", "auto")):
             from ..ops.dft import best_fourstep_split, fourstep_psd_partial
             n1, n2 = best_fourstep_split(N)
-            if (n1 > 1 if backend == "fourstep" else (n1 >= 8 and N < 512)):
+            tpu = jax.default_backend() == "tpu"
+            if (n1 > 1 if backend == "fourstep"
+                    else (n1 >= 8 and (N < 512 or (tpu and N <= 8192)))):
                 fused = (fourstep_psd_partial, n1, n2)
         if (pallas_kernel is None and fused is None
                 and backend in ("fft4", "auto")
