@@ -215,22 +215,27 @@ def fourstep_fft_psd_partial(re: jax.Array, im: jax.Array, fmask: jax.Array,
 
 
 def best_hybrid_split(N: int, lo: int = 64, hi: int = 512,
-                      target: int = 128) -> Tuple[int, int]:
-    """Split for the LARGE-N hybrid four-step: stage 2 (the f32-faithful
-    HIGHEST matmul, the tone-robustness anchor) gets a small lane-friendly
-    length N2 near ``target`` so its O(N2) MACs/sample stay cheap, while
-    stage 1 (a batched FFT over the bf16-exact integer inputs) takes
-    N1 = N/N2. A symmetric split (best_fourstep_split) would make the
-    stage-2 contraction K = √N — at N = 2²⁰ that is 18× the FLOPs for no
-    accuracy gain, since the tone leak lives in stage 2's *precision*,
-    not its length (see fourstep_hybrid_psd_partial).
+                      target: int = 128, min_n1: int = 1) -> Tuple[int, int]:
+    """Split for the hybrid four-step: stage 2 (the f32-faithful HIGHEST
+    matmul, the tone-robustness anchor) gets a lane-friendly length N2
+    near ``target`` — N2 = 128 matches the MXU/VPU lane width, so the
+    stage-2 contraction is one fat lane-aligned pass — while stage 1
+    (a batched FFT over the bf16-exact integer inputs) takes N1 = N/N2.
 
-    Returns (N1, N2); falls back to best_fourstep_split when N has no
-    divisor in [lo, hi].
+    Measured v5e (probes/hybrid2048_splits.py, probes/hybrid_large.py):
+    the near-square split loses everywhere — N=1024 (8×128) 14.9 GS/s
+    vs (32×32) 11.2; N=2048 (16×128) 13.4 vs (32×64) 11.1 (and better
+    tone error); N=2²⁰ (8192×128) ~2× over two FFT stages. The tone
+    leak lives in stage 2's *precision*, not its length, so shrinking
+    N2 costs no accuracy (see fourstep_hybrid_psd_partial).
+
+    ``min_n1`` keeps the stage-1 FFT length sensible (the auto ladder
+    uses 8). Returns (N1, N2); falls back to best_fourstep_split when N
+    has no divisor in [lo, hi] compatible with ``min_n1``.
     """
     best = None
     for n2 in range(lo, hi + 1):
-        if N % n2 == 0:
+        if N % n2 == 0 and N // n2 >= min_n1:
             score = (abs(n2 - target), n2)
             if best is None or score < best[0]:
                 best = (score, n2)

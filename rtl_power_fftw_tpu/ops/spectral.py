@@ -233,28 +233,41 @@ class PsdStep:
             # ~11.6-13.2 (8.3), N=2048 ~10.8-12.0 (pallas 9.4-9.8).
             # See fourstep_hybrid_psd_partial's docstring for the error
             # decomposition that motivates the structure.
-            from .dft import (best_fourstep_split, best_hybrid_split,
-                              fourstep_hybrid_psd_partial)
+            from .dft import best_hybrid_split, fourstep_hybrid_psd_partial
             precision_cfg = self._precision
-            if N > 8192:
-                # LARGE-N hybrid (round 3, the composite-N>8192 default —
-                # replacing fft4): asymmetric split with a small
-                # lane-friendly matmul stage. Measured on a v5e under a
-                # 35 dB tone vs the FFTW-f32 class error (scipy f32) at
-                # the same N — tone error grows ~N for EVERY f32 path,
-                # including FFTW, so the budget is class-relative:
-                #   N=2^17: hybrid(1024x128) 8.2e-5, CLASS 1.38e-4,
-                #           fft4 3.5e-4; 8.05 GS/s vs fft4's 4.68.
-                #   N=2^20: hybrid(4096x256) 1.1e-3, CLASS 1.26e-3,
-                #           fft4 2.0e-3; 7.4 GS/s vs fft4's 4.9.
-                # The hybrid BEATS the reference's own precision class
-                # while outrunning the two-level FFT (probes/hybrid_large).
-                # TPU-only: on CPU, XLA's FFT is already FFTW-class
-                # (measured 8.3e-5 mono vs 3.3e-5 scipy at 2^17) and the
-                # hybrid's twiddle/matmul rounding makes it ~4x WORSE
-                # there (3.8e-4) — so non-TPU auto keeps the fft4 path.
-                n1, n2 = best_hybrid_split(N)
+            # The lane-matched split (N2 ≈ 128, min stage-1 FFT length 8)
+            # serves the WHOLE hybrid band (round 3):
+            # * 512-3072: (8×64)/(8×128)/(16×128)/(24×128) beat the old
+            #   near-square splits by 2-32% at equal-or-better tone error
+            #   (probes/hybrid2048_splits.py: 2048 13.4 vs 11.1 GS/s,
+            #   3072 13.7 vs 10.4, 1024 14.9 vs 11.2, 512 12.0 vs 11.8).
+            # * N > 8192 (the round-3 large-N default, replacing fft4):
+            #   measured under a 35 dB tone vs the FFTW-f32 class error
+            #   (scipy f32) at the same N — tone error grows ~√N for
+            #   EVERY f32 path including FFTW, so the budget is
+            #   class-relative:
+            #     N=2^17: hybrid(1024×128) 8.2e-5, CLASS 1.38e-4,
+            #             fft4 3.5e-4; 8.05 GS/s vs fft4's 4.68.
+            #     N=2^20: hybrid 7.5e-4-1.1e-3, CLASS 1.26e-3,
+            #             fft4 2.0e-3; ~2× fft4's throughput.
+            #   The hybrid BEATS the reference's own precision class
+            #   while outrunning the two-level FFT (probes/hybrid_large).
+            #   TPU-only: on CPU, XLA's FFT is already FFTW-class
+            #   (measured 8.3e-5 mono vs 3.3e-5 scipy at 2^17) and the
+            #   hybrid's twiddle/matmul rounding makes it ~4x WORSE
+            #   there (3.8e-4) — so non-TPU auto keeps the fft4 path.
+            # The lane-matched K=128 is a TPU split: CPU BLAS matmuls
+            # accumulate sequentially in f32, so doubling K doubles the
+            # adversarial tail there (measured 4.1x class vs the MXU's
+            # 1.5x) — non-TPU auto keeps the near-square split. An
+            # explicit backend="hybrid" request uses the lane-matched
+            # chooser everywhere so tests can pin the shipping config's
+            # numerics on the CPU harness.
+            if (self.backend == "hybrid"
+                    or jax.default_backend() == "tpu"):
+                n1, n2 = best_hybrid_split(N, min_n1=8)
             else:
+                from .dft import best_fourstep_split
                 n1, n2 = best_fourstep_split(N)
             if self.backend == "hybrid":
                 ok = n1 > 1

@@ -89,14 +89,19 @@ class ShardedPsdStep:
             # the device-side u8→u16 bitcast that made the round-2
             # sharded hybrid lose to the Pallas streams kernel (7.8 vs
             # 9.2-10.0 GS/s at config-5 shapes) is gone.
-            from ..ops.dft import (best_fourstep_split, best_hybrid_split,
+            from ..ops.dft import (best_hybrid_split,
                                    fourstep_hybrid_psd_partial)
-            # Same bands as PsdStep's auto: 512-3072 symmetric split,
-            # composite N>8192 the large-N asymmetric split (TPU only —
-            # class-beating tone accuracy AND faster than fft4; on CPU
-            # XLA's FFT is already FFTW-class — ops/spectral.py).
-            n1, n2 = (best_hybrid_split(N) if N > 8192
-                      else best_fourstep_split(N))
+            # Same bands and split chooser as PsdStep's auto: the
+            # lane-matched split (N2 ≈ 128, stage-1 FFT length ≥ 8 —
+            # measured 2-32% faster at equal-or-better tone error) on
+            # TPU and for explicit requests; near-square on CPU auto
+            # (its BLAS accumulation tail doubles with K —
+            # ops/spectral.py).
+            if backend == "hybrid" or jax.default_backend() == "tpu":
+                n1, n2 = best_hybrid_split(N, min_n1=8)
+            else:
+                from ..ops.dft import best_fourstep_split
+                n1, n2 = best_fourstep_split(N)
             tpu = jax.default_backend() == "tpu"
             if (n1 > 1 if backend == "hybrid"
                     else (n1 >= 8
