@@ -203,8 +203,12 @@ class PsdStep:
             # ~4e-5 under strong tones — opt-in relaxed parity).
             # Round-2 ladder change: the hybrid four-step below took over
             # N = 2048 (faster at equal-or-better tone robustness), so the
-            # kernel's auto band starts at 4096 either way.
-            auto_pallas = (eligible and N >= 4096
+            # kernel's auto band starts at 4096 either way. Round 3: the
+            # band's top is 65536 — at 2^17 the large-N hybrid matches the
+            # kernel's speed (7.7 vs 7.5 GS/s, probes/pow2_head2head.py)
+            # at ~3x better tone accuracy (8.2e-5 vs 2.3e-4; 100-seed
+            # p50 ratio-to-class 1.10 vs 1.39).
+            auto_pallas = (eligible and 4096 <= N <= 65536
                            and jax.default_backend() == "tpu")
             if self.backend == "pallas" or auto_pallas:
                 fused = make_fused_psd_fn(
@@ -316,6 +320,12 @@ class PsdStep:
                 ok = n1 >= 8 and (N < 512 or (tpu and N <= 8192))
             if ok:
                 fused_partial = (fourstep_psd_partial, n1, n2)
+                # Host-side u16 view like every other fused path — the
+                # device-side u8→u16 bitcast is a real relayout pass
+                # (measured: the u8-input four-step at 8192 read 9.9
+                # GS/s vs 15.5 with the view, probes/pow2_head2head.py
+                # vs probes/midband_hybrid.py).
+                self._u16_in = True
         if (fused_partial is None and self.backend in ("fft4", "auto")
                 and (N > 8192 or self.backend == "fft4")):
             # Very-large-N: the two-level FFT four-step. XLA lowers a

@@ -71,12 +71,12 @@ class ShardedPsdStep:
             windowed = window_arr is not None
             S_local = streams // n_dev
             eligible = fused_psd_available(N, self.F, windowed=windowed)
-            # Same band as PsdStep's auto (>= 4096): with the u16-view
-            # sharded hybrid below, the hybrid wins 512-3072 here too —
-            # the round-2 exception (streams kernel kept N=2048 because
-            # the hybrid paid a device-side bitcast) no longer applies.
+            # Same band as PsdStep's auto (4096-65536): the u16-view
+            # sharded hybrid wins 512-3072 (the round-2 bitcast
+            # exception no longer applies) and the large-N hybrid takes
+            # 2^17 (equal speed, ~3x better tone accuracy).
             want = (backend == "pallas"
-                    or (eligible and N >= 4096
+                    or (eligible and 4096 <= N <= 65536
                         and jax.default_backend() == "tpu"))
             if want and eligible:
                 pallas_kernel = make_fused_psd_fn(
