@@ -155,17 +155,17 @@ class PsdStep:
         if (self.backend == "auto"
                 and self._precision != jax.lax.Precision.HIGHEST):
             # precision='high' (relaxed parity): the FFT four-step is the
-            # fastest step at small/mid N — measured v5e GS/s vs the
-            # tone-robust defaults: N=512 16.3 vs 8.3, N=1024 15.6 vs
-            # 8.3, N=2048 11.3-11.8 vs pallas 9.4-9.8, windowed-2048
-            # 11.3 vs 8.6, N=3072 10.9 vs 8.3. Its error is f32-XLA-FFT
-            # class: ~2e-7 on uniform input but up to ~9e-5 under a
-            # 35 dB tone (XLA's FFT is ~6x less tone-accurate than
-            # FFTW-class; measured, probes/fftfourstep_sweep.py) — hence
-            # opt-in. Beyond 3072 the HIGHEST paths are faster anyway.
+            # fastest step only at SMALL N now — measured v5e GS/s vs
+            # the round-3 lane-matched hybrid defaults: N=512 16.3 vs
+            # 12.0 (+35%), N=1024 15.6 vs 14.9 (+5%); from 2048 up the
+            # tone-robust default is FASTER (13.4 vs 11.3-11.8), so the
+            # relaxed path would be a pure loss and the band stops at
+            # 1024. Its error is f32-XLA-FFT class: ~2e-7 on uniform
+            # input but up to ~9e-5 under a 35 dB tone at 2048
+            # (measured, probes/fftfourstep_sweep.py) — hence opt-in.
             from .dft import best_fourstep_split, fourstep_fft_psd_partial
             n1_, _ = best_fourstep_split(N)
-            if n1_ >= 8 and N <= 3072:
+            if n1_ >= 8 and N <= 1024:
                 self._u16_in = True
                 chunk = self._chunk
                 windowed_arr = window
@@ -356,11 +356,11 @@ class PsdStep:
             if fused_partial is None:
                 import sys as _sys
                 print("Warning: --precision high affects the fused Pallas "
-                      "kernel (TPU, power-of-2 N >= 4096), the FFT four-step "
-                      "fast path (composite N <= 3072), and the hybrid/"
-                      "matmul four-step stage-2 matmuls (composite N); this "
-                      f"step (backend={self.backend}, N={N}) ignores it.",
-                      file=_sys.stderr)
+                      "kernel (TPU, power-of-2 4096-65536), the FFT "
+                      "four-step fast path (composite N <= 1024), and the "
+                      "hybrid/matmul four-step stage-2 matmuls (composite "
+                      f"N); this step (backend={self.backend}, N={N}) "
+                      "ignores it.", file=_sys.stderr)
             elif fp_name == "fourstep_fft_psd_partial":
                 import sys as _sys
                 print("Note: --precision high is a no-op on the FFT "
