@@ -243,14 +243,16 @@ def _build_parser() -> _Parser:
                    choices=["auto", "xla", "matmul", "fourstep", "fft4",
                             "hybrid", "pallas"],
                    help="FFT implementation used on device (hybrid = FFT "
-                        "stage 1 + matmul stage 2, the tone-robust "
-                        "mid-N default; fft4 = two-level FFT four-step, "
-                        "the very-large-N path).")
+                        "stage 1 + split twiddle + matmul stage 2, the "
+                        "tone-robust default for most composite N incl. "
+                        "the very-large-N modes on TPU; fft4 = two-level "
+                        "FFT four-step).")
     p.add_argument("--precision", type=str, default="highest",
                    choices=["highest", "high"],
-                   help="Transform precision: 'highest' holds the 1e-5 "
-                        "reference parity; 'high' picks the fastest "
-                        "relaxed-parity step per size (+7-90%%).")
+                   help="Transform precision: 'highest' holds the "
+                        "reference parity budget; 'high' picks the fastest "
+                        "relaxed-parity step per size (+5-35%% at "
+                        "N <= 1024).")
     p.add_argument("--record", type=str, default="", metavar="file",
                    help="Record the raw consumed IQ bytes to this file "
                         "(replayable with --source file:<file>; with "
