@@ -1,7 +1,16 @@
-"""Mid-band (3072 < N <= 8192, non-pallas shapes) speed check: the
-round-3 ladder moved this band from the plain-twiddle matmul four-step
-(leaks ~5x the FFTW-f32 class under adversarial tones) to the hybrid.
-Confirm the hybrid does not regress throughput there.
+"""Mid-band (3072 < N <= 8192, non-pallas shapes) head-to-head:
+matmul four-step vs hybrid. Outcome (round 3, TPU): the four-step
+KEEPS the band — 12.5-15.5 GS/s and a 1.58x-class 30-seed tail vs the
+near-square hybrid's 2.7x / 10.1-13.5 GS/s.
+
+Re-checked after the lane-matched split landed (the original decision
+predated it): at N=6144 the lane-matched hybrid (48x128) reads
+12.73 GS/s vs the fourstep's 11.18 same-sweep (+14%), but its 30-seed
+adversarial tail is 1.67e-4 = 2.69x the class max vs the fourstep's
+1.36x (probes/tone_distribution.py run, seeds=30) — same 2.7x-class
+tail as near-square, too close to the 3x budget ceiling to ship for a
+14% edge. At N=5000 the two tie on tail (0.86x vs 0.84x class).
+Decision: mid-band auto stays on the matmul four-step.
 
 Run on TPU:  python probes/midband_hybrid.py
 """
