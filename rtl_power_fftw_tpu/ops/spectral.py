@@ -120,10 +120,17 @@ class PsdStep:
     def __init__(self, N: int, frames_per_step: int,
                  window: Optional[np.ndarray] = None,
                  backend: str = "auto",
-                 precision: str = "highest"):
+                 precision: str = "highest",
+                 window_fold: bool = True):
         """``precision``: 'highest' (default; 2.8e-7 measured error, the
         1e-5 parity budget) or 'high' (bf16x3 matmuls: ~+19% throughput,
-        ~2.4e-5 error — opt-in for parity-relaxed deployments)."""
+        ~2.4e-5 error — opt-in for parity-relaxed deployments).
+
+        ``window_fold``: allow the exact frequency-domain form of a
+        periodic cosine-sum window (see ops/window_fold.py). False
+        forces the reference's time-domain multiply — for tests and
+        apples-to-apples probes; results agree within the parity budget
+        either way."""
         if N % 2 != 0:
             raise ValueError("N must be even")
         if precision not in ("highest", "high"):
@@ -145,12 +152,26 @@ class PsdStep:
         self._power = _power_backend(backend, N)
         self._nv_full = None
         self._u16_in = False   # set by _make_step when the pallas kernel ships
+        self._window_fold = bool(window_fold)
         self._step = jax.jit(self._make_step())
 
     def _make_step(self):
         N, F = self.N, self.F
         window = None if self.window is None else jnp.asarray(self.window)
         power_fn = self._power
+
+        # Periodic cosine-sum windows (hann/hamming/blackman/…, incl.
+        # every built-in generator) fold into the frequency domain: the
+        # transform runs UNWINDOWED (stage-1 FFTs keep their exactly
+        # representable integer inputs — the hybrid's tone-robustness
+        # anchor) and an exact M-tap circular convolution replaces the
+        # time-domain multiply before |·|² (ops/window_fold.py). Windows
+        # that are not exact cosine sums fall back to the reference-
+        # faithful multiply (datastore.cxx:76-77 semantics either way).
+        fold = None
+        if window is not None and self._window_fold:
+            from .window_fold import cosine_sum_coeffs
+            fold = cosine_sum_coeffs(np.asarray(self.window))
 
         if (self.backend == "auto"
                 and self._precision != jax.lax.Precision.HIGHEST):
@@ -168,7 +189,9 @@ class PsdStep:
             if n1_ >= 8 and N <= 1024:
                 self._u16_in = True
                 chunk = self._chunk
-                windowed_arr = window
+                from .window_fold import fold_supported
+                fast_fold = fold if fold_supported(fold, n1_) else None
+                windowed_arr = None if fast_fold is not None else window
 
                 def fast_step(raw16: jax.Array, n_valid: jax.Array) -> jax.Array:
                     v = raw16.astype(jnp.int32)
@@ -180,7 +203,8 @@ class PsdStep:
                     fmask = (jax.lax.broadcasted_iota(jnp.int32, (F,), 0)
                              < n_valid).astype(jnp.float32)
                     return fourstep_fft_psd_partial(re, im, fmask,
-                                                    chunk=chunk)
+                                                    chunk=chunk,
+                                                    fold=fast_fold)
 
                 return fast_step
 
@@ -208,7 +232,15 @@ class PsdStep:
             # kernel's speed (7.7 vs 7.5 GS/s, probes/pow2_head2head.py)
             # at ~3x better tone accuracy (8.2e-5 vs 2.3e-4; 100-seed
             # p50 ratio-to-class 1.10 vs 1.39).
+            # Windowed + foldable: the kernel's in-kernel window multiply
+            # costs 25-40% (9.0 vs 15.1 GS/s at 4096, 12.5 vs 15.7 at
+            # 8192) while the folded four-step serves the same request at
+            # its unwindowed speed and better class-accuracy — auto
+            # prefers the folded path at N <= 8192 (measured; see
+            # BENCHMARKS.md "Windowed throughput").
+            folded_beats_kernel = fold is not None and N <= 8192
             auto_pallas = (eligible and 4096 <= N <= 65536
+                           and not folded_beats_kernel
                            and jax.default_backend() == "tpu")
             if self.backend == "pallas" or auto_pallas:
                 fused = make_fused_psd_fn(
@@ -370,6 +402,12 @@ class PsdStep:
         chunk = self._chunk
         u16_in = self._u16_in
 
+        fold_arg = None
+        if fused_partial is not None and fold is not None:
+            from .window_fold import fold_supported
+            if fold_supported(fold, fused_partial[1]):
+                fold_arg = fold
+
         def step(raw: jax.Array, n_valid: jax.Array) -> jax.Array:
             # raw: (F, 2N) uint8 interleaved IQ — or (F, N) uint16 when
             # the step takes the host-side u16 view; n_valid: scalar i32.
@@ -377,17 +415,18 @@ class PsdStep:
                 v = raw.astype(jnp.int32)
                 re = ((v & 0xFF) - 127).astype(jnp.float32)
                 im = ((v >> 8) - 127).astype(jnp.float32)
-                if window is not None:
+                if window is not None and fold_arg is None:
                     re = re * window
                     im = im * window
             else:
-                re, im = dequant_iq(raw, F, N, window)
+                re, im = dequant_iq(raw, F, N,
+                                    None if fold_arg is not None else window)
             fmask = (jax.lax.broadcasted_iota(jnp.int32, (F,), 0)
                      < n_valid).astype(jnp.float32)
             if fused_partial is not None:
                 fn, n1, n2 = fused_partial
                 return fn(re, im, fmask, n1, n2, chunk=chunk,
-                          precision=precision_cfg)
+                          precision=precision_cfg, fold=fold_arg)
             pwr = power_fn(re, im)  # (F, N) f32, unshifted bins
             pwr = pwr * fmask[:, None]
             # Two-stage tree sum for f32 accuracy.
