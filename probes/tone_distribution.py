@@ -19,7 +19,8 @@ import scipy.fft
 
 from rtl_power_fftw_tpu.ops.spectral import PsdStep, adapt_batch
 
-SEEDS = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+SEEDS = (int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit()
+         else 100)
 
 
 def realization(N, F, seed):

@@ -107,8 +107,7 @@ def _fourstep2_constants(N: int, N1: int, N2: int):
 def fourstep_psd_partial(re: jax.Array, im: jax.Array, fmask: jax.Array,
                          N1: int | None = None, N2: int | None = None,
                          chunk: int = 64,
-                         precision: jax.lax.Precision | None = None,
-                         fold=None) -> jax.Array:
+                         precision: jax.lax.Precision | None = None) -> jax.Array:
     """Masked partial PSD sum via a transpose-free four-step DFT.
 
     Computes Σ_f fmask[f]·|DFT(re[f] + i·im[f])|² in one matmul chain with
@@ -156,10 +155,6 @@ def fourstep_psd_partial(re: jax.Array, im: jax.Array, fmask: jax.Array,
     # Stage 2 (contract n2, now axis 1): output (F, k1, k2).
     xr2, xi2 = cmatmul(zr, zi, c2, s2, cs2)
 
-    if fold is not None:
-        from .window_fold import apply_fold
-        xr2 = apply_fold(xr2, fold)
-        xi2 = apply_fold(xi2, fold)
     p = (xr2 * xr2 + xi2 * xi2) * fmask[:, None, None]
     g = F // chunk
     s = p.reshape(g, chunk, N1, N2).sum(axis=1).sum(axis=0)  # (k1, k2)
@@ -179,7 +174,7 @@ def _fft_fourstep_twiddle(N: int, N1: int, N2: int) -> np.ndarray:
 def fourstep_fft_psd_partial(re: jax.Array, im: jax.Array, fmask: jax.Array,
                              N1: int | None = None, N2: int | None = None,
                              chunk: int = 64,
-                             precision=None, fold=None) -> jax.Array:
+                             precision=None) -> jax.Array:
     """Masked partial PSD via a TWO-LEVEL FFT four-step: both stages are
     jnp.fft over a factor axis (N = N1·N2), twiddle in between.
 
@@ -212,9 +207,6 @@ def fourstep_fft_psd_partial(re: jax.Array, im: jax.Array, fmask: jax.Array,
     y = jnp.fft.fft(x, axis=1)            # over n1 → k1
     z = y * tw[None]
     X = jnp.fft.fft(z, axis=2)            # over n2 → k2; (F, k1, k2)
-    if fold is not None:
-        from .window_fold import apply_fold
-        X = apply_fold(X, fold)
     p = (jnp.real(X) * jnp.real(X) + jnp.imag(X) * jnp.imag(X)) \
         * fmask[:, None, None]
     g = F // chunk
@@ -274,7 +266,7 @@ def fourstep_hybrid_psd_partial(re: jax.Array, im: jax.Array,
                                 fmask: jax.Array,
                                 N1: int | None = None, N2: int | None = None,
                                 chunk: int = 64,
-                                precision=None, fold=None) -> jax.Array:
+                                precision=None) -> jax.Array:
     """Masked partial PSD via the HYBRID four-step: stage 1 is a batched
     factor-length FFT, stage 2 a Precision.HIGHEST matmul, with a SPLIT
     twiddle (hi + residual) between them.
@@ -314,10 +306,6 @@ def fourstep_hybrid_psd_partial(re: jax.Array, im: jax.Array,
           - jnp.matmul(zi, s2, precision=prec))   # over n2 → (F, k1, k2)
     Xi = (jnp.matmul(zr, s2, precision=prec)
           + jnp.matmul(zi, c2, precision=prec))
-    if fold is not None:
-        from .window_fold import apply_fold
-        Xr = apply_fold(Xr, fold)
-        Xi = apply_fold(Xi, fold)
     p = (Xr * Xr + Xi * Xi) * fmask[:, None, None]
     g = F // chunk
     s = p.reshape(g, chunk, N1, N2).sum(axis=1).sum(axis=0)   # (k1, k2)

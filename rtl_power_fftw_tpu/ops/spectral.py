@@ -120,17 +120,10 @@ class PsdStep:
     def __init__(self, N: int, frames_per_step: int,
                  window: Optional[np.ndarray] = None,
                  backend: str = "auto",
-                 precision: str = "highest",
-                 window_fold: bool = True):
+                 precision: str = "highest"):
         """``precision``: 'highest' (default; 2.8e-7 measured error, the
         1e-5 parity budget) or 'high' (bf16x3 matmuls: ~+19% throughput,
-        ~2.4e-5 error — opt-in for parity-relaxed deployments).
-
-        ``window_fold``: allow the exact frequency-domain form of a
-        periodic cosine-sum window (see ops/window_fold.py). False
-        forces the reference's time-domain multiply — for tests and
-        apples-to-apples probes; results agree within the parity budget
-        either way."""
+        ~2.4e-5 error — opt-in for parity-relaxed deployments)."""
         if N % 2 != 0:
             raise ValueError("N must be even")
         if precision not in ("highest", "high"):
@@ -152,7 +145,6 @@ class PsdStep:
         self._power = _power_backend(backend, N)
         self._nv_full = None
         self._u16_in = False   # set by _make_step when the pallas kernel ships
-        self._window_fold = bool(window_fold)
         self._step = jax.jit(self._make_step())
 
     def _make_step(self):
@@ -160,18 +152,6 @@ class PsdStep:
         window = None if self.window is None else jnp.asarray(self.window)
         power_fn = self._power
 
-        # Periodic cosine-sum windows (hann/hamming/blackman/…, incl.
-        # every built-in generator) fold into the frequency domain: the
-        # transform runs UNWINDOWED (stage-1 FFTs keep their exactly
-        # representable integer inputs — the hybrid's tone-robustness
-        # anchor) and an exact M-tap circular convolution replaces the
-        # time-domain multiply before |·|² (ops/window_fold.py). Windows
-        # that are not exact cosine sums fall back to the reference-
-        # faithful multiply (datastore.cxx:76-77 semantics either way).
-        fold = None
-        if window is not None and self._window_fold:
-            from .window_fold import cosine_sum_coeffs
-            fold = cosine_sum_coeffs(np.asarray(self.window))
 
         if (self.backend == "auto"
                 and self._precision != jax.lax.Precision.HIGHEST):
@@ -189,9 +169,7 @@ class PsdStep:
             if n1_ >= 8 and N <= 1024:
                 self._u16_in = True
                 chunk = self._chunk
-                from .window_fold import fold_supported
-                fast_fold = fold if fold_supported(fold, n1_) else None
-                windowed_arr = None if fast_fold is not None else window
+                windowed_arr = window
 
                 def fast_step(raw16: jax.Array, n_valid: jax.Array) -> jax.Array:
                     v = raw16.astype(jnp.int32)
@@ -203,8 +181,7 @@ class PsdStep:
                     fmask = (jax.lax.broadcasted_iota(jnp.int32, (F,), 0)
                              < n_valid).astype(jnp.float32)
                     return fourstep_fft_psd_partial(re, im, fmask,
-                                                    chunk=chunk,
-                                                    fold=fast_fold)
+                                                    chunk=chunk)
 
                 return fast_step
 
@@ -232,15 +209,15 @@ class PsdStep:
             # kernel's speed (7.7 vs 7.5 GS/s, probes/pow2_head2head.py)
             # at ~3x better tone accuracy (8.2e-5 vs 2.3e-4; 100-seed
             # p50 ratio-to-class 1.10 vs 1.39).
-            # Windowed + foldable: the kernel's in-kernel window multiply
-            # costs 25-40% (9.0 vs 15.1 GS/s at 4096, 12.5 vs 15.7 at
-            # 8192) while the folded four-step serves the same request at
-            # its unwindowed speed and better class-accuracy — auto
-            # prefers the folded path at N <= 8192 (measured; see
-            # BENCHMARKS.md "Windowed throughput").
-            folded_beats_kernel = fold is not None and N <= 8192
-            auto_pallas = (eligible and 4096 <= N <= 65536
-                           and not folded_beats_kernel
+            # WINDOWED band starts at 8192: the in-kernel window multiply
+            # costs the kernel 40% at 4096 (9.0 vs 15.1 GS/s unwindowed)
+            # where the direct-multiply four-step reads 10.3 GS/s at a
+            # BETTER adversarial tail (30-seed max 1.13x vs 1.82x the
+            # scipy-f32 class; probes/windowed_fold.py). From 8192 up the
+            # kernel wins windowed too (12.5 vs 10.5 at 8192, 13.4 at
+            # 16384, 7.8 vs 5.2 at 65536).
+            lo = 8192 if windowed else 4096
+            auto_pallas = (eligible and lo <= N <= 65536
                            and jax.default_backend() == "tpu")
             if self.backend == "pallas" or auto_pallas:
                 fused = make_fused_psd_fn(
@@ -321,9 +298,24 @@ class PsdStep:
                 # 1.13e-4 at 8192) — that band stays with the four-step
                 # below (TPU) / the XLA FFT (CPU, where it is
                 # FFTW-class while BLAS-matmul paths leak ~5x).
+                # WINDOWED the hybrid loses its accuracy edge everywhere
+                # (probes/windowed_fold.py, 30 seeds vs the scipy-f32
+                # class): the time-domain multiply takes stage 1's FFT
+                # off its exactly-representable integer inputs — TPU
+                # medians 2.80x (2048) / 3.12x (4096) vs the documented
+                # 1.5x budget, while the all-matmul four-step stays
+                # class-faithful (1.1-2.0x max) at 10.4-13.3 GS/s — so
+                # windowed auto skips the hybrid at 512-3072 (the
+                # four-step band below takes it). On CPU windowed auto
+                # skips every matmul-stage path: the CPU XLA FFT is the
+                # class yardstick itself (measured p50 ratio 1.00 vs the
+                # hybrid's 1.6-1.8 — the CPU tail is BLAS stage-2
+                # accumulation).
                 tpu = jax.default_backend() == "tpu"
-                ok = (n1 >= 8
-                      and ((512 <= N <= 3072)
+                windowed = window is not None
+                windowed_cpu = windowed and not tpu
+                ok = (n1 >= 8 and not windowed_cpu
+                      and ((512 <= N <= 3072 and not windowed)
                            or (tpu and N > 8192 and 64 <= n2 <= 512)))
             if ok:
                 fused_partial = (fourstep_hybrid_psd_partial, n1, n2)
@@ -349,7 +341,10 @@ class PsdStep:
                 # class, so non-TPU auto uses the FFTW-class XLA FFT
                 # above 3072 instead).
                 tpu = jax.default_backend() == "tpu"
-                ok = n1 >= 8 and (N < 512 or (tpu and N <= 8192))
+                # Windowed CPU: XLA FFT (see the hybrid band note).
+                windowed_cpu = window is not None and not tpu
+                ok = (n1 >= 8 and not windowed_cpu
+                      and (N < 512 or (tpu and N <= 8192)))
             if ok:
                 fused_partial = (fourstep_psd_partial, n1, n2)
                 # Host-side u16 view like every other fused path — the
@@ -402,12 +397,6 @@ class PsdStep:
         chunk = self._chunk
         u16_in = self._u16_in
 
-        fold_arg = None
-        if fused_partial is not None and fold is not None:
-            from .window_fold import fold_supported
-            if fold_supported(fold, fused_partial[1]):
-                fold_arg = fold
-
         def step(raw: jax.Array, n_valid: jax.Array) -> jax.Array:
             # raw: (F, 2N) uint8 interleaved IQ — or (F, N) uint16 when
             # the step takes the host-side u16 view; n_valid: scalar i32.
@@ -415,18 +404,17 @@ class PsdStep:
                 v = raw.astype(jnp.int32)
                 re = ((v & 0xFF) - 127).astype(jnp.float32)
                 im = ((v >> 8) - 127).astype(jnp.float32)
-                if window is not None and fold_arg is None:
+                if window is not None:
                     re = re * window
                     im = im * window
             else:
-                re, im = dequant_iq(raw, F, N,
-                                    None if fold_arg is not None else window)
+                re, im = dequant_iq(raw, F, N, window)
             fmask = (jax.lax.broadcasted_iota(jnp.int32, (F,), 0)
                      < n_valid).astype(jnp.float32)
             if fused_partial is not None:
                 fn, n1, n2 = fused_partial
                 return fn(re, im, fmask, n1, n2, chunk=chunk,
-                          precision=precision_cfg, fold=fold_arg)
+                          precision=precision_cfg)
             pwr = power_fn(re, im)  # (F, N) f32, unshifted bins
             pwr = pwr * fmask[:, None]
             # Two-stage tree sum for f32 accuracy.

@@ -75,8 +75,12 @@ class ShardedPsdStep:
             # sharded hybrid wins 512-3072 (the round-2 bitcast
             # exception no longer applies) and the large-N hybrid takes
             # 2^17 (equal speed, ~3x better tone accuracy).
+            # Windowed band starts at 8192 (PsdStep rule: the in-kernel
+            # window multiply costs the kernel 40% at 4096 where the
+            # direct four-step wins on both axes).
+            lo = 8192 if windowed else 4096
             want = (backend == "pallas"
-                    or (eligible and 4096 <= N <= 65536
+                    or (eligible and lo <= N <= 65536
                         and jax.default_backend() == "tpu"))
             if want and eligible:
                 pallas_kernel = make_fused_psd_fn(
@@ -103,9 +107,15 @@ class ShardedPsdStep:
                 from ..ops.dft import best_fourstep_split
                 n1, n2 = best_fourstep_split(N)
             tpu = jax.default_backend() == "tpu"
+            # Windowed auto skips the hybrid (PsdStep band note: the
+            # multiply takes stage 1 off integer inputs — 2.8-3.1x class
+            # medians); windowed CPU auto skips every matmul-stage path
+            # (the CPU XLA FFT is the class yardstick itself).
+            w_here = window_arr is not None
+            windowed_cpu = w_here and not tpu
             if (n1 > 1 if backend == "hybrid"
-                    else (n1 >= 8
-                          and ((512 <= N <= 3072)
+                    else (n1 >= 8 and not windowed_cpu
+                          and ((512 <= N <= 3072 and not w_here)
                                or (tpu and N > 8192 and 64 <= n2 <= 512)))):
                 fused = (fourstep_hybrid_psd_partial, n1, n2)
 
@@ -114,8 +124,10 @@ class ShardedPsdStep:
             from ..ops.dft import best_fourstep_split, fourstep_psd_partial
             n1, n2 = best_fourstep_split(N)
             tpu = jax.default_backend() == "tpu"
+            windowed_cpu = window_arr is not None and not tpu
             if (n1 > 1 if backend == "fourstep"
-                    else (n1 >= 8 and (N < 512 or (tpu and N <= 8192)))):
+                    else (n1 >= 8 and not windowed_cpu
+                          and (N < 512 or (tpu and N <= 8192)))):
                 fused = (fourstep_psd_partial, n1, n2)
         if (pallas_kernel is None and fused is None
                 and backend in ("fft4", "auto")

@@ -67,6 +67,40 @@ def test_sharded_with_window():
         np.asarray(per_stream)[0], np.asarray(single(raw[0], sh.F)), rtol=1e-6)
 
 
+def test_sharded_windowed_parity_per_stream():
+    """Windowed sharded steps hold the parity budget vs the f64 truth
+    per stream, with uneven per-stream masking in play, on both the
+    explicit hybrid (the TPU unwindowed-shipping config exercised on
+    CPU) and the windowed-ladder four-step."""
+    N, F, S = 1024, 32, 8
+    mesh = make_mesh(8)
+    w = make_window("hann", N)
+    raw = make_streams(S, F, N, seed=7)
+    # Uneven progress, but >= 8 frames each: near-empty accumulations
+    # have deep spectral nulls where RELATIVE error is meaningless.
+    n_valid = np.asarray([F, F // 2, F, 8, F, F, 16, F], dtype=np.int32)
+    outs = {}
+    for backend in ("hybrid", "fourstep"):
+        sh = ShardedPsdStep(mesh, N, F, streams=S, window=w,
+                            backend=backend)
+        inp = raw.view(np.uint16) if sh.takes_u16 else raw
+        per_stream, _ = sh(inp, n_valid)
+        outs[backend] = np.asarray(per_stream, np.float64)
+    for s in range(S):
+        z = (raw[s, :n_valid[s], 0::2].astype(np.float64) - 127.0) \
+            + 1j * (raw[s, :n_valid[s], 1::2].astype(np.float64) - 127.0)
+        X = np.fft.fft(z * w.astype(np.float64), axis=1)
+        want = (X.real ** 2 + X.imag ** 2).sum(0)
+        scale = np.maximum(np.abs(want), 1e-30)
+        for backend in ("hybrid", "fourstep"):
+            # 2e-5 rather than the 1e-5 TPU budget: the explicit hybrid
+            # backend uses the lane-matched split everywhere, and this
+            # CPU harness's BLAS matmuls accumulate K=128 sequentially
+            # in f32 (see ops/spectral.py's auto-band note) — measured
+            # 1.15e-5 worst-stream here.
+            assert (np.abs(outs[backend][s] - want) / scale).max() <= 2e-5
+
+
 def test_streams_not_divisible_rejected():
     mesh = make_mesh(8)
     with pytest.raises(ValueError):
