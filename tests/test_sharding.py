@@ -101,6 +101,20 @@ def test_sharded_windowed_parity_per_stream():
             assert (np.abs(outs[backend][s] - want) / scale).max() <= 2e-5
 
 
+def test_sharded_windowed_cpu_auto_ladder():
+    """Windowed auto on the CPU mesh must take the XLA path (plain u8
+    input), mirroring PsdStep's windowed ladder — the CPU XLA FFT is
+    the FFTW-class yardstick itself; matmul-stage paths leak 1.6-2.7x
+    there (probes/windowed_fold.py)."""
+    N, F, S = 2048, 32, 8
+    mesh = make_mesh(8)
+    w = make_window("hann", N)
+    sh = ShardedPsdStep(mesh, N, F, streams=S, window=w, backend="auto")
+    assert not sh.takes_u16
+    unwindowed = ShardedPsdStep(mesh, N, F, streams=S, backend="auto")
+    assert unwindowed.takes_u16  # hybrid still owns unwindowed 2048
+
+
 def test_streams_not_divisible_rejected():
     mesh = make_mesh(8)
     with pytest.raises(ValueError):
