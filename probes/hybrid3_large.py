@@ -12,6 +12,15 @@ Index map (n = na*NB*N2 + nb*N2 + n2, k = ka + NA*kb + NA*NB*k2):
   tw2 = W_(NB*N2)^(kb*n2) split hi+lo; matmul over n2 -> k2.
 
 Run on TPU:  python probes/hybrid3_large.py [N ...]
+
+RESULT (TPU v5e, measured): the 3-level LOSES everywhere — the extra
+full-(F, N) complex twiddle pass costs more than the shorter FFT stages
+save.  N=2^20: 8.26 GS/s best (64x128x128; 6.6/6.1 for the other
+splits) vs the shipping 2-level large-N hybrid's 9.33 isolated, with no
+accuracy gain (tone 1.05e-3 vs the 2-level's 0.94x class).  N=2^17:
+8.1-8.4 vs ~13 shipping.  The 2-level asymmetric split stays; XLA's
+batched medium-length FFT stage (8192-point) is NOT the bottleneck the
+monolithic-2^20 lowering was.
 """
 import sys
 import time
