@@ -49,6 +49,12 @@ restructurings REJECTED:
              output element) but 10.08 GS/s at 2048 vs 13.05 — the
              [zr zi] concat + 256-wide K/N layout loses more than the
              merged accumulation saves.
+  tfree      explicit pre-transpose + last-axis FFT + in-place axis-1
+             stage-2 contraction: bitwise-same numerics, speed WASH
+             (12.84 vs 12.97 at 2048, 14.34 vs 14.44 at 1024) — XLA
+             emits the same relayouts whether the transpose is implicit
+             in fft(axis=1) or explicit, so the pre-FFT copies seen in
+             the HLO are not removable at the JAX level.
 """
 import sys
 import time
@@ -186,6 +192,49 @@ def cplx_psd_partial(re, im, fmask, N1, N2, chunk=64):
     return jnp.swapaxes(s, 0, 1).reshape(N)
 
 
+def _tfree_constants(N, N1, N2):
+    """Hybrid constants with the twiddle stored (n2, k1) for the
+    explicit-transpose form."""
+    n2 = np.arange(N2, dtype=np.float64)[:, None]
+    k1 = np.arange(N1, dtype=np.float64)[None, :]
+    ang = -2.0 * np.pi * ((n2 * k1) % N) / N
+    tr, ti = np.cos(ang), np.sin(ang)
+    thr, thi = tr.astype(np.float32), ti.astype(np.float32)
+    return (thr, thi, (tr - thr).astype(np.float32),
+            (ti - thi).astype(np.float32))
+
+
+def tfree_psd_partial(re, im, fmask, N1, N2, chunk=64):
+    """Same math as ship (split twiddle + 4-mult HIGHEST) but the
+    stage-1 FFT runs over the LAST axis of an explicitly pre-transposed
+    (F, n2, n1) array — giving XLA the option to fuse the relayout into
+    the dequant fusion instead of emitting separate pre-FFT copies —
+    and stage 2 contracts the n2 axis in place (dot_general axis 1,
+    like fourstep_psd_partial). Numerics identical to ship."""
+    from rtl_power_fftw_tpu.ops.dft import _dft_matrices
+    F, N = re.shape
+    thr, thi, tlr, tli = (jnp.asarray(a)
+                          for a in _tfree_constants(N, N1, N2))
+    c2, s2 = (jnp.asarray(a) for a in _dft_matrices(N2))
+    while F % chunk != 0:
+        chunk //= 2
+    x = jax.lax.complex(re, im).reshape(F, N1, N2)
+    xt = jnp.swapaxes(x, 1, 2)                    # (F, n2, n1)
+    y = jnp.fft.fft(xt, axis=-1)                  # over n1 -> (F, n2, k1)
+    yr, yi = jnp.real(y), jnp.imag(y)
+    zr = (yr * thr[None] - yi * thi[None]) + (yr * tlr[None] - yi * tli[None])
+    zi = (yr * thi[None] + yi * thr[None]) + (yr * tli[None] + yi * tlr[None])
+    dn = (((1,), (0,)), ((), ()))                 # contract n2 (axis 1)
+    Xr = (jax.lax.dot_general(zr, c2, dn, precision=_HI)
+          - jax.lax.dot_general(zi, s2, dn, precision=_HI))
+    Xi = (jax.lax.dot_general(zr, s2, dn, precision=_HI)
+          + jax.lax.dot_general(zi, c2, dn, precision=_HI))  # (F, k1, k2)
+    p = (Xr * Xr + Xi * Xi) * fmask[:, None, None]
+    g = F // chunk
+    s = p.reshape(g, chunk, N1, N2).sum(axis=1).sum(axis=0)
+    return jnp.swapaxes(s, 0, 1).reshape(N)
+
+
 def run(N):
     F = 4096 if N <= 4096 else max(8, (1 << 23) // N)
     N1, N2 = best_hybrid_split(N, min_n1=8)
@@ -203,6 +252,7 @@ def run(N):
         "stack": partial(stack_psd_partial, N1=N1, N2=N2),
         "kara": partial(kara_psd_partial, N1=N1, N2=N2),
         "cplx": partial(cplx_psd_partial, N1=N1, N2=N2),
+        "tfree": partial(tfree_psd_partial, N1=N1, N2=N2),
     }
     names = [a for a in sys.argv[1:] if not a.isdigit()] or list(all_schemes)
     schemes = [(n, all_schemes[n]) for n in names]
