@@ -51,6 +51,12 @@ def parse_frequency(s: str) -> int:
         f *= 1e9
     elif multiplier != "":
         return -1
+    if not math.isfinite(f) or not (-2.0 ** 63 <= f < 2.0 ** 63):
+        # The reference's (int64_t)f cast is UB here (overflowed istream
+        # extraction yields HUGE_VAL in C++11; observed INT64_MIN garbage
+        # from g++). We reject instead — pinned as divergence class 3 in
+        # tests/test_cxx_parse_parity.py.
+        return -1
     return int(f)
 
 
@@ -77,6 +83,10 @@ def parse_time(s: str) -> float:
             # the failed extraction), else -1.
             return t if s[pos:].strip() == "" else -1.0
         value = float(m.group(1))
+        if not math.isfinite(value):
+            # C++11 istream extraction fails on out-of-range doubles
+            # (failbit, params.cxx:61) → parse error there too.
+            return -1.0
         unit = s[m.end()]
         pos = m.end() + 1
         if unit in seconds_per and unit not in consumed:
