@@ -117,7 +117,7 @@ def stack_psd_partial(re, im, fmask, N1, N2, chunk=64):
     halves the lhs HBM reads if XLA keeps the convs unmerged."""
     from rtl_power_fftw_tpu.ops.dft import _hybrid_constants
     F, N = re.shape
-    thr, thi, tlr, tli, c2, s2, _cs2 = (
+    thr, thi, tlr, tli, c2, s2 = (
         jnp.asarray(a) for a in _hybrid_constants(N, N1, N2))
     wa = jnp.concatenate([c2, s2], axis=1)        # (N2, 2*N2)
     wb = jnp.concatenate([s2, c2], axis=1)
@@ -142,10 +142,11 @@ def kara_psd_partial(re, im, fmask, N1, N2, chunk=64):
     """Split twiddle kept; stage 2 as a Karatsuba 3-mult complex matmul
     at HIGHEST (25% fewer MXU passes than the 4-mult form; the (zr+zi)
     operand may cost ~1 bit under a tone — that's what this measures)."""
-    from rtl_power_fftw_tpu.ops.dft import _hybrid_constants
+    from rtl_power_fftw_tpu.ops.dft import _hybrid_constants, _karatsuba_weight
     F, N = re.shape
-    thr, thi, tlr, tli, c2, s2, cs2 = (
+    thr, thi, tlr, tli, c2, s2 = (
         jnp.asarray(a) for a in _hybrid_constants(N, N1, N2))
+    cs2 = jnp.asarray(_karatsuba_weight(N2))
     while F % chunk != 0:
         chunk //= 2
     x = jax.lax.complex(re, im).reshape(F, N1, N2)

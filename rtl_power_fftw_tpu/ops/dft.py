@@ -249,10 +249,10 @@ def best_hybrid_split(N: int, lo: int = 64, hi: int = 512,
 @functools.lru_cache(maxsize=16)
 def _hybrid_constants(N: int, N1: int, N2: int):
     """Split twiddle (hi + f32-residual lo, so the table is effectively
-    f64-accurate) + stage-2 DFT matrix for the hybrid four-step. ``cs2``
-    (the Karatsuba (cos+sin) weight, summed in float64, rounded once)
-    feeds the stage-2 restructuring probes (probes/hybrid_fold.py); the
-    shipping stage 2 stays 4-mult — see the measured record there."""
+    f64-accurate) + stage-2 DFT matrix for the hybrid four-step. The
+    shipping stage 2 stays 4-mult — the Karatsuba weight lives in
+    ``_karatsuba_weight`` for the restructuring probes only
+    (probes/hybrid_fold.py keeps the measured record)."""
     k1 = np.arange(N1, dtype=np.float64)[:, None]
     n2 = np.arange(N2, dtype=np.float64)[None, :]
     ang = -2.0 * np.pi * ((k1 * n2) % N) / N
@@ -262,11 +262,18 @@ def _hybrid_constants(N: int, N1: int, N2: int):
     tlr = (tr - thr).astype(np.float32)
     tli = (ti - thi).astype(np.float32)
     c2, s2 = _dft_matrices(N2)
+    return thr, thi, tlr, tli, c2, s2
+
+
+def _karatsuba_weight(N2: int) -> np.ndarray:
+    """(cos+sin) stage-2 weight for the 3-mult Karatsuba form — summed
+    in float64, rounded once. Probe-only (probes/hybrid_fold.py,
+    probes/hybrid_s2_dist.py): the form was measured +7-11% faster but
+    with a fatter adversarial tail, and declined."""
     n = np.arange(N2, dtype=np.float64)[:, None]
     k = np.arange(N2, dtype=np.float64)[None, :]
     ang2 = -2.0 * np.pi * ((n * k) % N2) / N2
-    cs2 = (np.cos(ang2) + np.sin(ang2)).astype(np.float32)
-    return thr, thi, tlr, tli, c2, s2, cs2
+    return (np.cos(ang2) + np.sin(ang2)).astype(np.float32)
 
 
 def fourstep_hybrid_psd_partial(re: jax.Array, im: jax.Array,
@@ -298,7 +305,7 @@ def fourstep_hybrid_psd_partial(re: jax.Array, im: jax.Array,
     if N1 is None or N2 is None:
         N1, N2 = best_fourstep_split(N)
     assert N1 * N2 == N, (N1, N2, N)
-    thr, thi, tlr, tli, c2, s2, cs2 = (
+    thr, thi, tlr, tli, c2, s2 = (
         jnp.asarray(a) for a in _hybrid_constants(N, N1, N2))
     while F % chunk != 0:
         chunk //= 2

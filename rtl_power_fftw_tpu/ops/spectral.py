@@ -73,9 +73,19 @@ def dequant_iq(raw: jax.Array, F: int, N: int,
     v5e (the gather costs a real data-movement pass).
     """
     v = jax.lax.bitcast_convert_type(raw.reshape(F, N, 2), jnp.uint16)
-    v = v.astype(jnp.int32)
-    re = (v & 0xFF).astype(jnp.float32) - 127.0
-    im = (v >> 8).astype(jnp.float32) - 127.0
+    return dequant_iq_u16(v, window)
+
+
+def dequant_iq_u16(raw16: jax.Array,
+                   window: Optional[jax.Array] = None):
+    """``dequant_iq`` for inputs already holding the u16 lane view (the
+    free HOST-side reinterpretation of the interleaved u8 pairs — every
+    fused path takes it to skip the on-device bitcast relayout). Same
+    convention, single-sourced: low byte = re, high byte = im, −127.
+    """
+    v = raw16.astype(jnp.int32)
+    re = ((v & 0xFF) - 127).astype(jnp.float32)
+    im = ((v >> 8) - 127).astype(jnp.float32)
     if window is not None:
         re = re * window
         im = im * window
@@ -172,12 +182,7 @@ class PsdStep:
                 windowed_arr = window
 
                 def fast_step(raw16: jax.Array, n_valid: jax.Array) -> jax.Array:
-                    v = raw16.astype(jnp.int32)
-                    re = ((v & 0xFF) - 127).astype(jnp.float32)
-                    im = ((v >> 8) - 127).astype(jnp.float32)
-                    if windowed_arr is not None:
-                        re = re * windowed_arr
-                        im = im * windowed_arr
+                    re, im = dequant_iq_u16(raw16, windowed_arr)
                     fmask = (jax.lax.broadcasted_iota(jnp.int32, (F,), 0)
                              < n_valid).astype(jnp.float32)
                     return fourstep_fft_psd_partial(re, im, fmask,
@@ -401,12 +406,7 @@ class PsdStep:
             # raw: (F, 2N) uint8 interleaved IQ — or (F, N) uint16 when
             # the step takes the host-side u16 view; n_valid: scalar i32.
             if u16_in:
-                v = raw.astype(jnp.int32)
-                re = ((v & 0xFF) - 127).astype(jnp.float32)
-                im = ((v >> 8) - 127).astype(jnp.float32)
-                if window is not None:
-                    re = re * window
-                    im = im * window
+                re, im = dequant_iq_u16(raw, window)
             else:
                 re, im = dequant_iq(raw, F, N, window)
             fmask = (jax.lax.broadcasted_iota(jnp.int32, (F,), 0)

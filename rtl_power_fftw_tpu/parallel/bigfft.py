@@ -40,6 +40,7 @@ except ImportError:                     # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..ops.spectral import dequant_iq_u16
 from .mesh import make_mesh
 
 
@@ -84,24 +85,36 @@ class ShardedLargeFFTPsd:
             # x_u16: (F, N1, N2/D) local columns; u16 lane = (re, im) bytes.
             d = jax.lax.axis_index(axis)
             cols = N2 // D
-            v = x_u16.astype(jnp.int32)
-            re = ((v & 0xFF) - 127).astype(jnp.float32)
-            im = ((v >> 8) - 127).astype(jnp.float32)
+            re, im = dequant_iq_u16(x_u16)
             x = jax.lax.complex(re, im)
             if wargs:
                 wloc = jax.lax.dynamic_slice(
                     wargs[0], (0, d * cols), (N1, cols))
                 x = x * wloc[None]
             y = jnp.fft.fft(x, axis=1)                    # over n1 → k1
-            # k1·n2 exceeds f32's 2^24 exact-integer range once N ≳ 2^26;
-            # reduce mod N in int32 first (angles are periodic in N) like
-            # _fft_fourstep_twiddle's host tables. int32 is exact here:
-            # k1·n2 < N1·N2 = N < 2^31 for any representable plan.
+            # Twiddle W_N^(k1·n2). k1·n2 < N1·N2 = N < 2^31, exact in
+            # int32. Past N = 2^24 the f32 cast of kn rounds; that term
+            # is bounded (eps·|ang|, same class as the f32 trig floor —
+            # it never blows up with N) but it is removable: split
+            # kn = q·2^12 + r — q < 2^19 and r < 2^12 are both
+            # f32-exact — and multiply the two partial twiddles.
+            # Measured max twiddle error vs f64 at N = 2^26/2^28/2^30:
+            # 6.2e-7 single-angle → 4.5e-7 split (the residual is the
+            # f32 cos/sin evaluation floor; tests/test_bigfft.py).
             k1 = jnp.arange(N1, dtype=jnp.int32)[:, None]
             n2 = (d * cols + jnp.arange(cols, dtype=jnp.int32))[None, :]
-            kn = ((k1 * n2) % N).astype(jnp.float32)
-            ang = (-2.0 * np.pi / N) * kn                 # (N1, N2/D)
-            z = y * jax.lax.complex(jnp.cos(ang), jnp.sin(ang))[None]
+            kn = k1 * n2                                  # (N1, N2/D) i32
+            w = -2.0 * np.pi / N                          # python float64
+            if N <= (1 << 24):                            # kn f32-exact
+                ang = np.float32(w) * kn.astype(jnp.float32)
+                tw = jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
+            else:
+                ang_q = np.float32(w * 4096.0) * (kn >> 12).astype(
+                    jnp.float32)
+                ang_r = np.float32(w) * (kn & 0xFFF).astype(jnp.float32)
+                tw = (jax.lax.complex(jnp.cos(ang_q), jnp.sin(ang_q))
+                      * jax.lax.complex(jnp.cos(ang_r), jnp.sin(ang_r)))
+            z = y * tw[None]
             # Distributed transpose: split k1 into D blocks, gather n2.
             z = jax.lax.all_to_all(z, axis, split_axis=1, concat_axis=2,
                                    tiled=True)            # (F, N1/D, N2)

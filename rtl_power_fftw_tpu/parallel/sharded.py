@@ -24,7 +24,8 @@ try:  # stable API (jax >= 0.4.35)
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
-from ..ops.spectral import (_power_backend, adapt_batch, dequant_iq)
+from ..ops.spectral import (_power_backend, adapt_batch, dequant_iq,
+                            dequant_iq_u16)
 
 
 class ShardedPsdStep:
@@ -137,8 +138,15 @@ class ShardedPsdStep:
             # see ops/spectral.py's auto rule and probes/fftfourstep_sweep.
             from ..ops.dft import best_fourstep_split, fourstep_fft_psd_partial
             n1, n2 = best_fourstep_split(N)
-            if n1 >= 8:
+            # Same explicit-request semantics as PsdStep (spectral.py):
+            # auto needs n1 >= 8; explicit fft4 is honored for any
+            # composite N and is an error on prime N.
+            if n1 >= 8 or (backend == "fft4" and n1 > 1):
                 fused = (fourstep_fft_psd_partial, n1, n2)
+            elif backend == "fft4":
+                raise ValueError(
+                    f"backend='fft4' needs composite N (N={N} is prime); "
+                    "use backend='auto'")
 
         def local_step_pallas(raw16, n_valid, *w):
             # raw16: (S_local, F, N) u16 (host-side view of the u8 pairs).
@@ -158,12 +166,8 @@ class ShardedPsdStep:
             # step takes the free host-side view; n_valid: (S_local,) i32.
             S_local = raw.shape[0]
             if u16_in:
-                v = raw.reshape(S_local * F_, N_).astype(jnp.int32)
-                re = ((v & 0xFF) - 127).astype(jnp.float32)
-                im = ((v >> 8) - 127).astype(jnp.float32)
-                if w:
-                    re = re * w[0]
-                    im = im * w[0]
+                re, im = dequant_iq_u16(raw.reshape(S_local * F_, N_),
+                                        w[0] if w else None)
             else:
                 re, im = dequant_iq(raw.reshape(S_local * F_, 2 * N_),
                                     S_local * F_, N_, w[0] if w else None)

@@ -96,3 +96,32 @@ def test_1m_point_smoke():
     got, _ = step(frames)
     assert rel_err(got, golden(frames, N)) < 2e-5
     assert _split(N) == (1024, 1024)
+
+
+def test_split_twiddle_beats_single_angle_past_2_24():
+    """Pin the N > 2^24 split-twiddle formulation (bigfft.py local_step).
+
+    Past 2^24 the f32 cast of kn = k1*n2 rounds; the shipped code splits
+    kn = q*2^12 + r (both f32-exact) and multiplies the partial
+    twiddles. Reproduce both formulations bit-for-bit in numpy against
+    the f64 truth: the split must (a) strictly reduce the max error and
+    (b) sit at the f32 trig evaluation floor (~4.5e-7), at every
+    future-plan size 2^26..2^30.
+    """
+    rng = np.random.default_rng(7)
+    for lg in (26, 28, 30):
+        N = 1 << lg
+        kn = rng.integers(1 << 24, N, size=50000, dtype=np.int64)
+        w64 = -2.0 * np.pi / N
+        ref = np.exp(1j * w64 * kn)
+        ang1 = np.float32(w64) * kn.astype(np.float32)
+        single = np.cos(ang1) + 1j * np.sin(ang1)
+        q = (kn >> 12).astype(np.float32)
+        r = (kn & 0xFFF).astype(np.float32)
+        aq = np.float32(w64 * 4096.0) * q
+        ar = np.float32(w64) * r
+        split = (np.cos(aq) + 1j * np.sin(aq)) * (np.cos(ar) + 1j * np.sin(ar))
+        e_single = np.abs(single - ref).max()
+        e_split = np.abs(split - ref).max()
+        assert e_split < e_single, (lg, e_split, e_single)
+        assert e_split < 6e-7, (lg, e_split)
