@@ -59,16 +59,23 @@ class MultiStreamAcquisition:
 
     #: straggler window: once at least one stream has a batch ready, how
     #: long a round waits for the remaining on-pace streams before
-    #: shipping partially filled. It only needs to cover the inter-stream
-    #: JITTER of same-rate streams (so homogeneous rounds coalesce into
-    #: one device step), NOT the batch cadence — a genuinely slower
-    #: stream should miss the window, get flagged after LAG_ROUNDS
-    #: consecutive misses, and stop gating dispatch entirely (it rejoins
-    #: the moment its data arrives). That way one stalled/slow source
-    #: cannot throttle the other S−1 — the multi-stream analogue of the
-    #: reference's backpressure-without-a-global-barrier
-    #: (acquisition.cxx:276-332).
+    #: shipping partially filled. The window ADAPTS to the measured
+    #: batch cadence (PACE_WINDOW × the median inter-batch period of the
+    #: on-pace streams, EMA'd from producer-side timestamps), so
+    #: same-rate streams coalesce into one device step even when their
+    #: phases are offset by more than the jitter floor — a fixed
+    #: jitter-scale window fragments S phase-offset streams into S
+    #: single-stream device rounds. STRAGGLER_TIMEOUT is the floor
+    #: (pre-pace-estimate jitter cover), STRAGGLER_CAP bounds the added
+    #: latency. A genuinely slower stream still misses the window, gets
+    #: flagged after LAG_ROUNDS consecutive misses, and stops gating
+    #: dispatch entirely (it rejoins the moment its data arrives). That
+    #: way one stalled/slow source cannot throttle the other S−1 — the
+    #: multi-stream analogue of the reference's
+    #: backpressure-without-a-global-barrier (acquisition.cxx:276-332).
     STRAGGLER_TIMEOUT = 0.01
+    STRAGGLER_CAP = 0.25
+    PACE_WINDOW = 1.25
     LAG_ROUNDS = 2
 
     def __init__(self, params: Params, sources: Sequence[IQSource],
@@ -193,8 +200,13 @@ class MultiStreamAcquisition:
                         free = self.QUEUE_DEPTH - queues[s].qsize()
                         self.queue_histogram[
                             max(0, min(free, self.QUEUE_DEPTH))] += 1
-                    # Blocks when the queue is full: backpressure.
-                    queues[s].put((staging[:staged].copy(), staged))
+                    # Blocks when the queue is full: backpressure. The
+                    # timestamp is the PRODUCER-side completion time —
+                    # the consumer's pace model must see true arrival
+                    # cadence, not its own (dispatch-delayed) retrieval
+                    # times.
+                    queues[s].put((staging[:staged].copy(), staged,
+                                   time.monotonic()))
                     items_sem.release()
                     staged = 0
 
@@ -285,6 +297,8 @@ class MultiStreamAcquisition:
         try:
             active = set(range(S))
             behind = np.zeros(S, dtype=np.int64)  # consecutive missed rounds
+            last_t = np.full(S, np.nan)           # last batch's put time
+            period = np.full(S, np.nan)           # EMA inter-batch period
             while active:
                 # --- collect one round, without a global barrier ---
                 # Block until at least one item exists anywhere, then sweep
@@ -314,9 +328,22 @@ class MultiStreamAcquisition:
                             active.discard(s)
                         else:
                             got[s] = item
+                            t_arr = item[2]
+                            if not np.isnan(last_t[s]):
+                                gap = t_arr - last_t[s]
+                                period[s] = (gap if np.isnan(period[s])
+                                             else 0.5 * period[s] + 0.5 * gap)
+                            last_t[s] = t_arr
 
                 sweep()
-                deadline = time.monotonic() + self.STRAGGLER_TIMEOUT
+                paces = [period[s] for s in active
+                         if behind[s] < self.LAG_ROUNDS
+                         and not np.isnan(period[s])]
+                window = (self.STRAGGLER_TIMEOUT if not paces else
+                          min(self.STRAGGLER_CAP,
+                              max(self.STRAGGLER_TIMEOUT,
+                                  self.PACE_WINDOW * float(np.median(paces)))))
+                deadline = time.monotonic() + window
                 while active:
                     expected = [s for s in active
                                 if behind[s] < self.LAG_ROUNDS]
@@ -331,13 +358,17 @@ class MultiStreamAcquisition:
                 for _ in range(credit):  # return unconsumed permits
                     items_sem.release()
 
-                for s in list(active):
-                    behind[s] = 0 if s in got else behind[s] + 1
+                if got:
+                    # A sweep that only retired end-of-stream sentinels is
+                    # not a data round — bumping behind[] there would flag
+                    # on-pace streams as laggards for free.
+                    for s in list(active):
+                        behind[s] = 0 if s in got else behind[s] + 1
 
                 # --- dispatch the (possibly partial) round ---
                 n_valid = np.zeros(S, dtype=np.int32)
                 staging_all[:] = 0
-                for s, (batch, nv) in got.items():
+                for s, (batch, nv, _t) in got.items():
                     staging_all[s, :nv] = batch
                     n_valid[s] = nv
                 if n_valid.any():

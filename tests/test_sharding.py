@@ -452,3 +452,69 @@ def test_multistream_slow_stream_isolation():
         pwr, _ = golden_accumulate(stream, N, repeats)
         want += np.fft.ifftshift(pwr)
     np.testing.assert_allclose(res.pwr, want, rtol=1e-5)
+
+
+def test_multistream_phase_offset_streams_coalesce():
+    """Same-rate streams whose batch completions are phase-offset by
+    more than the jitter floor must still coalesce into (mostly) full
+    rounds: the straggler window adapts to the measured batch cadence
+    (PACE_WINDOW x median period), so phase offset alone cannot
+    fragment S streams into S single-stream device rounds each cycle
+    (up to S x the dispatches and staging memsets)."""
+    import io
+    import time as _t
+    from rtl_power_fftw_tpu.config import parse_args
+    from rtl_power_fftw_tpu.parallel.multistream import MultiStreamAcquisition
+    from rtl_power_fftw_tpu.sources import SyntheticSource
+
+    S, N, rate = 4, 64, 2_048_000
+    repeats = 1024                      # 8 batches per stream, 32 total
+    params = parse_args(["-b", str(N), "-n", str(repeats), "-r", str(rate),
+                         "-s", "16384"], stderr=io.StringIO())
+
+    class Phased(SyntheticSource):
+        def __init__(self, phase, cadence, **kw):
+            super().__init__(**kw)
+            self._phase, self._cadence = phase, cadence
+            self._first = True
+
+        def read(self, nbytes):
+            if self._first:
+                self._first = False
+                _t.sleep(self._phase)
+            _t.sleep(self._cadence)
+            return super().read(nbytes)
+
+    # 60 ms cadence, phases spread 0/15/30/45 ms: arrivals are cyclically
+    # 15 ms apart — every gap exceeds the 10 ms jitter floor, so a fixed
+    # window ships ~every batch alone (measured 31/32 dispatches with
+    # PACE_WINDOW=0 vs 12 adaptive on this harness).
+    srcs = [Phased(i * 0.015, 0.06, noise=5.0, seed=i) for i in range(S)]
+    for s in srcs:
+        s.set_sample_rate(rate)
+    acq = MultiStreamAcquisition(params, srcs, frames_per_step=128)
+    np.asarray(acq.step(
+        np.zeros((S, acq.step.F, 2 * N), np.uint8),
+        np.zeros(S, np.int32))[1])      # warm the jit before counting
+
+    calls = []
+
+    class CountingStep:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def __call__(self, *a, **kw):
+            calls.append(1)
+            return self._inner(*a, **kw)
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+    acq.step = CountingStep(acq.step)
+    res = acq.run(freq=100_000_000)
+
+    assert res.repeats_done.tolist() == [repeats] * S
+    # 32 batches: ideal 8 coalesced rounds, fully fragmented 32. The
+    # pace estimate needs ~2 arrivals per stream, so the first cycle or
+    # two may fragment; after that rounds must coalesce.
+    assert len(calls) <= 20, len(calls)
