@@ -42,10 +42,10 @@ def main() -> None:
     from rtl_power_fftw_tpu.ops.spectral import PsdStep
 
     # The SHIPPING step: PsdStep's auto path. At N=2048 this is the
-    # hybrid four-step (batched FFT stage 1 + split twiddle +
-    # Precision.HIGHEST matmul stage 2 — tone-robust at <=1e-5 and the
-    # fastest default; the fused Pallas kernel ships the 4096-131072
-    # power-of-two band).
+    # lane-matched hybrid four-step (batched FFT stage 1 + split twiddle
+    # + Precision.HIGHEST matmul stage 2, N2 ~ 128 — tone-robust and the
+    # fastest default; the fused Pallas kernel ships the 4096-65536
+    # power-of-two band and the large-N hybrid takes 2^17 up).
     step = PsdStep(N, F, backend="auto")
     step_fn = step.lowered_fn()
     nv = jnp.int32(F)
@@ -85,9 +85,31 @@ def main() -> None:
     # endpoint's pooled minimum is its honest value, while min-of-slopes
     # could be fabricated fast by a stall hitting only t(lo).
     t_lo = t_hi = float("inf")
-    for _ in range(3):
-        t_lo = min(t_lo, timed(ITER_LO))
-        t_hi = min(t_hi, timed(ITER_HI))
+    rounds = 3
+    while True:
+        for _ in range(rounds):
+            t_lo = min(t_lo, timed(ITER_LO))
+            t_hi = min(t_hi, timed(ITER_HI))
+        if t_hi > t_lo:
+            break
+        # Every ITER_HI round stalled behind contention: the slope would
+        # be <= 0 and the JSON value negative/inf. Keep pooling more
+        # rounds (bounded) — minima only improve, so this converges to
+        # honest endpoints as soon as one clean round of each lands.
+        rounds += 2
+        if rounds > 9:
+            print("warning: endpoint minima never ordered "
+                  f"(t_lo={t_lo:.3f}s t_hi={t_hi:.3f}s); chip contention "
+                  "dominated every round", file=sys.stderr)
+            break
+    if t_hi <= t_lo:
+        # Unrecoverable: report an explicit 0 rather than a negative or
+        # infinite throughput in the one-JSON-line contract.
+        print(json.dumps({
+            "metric": "equivalent IQ throughput per chip @2048-bin averaged PSD",
+            "value": 0.0, "unit": "GS/s", "vs_baseline": 0.0,
+        }))
+        return
     per_step = (t_hi - t_lo) / (ITER_HI - ITER_LO)
     overhead = t_lo - ITER_LO * per_step
     spectra_per_s = F / per_step

@@ -38,15 +38,21 @@ def _slope_time(many, lo, hi, isolate=3):
         return best
 
     t_lo, t_hi, slopes = float("inf"), float("inf"), []
-    for _round in range(max(isolate, 1)):
-        a, b = t(lo), t(hi)
-        t_lo, t_hi = min(t_lo, a), min(t_hi, b)
-        if b > a:
-            slopes.append((b - a) / (hi - lo))
+    rounds, total = max(isolate, 1), 0
+    while True:
+        for _round in range(rounds):
+            a, b = t(lo), t(hi)
+            t_lo, t_hi = min(t_lo, a), min(t_hi, b)
+            if b > a:
+                slopes.append((b - a) / (hi - lo))
+        total += rounds
+        if t_hi > t_lo or total >= 9:
+            break
+        rounds = 2  # every t(hi) so far stalled: pool more rounds
     if t_hi <= t_lo:
         import sys
-        print("  warning: slope noise-dominated; increase iteration counts",
-              file=sys.stderr)
+        print("  warning: slope noise-dominated after "
+              f"{total} rounds; increase iteration counts", file=sys.stderr)
         return float("nan")
     if slopes:
         import sys
@@ -70,11 +76,12 @@ def main() -> None:
     rng = np.random.default_rng(0)
     rows = []
 
-    def measure(name, N, F, lo, hi, window=None, baseline=None, isolate=1):
+    def measure(name, N, F, lo, hi, window=None, baseline=None, isolate=3):
         """One config: F frames of N bins per step, through the SHIPPING
-        PsdStep auto path (round 2: the fused Pallas kernel for
-        power-of-two N >= 2048, four-step matmuls or the XLA FFT
-        elsewhere), so the table reflects what the tool actually runs."""
+        PsdStep auto path (round 3 ladder: lane-matched hybrid 512-3072,
+        four-step matmul (3072, 8192], fused Pallas kernel pow-2
+        4096-65536, large-N hybrid past that), so the table reflects
+        what the tool actually runs."""
         step = PsdStep(N, F, window=window, backend="auto")
         F = step.F
         fn = step.lowered_fn()

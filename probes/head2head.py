@@ -10,25 +10,29 @@ from rtl_power_fftw_tpu.ops.spectral import PsdStep
 N, F = 2048, 4096
 ITER_LO, ITER_HI = 32, 128
 rng = np.random.default_rng(0)
-raw = jax.device_put(rng.integers(0, 256, (F, 2 * N), dtype=np.uint8))
+raw_host = rng.integers(0, 256, (F, 2 * N), dtype=np.uint8)
 
 def make(backend):
     step = PsdStep(N, F, backend=backend)
     fn = step.lowered_fn(); nv = jnp.int32(step.F)
+    # Steps that take the host-side u16 view get the viewed input.
+    raw = jax.device_put(
+        raw_host.view(np.uint16) if step.takes_u16 else raw_host)
+    pdt = jnp.uint16 if step.takes_u16 else jnp.uint8
     @partial(jax.jit, static_argnums=1)
     def many(raw, iters):
         def body(c, i):
-            return c + fn(raw + i.astype(jnp.uint8), nv), ()
+            return c + fn(raw + i.astype(pdt), nv), ()
         acc, _ = jax.lax.scan(body, jnp.zeros(N, jnp.float32), jnp.arange(iters))
         return acc
     np.asarray(many(raw, ITER_LO)); np.asarray(many(raw, ITER_HI))
-    return many
+    return lambda iters: many(raw, iters)
 
 many = {b: make(b) for b in ("pallas", "fourstep")}
 def t(b, iters, reps=3):
     best = float("inf")
     for _ in range(reps):
-        t0 = time.perf_counter(); np.asarray(many[b](raw, iters))
+        t0 = time.perf_counter(); np.asarray(many[b](iters))
         best = min(best, time.perf_counter() - t0)
     return best
 for trial in range(4):

@@ -13,13 +13,16 @@ from rtl_power_fftw_tpu.ops.kernels.fused_psd import fused_psd_available
 
 ITER_LO, ITER_HI = 16, 48
 
-def bench_step(step, N, F, raw):
+def bench_step(step, N, F, raw_host):
     fn = step.lowered_fn()
     nv = jnp.int32(step.F)
+    raw = jax.device_put(
+        raw_host.view(np.uint16) if step.takes_u16 else raw_host)
+    pdt = jnp.uint16 if step.takes_u16 else jnp.uint8
     @partial(jax.jit, static_argnums=1)
     def many(raw, iters):
         def body(c, i):
-            return c + fn(raw + i.astype(jnp.uint8), nv), ()
+            return c + fn(raw + i.astype(pdt), nv), ()
         acc, _ = jax.lax.scan(body, jnp.zeros(N, jnp.float32), jnp.arange(iters))
         return acc
     np.asarray(many(raw, ITER_LO))
@@ -37,7 +40,6 @@ for N in (256, 512, 1024, 2048, 4096, 8192, 65536):
     F, _ = adapt_batch(F)
     rng = np.random.default_rng(0)
     raw_host = rng.integers(0, 256, (F, 2 * N), dtype=np.uint8)
-    raw = jax.device_put(raw_host)
     row = f"N={N:6d} F={F:5d}"
     # golden for parity (host float64)
     x = ((raw_host[:, 0::2].astype(np.float64) - 127.0)
@@ -51,7 +53,7 @@ for N in (256, 512, 1024, 2048, 4096, 8192, 65536):
             step = PsdStep(N, F, backend=backend)
             got = np.asarray(step(raw_host, F), dtype=np.float64)
             rel = (np.abs(got - want) / np.maximum(np.abs(want), 1e-30)).max()
-            per = bench_step(step, N, F, raw)
+            per = bench_step(step, N, F, raw_host)
             gsps = F / per * N / 1e9
             row += f"  {backend}: {gsps:6.2f} GS/s ({rel:.1e})"
         except Exception as e:

@@ -23,10 +23,13 @@ for N, F in ((2048, 4096), (8192, 1024)):
         got = np.asarray(step(raw_host, F), dtype=np.float64)
         rel = (np.abs(got - want) / np.maximum(np.abs(want), 1e-30)).max()
         fn = step.lowered_fn(); nv = jnp.int32(step.F)
+        raw = jax.device_put(
+            raw_host.view(np.uint16) if step.takes_u16 else raw_host)
+        pdt = jnp.uint16 if step.takes_u16 else jnp.uint8
         @partial(jax.jit, static_argnums=1)
-        def many(raw, iters, fn=fn, nv=nv):
+        def many(raw, iters, fn=fn, nv=nv, pdt=pdt):
             def body(c, i):
-                return c + fn(raw + i.astype(jnp.uint8), nv), ()
+                return c + fn(raw + i.astype(pdt), nv), ()
             acc, _ = jax.lax.scan(body, jnp.zeros(N, jnp.float32), jnp.arange(iters))
             return acc
         np.asarray(many(raw, ITER_LO))
