@@ -155,6 +155,11 @@ class PsdStep:
         self._power = _power_backend(backend, N)
         self._nv_full = None
         self._u16_in = False   # set by _make_step when the pallas kernel ships
+        #: which ladder rung _make_step selected for this (N, F, window,
+        #: backend, platform) signature: "pallas" | "hybrid" |
+        #: "fourstep" | "fft4" | "xla" — introspection for band tests
+        #: and users (auto resolves per platform).
+        self.path = "xla"
         self._step = jax.jit(self._make_step())
 
     def _make_step(self):
@@ -178,6 +183,7 @@ class PsdStep:
             n1_, _ = best_fourstep_split(N)
             if n1_ >= 8 and N <= 1024:
                 self._u16_in = True
+                self.path = "fft4"
                 chunk = self._chunk
                 windowed_arr = window
 
@@ -214,15 +220,20 @@ class PsdStep:
             # kernel's speed (7.7 vs 7.5 GS/s, probes/pow2_head2head.py)
             # at ~3x better tone accuracy (8.2e-5 vs 2.3e-4; 100-seed
             # p50 ratio-to-class 1.10 vs 1.39).
-            # WINDOWED band starts at 8192: the in-kernel window multiply
+            # WINDOWED band is 8192-32768: the in-kernel window multiply
             # costs the kernel 40% at 4096 (9.0 vs 15.1 GS/s unwindowed)
             # where the direct-multiply four-step reads 10.3 GS/s at a
             # BETTER adversarial tail (30-seed max 1.13x vs 1.82x the
-            # scipy-f32 class; probes/windowed_fold.py). From 8192 up the
-            # kernel wins windowed too (12.5 vs 10.5 at 8192, 13.4 at
-            # 16384, 7.8 vs 5.2 at 65536).
+            # scipy-f32 class; probes/windowed_fold.py). The kernel wins
+            # windowed at 8192 (12.5 vs 10.5), 16384 (13.0 vs 12.5) and
+            # 32768 (8.7 vs 7.3) but LOSES at 65536 to the all-matmul
+            # four-step on BOTH axes (3 isolated runs: 5.5-7.3 GS/s max
+            # 4.29x class vs 6.9-8.2 max 3.23x —
+            # probes/windowed_pow2_direct.py), so the windowed top is
+            # 32768.
             lo = 8192 if windowed else 4096
-            auto_pallas = (eligible and lo <= N <= 65536
+            hi = 32768 if windowed else 65536
+            auto_pallas = (eligible and lo <= N <= hi
                            and jax.default_backend() == "tpu")
             if self.backend == "pallas" or auto_pallas:
                 fused = make_fused_psd_fn(
@@ -234,6 +245,7 @@ class PsdStep:
                 # (measured 29% of the whole step) — so the pallas step
                 # takes (F, N) u16 and __call__ views the host buffer.
                 self._u16_in = True
+                self.path = "pallas"
 
                 def pallas_step(raw16: jax.Array, n_valid: jax.Array) -> jax.Array:
                     if window is not None:
@@ -319,12 +331,21 @@ class PsdStep:
                 tpu = jax.default_backend() == "tpu"
                 windowed = window is not None
                 windowed_cpu = windowed and not tpu
+                # WINDOWED large-N: the hybrid band starts above 65536 —
+                # at 16384-65536 its windowed medians are 3.8-6.4x class
+                # while the all-matmul four-step holds 1.7-1.9x at equal
+                # or better speed (probes/windowed_pow2_direct.py:
+                # 20480 fourstep 6.9 GS/s p50 1.85 vs hybrid 5.4 p50
+                # 6.38, fft4 4.5 p50 5.05); at 2^17 the hybrid is back
+                # in budget (1.84x/2.12x, 7.5 GS/s vs fft4 5.0).
                 ok = (n1 >= 8 and not windowed_cpu
                       and ((512 <= N <= 3072 and not windowed)
-                           or (tpu and N > 8192 and 64 <= n2 <= 512)))
+                           or (tpu and N > 8192 and 64 <= n2 <= 512
+                               and (not windowed or N > 65536))))
             if ok:
                 fused_partial = (fourstep_hybrid_psd_partial, n1, n2)
                 self._u16_in = True   # host-side u16 view input
+                self.path = "hybrid"
         if fused_partial is None and self.backend in ("fourstep", "auto"):
             # The transpose-free fused-reduction formulation halves HBM
             # traffic; it is the default ("auto") path for factorable N.
@@ -347,11 +368,22 @@ class PsdStep:
                 # above 3072 instead).
                 tpu = jax.default_backend() == "tpu"
                 # Windowed CPU: XLA FFT (see the hybrid band note).
-                windowed_cpu = window is not None and not tpu
+                # Windowed TPU additionally owns (8192, 65536] wherever
+                # the pallas kernel doesn't (non-pow-2, and 65536 where
+                # the kernel loses both axes) — the all-matmul stages
+                # are indifferent to non-integer inputs, measured
+                # 1.7-1.9x class at 6.9-8.2 GS/s vs the hybrid's
+                # 3.8-6.4x / fft4's 2.9-5.1x
+                # (probes/windowed_pow2_direct.py).
+                windowed = window is not None
+                windowed_cpu = windowed and not tpu
                 ok = (n1 >= 8 and not windowed_cpu
-                      and (N < 512 or (tpu and N <= 8192)))
+                      and (N < 512
+                           or (tpu and (N <= 8192
+                                        or (windowed and N <= 65536)))))
             if ok:
                 fused_partial = (fourstep_psd_partial, n1, n2)
+                self.path = "fourstep"
                 # Host-side u16 view like every other fused path — the
                 # device-side u8→u16 bitcast is a real relayout pass
                 # (measured: the u8-input four-step at 8192 read 9.9
@@ -375,6 +407,7 @@ class PsdStep:
             # for any composite N — it is still exact, just not faster.
             if n1 >= 8 or (self.backend == "fft4" and n1 > 1):
                 fused_partial = (fourstep_fft_psd_partial, n1, n2)
+                self.path = "fft4"
                 # Take the IQ pairs as u16 lanes (host-side view): the
                 # device-side (F, 2N)u8 → u16 bitcast is a real relayout
                 # pass that costs ~3.5 ms at N=2²⁰ (over half the step).

@@ -76,12 +76,15 @@ class ShardedPsdStep:
             # sharded hybrid wins 512-3072 (the round-2 bitcast
             # exception no longer applies) and the large-N hybrid takes
             # 2^17 (equal speed, ~3x better tone accuracy).
-            # Windowed band starts at 8192 (PsdStep rule: the in-kernel
+            # Windowed band is 8192-32768 (PsdStep rule: the in-kernel
             # window multiply costs the kernel 40% at 4096 where the
-            # direct four-step wins on both axes).
+            # direct four-step wins on both axes, and at 65536 the
+            # four-step wins both axes again —
+            # probes/windowed_pow2_direct.py).
             lo = 8192 if windowed else 4096
+            hi = 32768 if windowed else 65536
             want = (backend == "pallas"
-                    or (eligible and lo <= N <= 65536
+                    or (eligible and lo <= N <= hi
                         and jax.default_backend() == "tpu"))
             if want and eligible:
                 pallas_kernel = make_fused_psd_fn(
@@ -117,7 +120,8 @@ class ShardedPsdStep:
             if (n1 > 1 if backend == "hybrid"
                     else (n1 >= 8 and not windowed_cpu
                           and ((512 <= N <= 3072 and not w_here)
-                               or (tpu and N > 8192 and 64 <= n2 <= 512)))):
+                               or (tpu and N > 8192 and 64 <= n2 <= 512
+                                   and (not w_here or N > 65536))))):
                 fused = (fourstep_hybrid_psd_partial, n1, n2)
 
         if (pallas_kernel is None and fused is None
@@ -125,10 +129,16 @@ class ShardedPsdStep:
             from ..ops.dft import best_fourstep_split, fourstep_psd_partial
             n1, n2 = best_fourstep_split(N)
             tpu = jax.default_backend() == "tpu"
-            windowed_cpu = window_arr is not None and not tpu
+            w_here = window_arr is not None
+            windowed_cpu = w_here and not tpu
+            # Windowed TPU (8192, 65536] goes to the all-matmul
+            # four-step wherever the kernel doesn't take it (PsdStep
+            # band note; probes/windowed_pow2_direct.py).
             if (n1 > 1 if backend == "fourstep"
                     else (n1 >= 8 and not windowed_cpu
-                          and (N < 512 or (tpu and N <= 8192)))):
+                          and (N < 512
+                               or (tpu and (N <= 8192
+                                            or (w_here and N <= 65536)))))):
                 fused = (fourstep_psd_partial, n1, n2)
         if (pallas_kernel is None and fused is None
                 and backend in ("fft4", "auto")

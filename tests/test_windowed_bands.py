@@ -130,3 +130,34 @@ def test_windowed_adversarial_tone_class_relative():
     assert np.median(ours) <= 1.5 * np.median(yard), \
         (np.median(ours), np.median(yard))
     assert max(ours) <= 3.0 * max(yard), (max(ours), max(yard))
+
+
+def test_windowed_tpu_band_selection(monkeypatch):
+    """Pin the windowed TPU auto ladder's band boundaries (construction
+    only — the probe evidence lives in probes/windowed_pow2_direct.py;
+    selection is pure Python so it can be asserted on the CPU harness by
+    pinning the platform answer).
+
+    Windowed: four-step 512-8192 and (8192, 65536] non-kernel sizes
+    (incl. 65536, where the kernel loses both axes), pallas pow-2
+    8192-32768, hybrid only past 65536, fft4 for composite > 65536 only
+    when the hybrid split is unsuitable."""
+    import jax
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    def path(N, F=32, windowed=True):
+        w = make_window("hann", N) if windowed else None
+        return PsdStep(N, F, window=w, backend="auto").path
+
+    assert path(2048) == "fourstep"
+    assert path(8192) == "pallas"
+    assert path(16384) == "pallas"
+    assert path(32768) == "pallas"
+    assert path(65536) == "fourstep"      # the round-3 late band move
+    assert path(20480) == "fourstep"      # non-pow-2 mid-band
+    assert path(1 << 17) == "hybrid"      # large-N hybrid keeps 2^17 up
+    # Unwindowed boundaries are unchanged by the windowed move.
+    assert path(65536, windowed=False) == "pallas"
+    assert path(2048, windowed=False) == "hybrid"
+    assert path(1 << 17, windowed=False) == "hybrid"
