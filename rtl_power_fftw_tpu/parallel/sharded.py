@@ -64,6 +64,9 @@ class ShardedPsdStep:
         # four-step with fused per-stream reduction for composite N up to
         # the measured crossover; XLA FFT otherwise.
         self._u16_in = False
+        #: selected ladder rung ("pallas" | "hybrid" | "fourstep" |
+        #: "fft4" | "xla") — same introspection contract as PsdStep.path.
+        self.path = "xla"
         pallas_kernel = None
         fused = None
         if backend in ("pallas", "auto"):
@@ -90,6 +93,7 @@ class ShardedPsdStep:
                 pallas_kernel = make_fused_psd_fn(
                     N, self.F, windowed=windowed, streams=S_local)
                 self._u16_in = True
+                self.path = "pallas"
         if pallas_kernel is None and backend in ("hybrid", "auto"):
             # The hybrid four-step serves the band the streams kernel
             # can't. Round-3 change: the fused four-step family now takes
@@ -123,6 +127,7 @@ class ShardedPsdStep:
                                or (tpu and N > 8192 and 64 <= n2 <= 512
                                    and (not w_here or N > 65536))))):
                 fused = (fourstep_hybrid_psd_partial, n1, n2)
+                self.path = "hybrid"
 
         if (pallas_kernel is None and fused is None
                 and backend in ("fourstep", "auto")):
@@ -140,6 +145,7 @@ class ShardedPsdStep:
                                or (tpu and (N <= 8192
                                             or (w_here and N <= 65536)))))):
                 fused = (fourstep_psd_partial, n1, n2)
+                self.path = "fourstep"
         if (pallas_kernel is None and fused is None
                 and backend in ("fft4", "auto")
                 and (N > 8192 or backend == "fft4")):
@@ -153,6 +159,7 @@ class ShardedPsdStep:
             # composite N and is an error on prime N.
             if n1 >= 8 or (backend == "fft4" and n1 > 1):
                 fused = (fourstep_fft_psd_partial, n1, n2)
+                self.path = "fft4"
             elif backend == "fft4":
                 raise ValueError(
                     f"backend='fft4' needs composite N (N={N} is prime); "

@@ -57,6 +57,9 @@ class _ShardedTransformStep:
             raise RPFexception(f"--shard-transform: {e}. Exiting.",
                                ReturnValue.InvalidArgument)
         self.F = frames_per_step
+        #: same introspection contract as PsdStep.path — the distributed
+        #: four-step is its own rung.
+        self.path = "bigfft"
 
     def __call__(self, frames_u8: np.ndarray, n_valid: int):
         return self._impl.device_step(frames_u8, n_valid)
@@ -97,6 +100,10 @@ class Datastore:
                                 precision=params.precision)
         self.slicer = FrameSlicer(params.N, hop=hop)
         self.max_in_flight = max_in_flight
+        #: which ladder rung the device step runs ("pallas" | "hybrid" |
+        #: "fourstep" | "fft4" | "bigfft" | "xla") — surfaced in the
+        #: verbose banner and --stats-json records.
+        self.transform_path = getattr(self.step, "path", "xla")
 
         # Buffer pool bookkeeping (datastore.h:40-47). Buffers here are just
         # numpy arrays owned by the queue; the pool bound provides the

@@ -285,6 +285,12 @@ def run_session(params: Params, source: IQSource, aux: AuxData,
 
     data = datastore if datastore is not None else Datastore(
         params, window=aux.window_values)
+    if _chatty(params):
+        # Which auto-ladder rung the compute core selected for this
+        # (N, platform, window) — observability extension; the reference
+        # has a single fixed FFTW path (datastore.cxx:30-33).
+        print(f"Transform path: {data.transform_path} "
+              f"(backend={params.fft_backend}, N={params.N})", file=err)
 
     # Parallel IQ streams over the device mesh (extension; BASELINE
     # config 5). Stream 0 is the primary source (keeps tune/retry
@@ -441,6 +447,10 @@ def _session_loop(params, aux, source, data, multistream, record, plan,
                 with open(params.stats_json, "a") as sf:
                     sf.write(json.dumps({
                         "tuned_freq": acquisition.tuned_freq,
+                        "transform_path":
+                            (multistream.step.path
+                             if multistream is not None
+                             else data.transform_path),
                         "start": acquisition.startAcqTimestamp,
                         "end": acquisition.endAcqTimestamp,
                         "repeats_done": acquisition.repeats_done,

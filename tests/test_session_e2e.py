@@ -428,6 +428,28 @@ def test_multistream_summary_counters_truthful(tmp_path):
     m = [l for l in err.split("\n")
          if l.startswith("Actual number of device readouts:")]
     assert m and int(m[0].split(":")[1]) > 0
+    # Observability: the sharded step's selected ladder rung is recorded.
+    assert rec["transform_path"] in ("pallas", "hybrid", "fourstep",
+                                     "fft4", "xla")
+
+
+def test_transform_path_surfaced(tmp_path):
+    """The selected auto-ladder rung is printed in the verbose banner and
+    recorded per scan in --stats-json (observability extension; the
+    reference has one fixed FFTW path, datastore.cxx:30-33)."""
+    stats = str(tmp_path / "stats.jsonl")
+    src = SyntheticSource(tones=[(100_050_000, 30.0)], noise=5.0, seed=7)
+    rv, out, err, params = run(
+        ["-f", "100M", "-n", "8", "-b", "512", "--stats-json", stats,
+         "--source", "synthetic:"], src)
+    assert rv == ReturnValue.Success
+    line = [l for l in err.split("\n") if l.startswith("Transform path:")]
+    assert line, err
+    import json
+    rec = json.loads(open(stats).readline())
+    assert rec["transform_path"] in ("pallas", "hybrid", "fourstep",
+                                     "fft4", "bigfft", "xla")
+    assert rec["transform_path"] in line[0]
 
 
 def test_session_with_pallas_backend_matches_auto():
