@@ -71,6 +71,11 @@ def main() -> None:
     from rtl_power_fftw_tpu.ops.spectral import PsdStep
 
     quick = "--quick" in sys.argv
+    # --only <substr>: run just the configs whose name contains <substr>
+    # (e.g. --only config3) — for isolated re-measures of one row.
+    only = ""
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1]
     dev = jax.devices()[0]
     print(f"device: {dev} ({dev.platform})", file=sys.stderr)
     rng = np.random.default_rng(0)
@@ -82,6 +87,8 @@ def main() -> None:
         four-step matmul (3072, 8192], fused Pallas kernel pow-2
         4096-65536, large-N hybrid past that), so the table reflects
         what the tool actually runs."""
+        if only and only not in name:
+            return
         step = PsdStep(N, F, window=window, backend="auto")
         F = step.F
         fn = step.lowered_fn()
@@ -140,6 +147,12 @@ def main() -> None:
     # sharded step + psum chained in-program with the slope methodology.
     from jax.sharding import NamedSharding, PartitionSpec as P
     from rtl_power_fftw_tpu.parallel import ShardedPsdStep, make_mesh
+    if only and only not in "config5: 16 streams psum":
+        print("| config | N | frames/step | us/step | spectra/s | GS/s |")
+        print("|---|---|---|---|---|---|")
+        for r in rows:
+            print("| " + " | ".join(str(c) for c in r) + " |")
+        return
     S, N5, F5 = 16, 2048, 256 if not quick else 128
     mesh = make_mesh(min(len(jax.devices()), S))
     step5 = ShardedPsdStep(mesh, N5, F5, streams=S, backend="auto")
