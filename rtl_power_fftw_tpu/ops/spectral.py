@@ -346,6 +346,22 @@ class PsdStep:
                 fused_partial = (fourstep_hybrid_psd_partial, n1, n2)
                 self._u16_in = True   # host-side u16 view input
                 self.path = "hybrid"
+                if (N > 8192
+                        and precision_cfg != jax.lax.Precision.HIGHEST):
+                    # Measured PURE LOSS on the large-N band (v5e,
+                    # probes/large_n_fast.py at 2²⁰): Precision.HIGH
+                    # stage-2 runs SLOWER than HIGHEST (1094 vs 620
+                    # µs/step — the conv emitters XLA picks for these
+                    # shapes have no fast 3-pass path) at ~100× worse
+                    # tone error. Honoring the relaxed tier here would
+                    # give strictly worse service on both axes, so the
+                    # step keeps HIGHEST and says so.
+                    import sys as _sys
+                    print("Note: --precision high is slower AND less "
+                          f"accurate on the large-N hybrid (N={N}) — "
+                          "measured pure loss; using highest.",
+                          file=_sys.stderr)
+                    precision_cfg = jax.lax.Precision.HIGHEST
         if fused_partial is None and self.backend in ("fourstep", "auto"):
             # The transpose-free fused-reduction formulation halves HBM
             # traffic; it is the default ("auto") path for factorable N.

@@ -161,3 +161,21 @@ def test_windowed_tpu_band_selection(monkeypatch):
     assert path(65536, windowed=False) == "pallas"
     assert path(2048, windowed=False) == "hybrid"
     assert path(1 << 17, windowed=False) == "hybrid"
+
+
+def test_precision_high_clamped_on_large_n_hybrid(monkeypatch, capsys):
+    """--precision high on the large-N hybrid band is a measured PURE
+    LOSS (slower AND ~100x less tone-accurate — probes/large_n_fast.py
+    at 2^20: 1094 vs 620 us/step), so the step keeps HIGHEST and prints
+    a note instead of honoring a strictly-worse request."""
+    import jax
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    step = PsdStep(1 << 17, 32, backend="auto", precision="high")
+    assert step.path == "hybrid"
+    err = capsys.readouterr().err
+    assert "measured pure loss" in err and "using highest" in err
+    # The small-N hybrid band keeps honoring the relaxed tier (no note).
+    step2 = PsdStep(2048, 32, backend="auto", precision="high")
+    err2 = capsys.readouterr().err
+    assert "measured pure loss" not in err2
