@@ -50,6 +50,31 @@ def _split(N: int) -> Tuple[int, int]:
     return n1, N // n1
 
 
+def column_twiddle(N: int, N1: int, cols: int, d):
+    """W_N^(k1·n2) for this device's ``cols`` n2-columns starting at
+    ``d·cols`` — the distributed four-step's twiddle block, shared by the
+    1-D (ShardedLargeFFTPsd) and 2-D (parallel/grid.py) meshes.
+
+    k1·n2 < N1·N2 = N < 2^31 is exact in int32. Past N = 2^24 the f32
+    cast of kn rounds; that term is bounded (eps·|ang|, the f32 trig
+    floor class — it never grows with N) but removable: split
+    kn = q·2^12 + r (q < 2^19, r < 2^12, both f32-exact) and multiply
+    the two partial twiddles. Measured max twiddle error vs f64 at
+    N = 2^26/2^28/2^30: 6.2e-7 single-angle → 4.5e-7 split
+    (tests/test_bigfft.py)."""
+    k1 = jnp.arange(N1, dtype=jnp.int32)[:, None]
+    n2 = (d * cols + jnp.arange(cols, dtype=jnp.int32))[None, :]
+    kn = k1 * n2                                  # (N1, cols) i32
+    w = -2.0 * np.pi / N                          # python float64
+    if N <= (1 << 24):                            # kn f32-exact
+        ang = np.float32(w) * kn.astype(jnp.float32)
+        return jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
+    ang_q = np.float32(w * 4096.0) * (kn >> 12).astype(jnp.float32)
+    ang_r = np.float32(w) * (kn & 0xFFF).astype(jnp.float32)
+    return (jax.lax.complex(jnp.cos(ang_q), jnp.sin(ang_q))
+            * jax.lax.complex(jnp.cos(ang_r), jnp.sin(ang_r)))
+
+
 class ShardedLargeFFTPsd:
     """PSD accumulator whose FFT is sharded WITHIN each transform.
 
@@ -92,29 +117,9 @@ class ShardedLargeFFTPsd:
                     wargs[0], (0, d * cols), (N1, cols))
                 x = x * wloc[None]
             y = jnp.fft.fft(x, axis=1)                    # over n1 → k1
-            # Twiddle W_N^(k1·n2). k1·n2 < N1·N2 = N < 2^31, exact in
-            # int32. Past N = 2^24 the f32 cast of kn rounds; that term
-            # is bounded (eps·|ang|, same class as the f32 trig floor —
-            # it never blows up with N) but it is removable: split
-            # kn = q·2^12 + r — q < 2^19 and r < 2^12 are both
-            # f32-exact — and multiply the two partial twiddles.
-            # Measured max twiddle error vs f64 at N = 2^26/2^28/2^30:
-            # 6.2e-7 single-angle → 4.5e-7 split (the residual is the
-            # f32 cos/sin evaluation floor; tests/test_bigfft.py).
-            k1 = jnp.arange(N1, dtype=jnp.int32)[:, None]
-            n2 = (d * cols + jnp.arange(cols, dtype=jnp.int32))[None, :]
-            kn = k1 * n2                                  # (N1, N2/D) i32
-            w = -2.0 * np.pi / N                          # python float64
-            if N <= (1 << 24):                            # kn f32-exact
-                ang = np.float32(w) * kn.astype(jnp.float32)
-                tw = jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
-            else:
-                ang_q = np.float32(w * 4096.0) * (kn >> 12).astype(
-                    jnp.float32)
-                ang_r = np.float32(w) * (kn & 0xFFF).astype(jnp.float32)
-                tw = (jax.lax.complex(jnp.cos(ang_q), jnp.sin(ang_q))
-                      * jax.lax.complex(jnp.cos(ang_r), jnp.sin(ang_r)))
-            z = y * tw[None]
+            # Twiddle W_N^(k1·n2) — see column_twiddle for the split-
+            # angle precision scheme past N = 2^24.
+            z = y * column_twiddle(N, N1, cols, d)[None]
             # Distributed transpose: split k1 into D blocks, gather n2.
             z = jax.lax.all_to_all(z, axis, split_axis=1, concat_axis=2,
                                    tiled=True)            # (F, N1/D, N2)

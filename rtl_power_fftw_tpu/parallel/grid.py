@@ -1,0 +1,165 @@
+"""2-D mesh composition: parallel streams × sequence-sharded transforms.
+
+The 1-D parallel modes each scale ONE axis: `sharded.py` spreads
+independent streams (data parallelism — BASELINE config 5), `bigfft.py`
+spreads a single huge transform (sequence parallelism — the 1M-point
+mode). A pod running many streams of very large spectra wants BOTH at
+once: a (streams, seq) 2-D `jax.sharding.Mesh` where
+
+  * each stream group lives on one row of the mesh (its frames never
+    leave the row),
+  * within a row, every transform is the distributed four-step of
+    bigfft.py — stage-1 FFT, column twiddle, `all_to_all` over the
+    `seq` axis (the distributed transpose rides the row's ICI links),
+    stage-2 FFT,
+  * the per-row power partials are combined by ONE `psum` over the
+    `stream` axis at the end (power accumulation commutes with any
+    partition of the stream/frame axes).
+
+The reference's analogue is "average many spectra" on one core
+(datastore.cxx:81-87 + the outer repeats loop); the composition itself
+has no analogue — it is what a TPU pod's 2-D ICI topology is for: lay
+the heavy all_to_all on one mesh axis, the cheap once-per-accumulation
+psum on the other.
+
+Validated on the forced-CPU multi-device harness with 2×4 / 4×2 meshes
+(tests/test_sharding.py) and exercised by ``__graft_entry__``'s
+multi-chip dry run.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+try:                                    # jax >= 0.8
+    from jax import shard_map
+except ImportError:                     # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.spectral import dequant_iq_u16
+from .bigfft import _split, column_twiddle
+
+
+def make_grid_mesh(streams_axis: int, seq_axis: int,
+                   devices=None) -> Mesh:
+    """A (streams, seq) 2-D mesh over ``streams_axis · seq_axis``
+    devices (defaults to all visible)."""
+    devs = np.asarray(devices if devices is not None
+                      else jax.devices()[:streams_axis * seq_axis])
+    if devs.size != streams_axis * seq_axis:
+        raise ValueError(
+            f"need {streams_axis * seq_axis} devices, have {devs.size}")
+    return Mesh(devs.reshape(streams_axis, seq_axis), ("stream", "seq"))
+
+
+class GridPsdStep:
+    """Streams × sequence PSD accumulator on a 2-D mesh.
+
+    Input: (S, F, 2N) u8 IQ frames — S stream groups, F frames each —
+    with per-stream valid counts. Each group is assigned to one
+    ``stream``-axis row; its transforms are sequence-sharded over the
+    row's ``seq`` devices. Returns the psum-combined (N,) float32
+    unshifted power partial (the session's standard layout), replicated.
+    """
+
+    def __init__(self, mesh: Mesh, N: int, F: int,
+                 window: Optional[np.ndarray] = None):
+        if set(mesh.axis_names) != {"stream", "seq"}:
+            raise ValueError(
+                f"GridPsdStep needs a ('stream', 'seq') mesh, got "
+                f"{mesh.axis_names}")
+        if N & (N - 1):
+            raise ValueError(f"N={N} must be a power of two")
+        Ds = mesh.shape["stream"]
+        Dq = mesh.shape["seq"]
+        N1, N2 = _split(N)
+        if N1 % Dq or N2 % Dq:
+            raise ValueError(
+                f"seq axis {Dq} must divide both N1={N1} and N2={N2}")
+        self.mesh = mesh
+        self.N, self.N1, self.N2, self.F = N, N1, N2, F
+        self.S, self.Dq = Ds, Dq
+
+        if window is not None:
+            if len(window) != N:
+                raise ValueError("window length != N")
+            w2d = np.asarray(window, np.float32).reshape(N1, N2)
+        else:
+            w2d = None
+
+        def local_step(x_u16, n_valid, *wargs):
+            # x_u16: (1, F, N1, N2/Dq) — this device's columns of its
+            # row's stream group; n_valid: (1,) i32.
+            q = jax.lax.axis_index("seq")
+            cols = N2 // Dq
+            re, im = dequant_iq_u16(x_u16[0])
+            x = jax.lax.complex(re, im)                   # (F, N1, cols)
+            if wargs:
+                wloc = jax.lax.dynamic_slice(
+                    wargs[0], (0, q * cols), (N1, cols))
+                x = x * wloc[None]
+            y = jnp.fft.fft(x, axis=1)                    # over n1 → k1
+            z = y * column_twiddle(N, N1, cols, q)[None]
+            # Distributed transpose WITHIN the row: the all_to_all names
+            # only the seq axis, so each stream group transposes over
+            # its own row's ICI without touching other rows.
+            z = jax.lax.all_to_all(z, "seq", split_axis=1, concat_axis=2,
+                                   tiled=True)            # (F, N1/Dq, N2)
+            X = jnp.fft.fft(z, axis=2)                    # over n2 → k2
+            pwr = X.real * X.real + X.imag * X.imag
+            fidx = jax.lax.broadcasted_iota(jnp.int32, (F, 1, 1), 0)
+            pwr = jnp.where(fidx < n_valid[0], pwr, 0.0)
+            part = jnp.sum(pwr, axis=0)                   # (N1/Dq, N2)
+            # Combine the stream groups: one psum over the other axis.
+            return jax.lax.psum(part, "stream")[None]
+
+        in_specs = [P("stream", None, None, "seq"), P("stream")]
+        wextra = []
+        if w2d is not None:
+            in_specs.append(P())
+            wextra = [jnp.asarray(w2d)]
+        self._window_dev = wextra
+
+        sharded = shard_map(local_step, mesh=mesh,
+                            in_specs=tuple(in_specs),
+                            out_specs=P(None, "seq", None))
+
+        def flat_fn(x_u16, n_valid, *wargs):
+            out = sharded(x_u16, n_valid, *wargs)[0]      # (N1, N2) [k1,k2]
+            flat = jnp.swapaxes(out, 0, 1).reshape(N)     # k = k1 + N1·k2
+            return jax.lax.with_sharding_constraint(
+                flat, NamedSharding(mesh, P()))
+
+        self._fn = jax.jit(flat_fn)
+        self._x_sharding = NamedSharding(mesh, P("stream", None, None, "seq"))
+
+    def prepare(self, frames_u8: np.ndarray):
+        """(S, F', 2N) u8 → sharded (S, F, N1, N2) u16 device input
+        (free u16 view, zero-padded to F frames per stream)."""
+        S, Fp = frames_u8.shape[:2]
+        if S != self.S or Fp > self.F:
+            raise ValueError(
+                f"batch {frames_u8.shape[:2]} vs step (S={self.S}, "
+                f"F<={self.F})")
+        u16 = np.ascontiguousarray(frames_u8).reshape(S, Fp, -1) \
+            .view(np.uint16)
+        if Fp < self.F:
+            u16 = np.concatenate(
+                [u16, np.zeros((S, self.F - Fp, self.N), np.uint16)],
+                axis=1)
+        x = u16.reshape(S, self.F, self.N1, self.N2)
+        return jax.device_put(x, self._x_sharding)
+
+    def __call__(self, frames_u8: np.ndarray,
+                 n_valid) -> Tuple[np.ndarray, int]:
+        """Accumulate |FFT|² over every stream's valid frames; returns
+        ((N,) float64 unshifted power sum, total frames)."""
+        x = self.prepare(frames_u8)
+        nv = np.asarray(n_valid, np.int32).reshape(self.S)
+        out = self._fn(x, jnp.asarray(nv), *self._window_dev)
+        return np.asarray(out, dtype=np.float64), int(nv.sum())

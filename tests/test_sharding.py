@@ -518,3 +518,68 @@ def test_multistream_phase_offset_streams_coalesce():
     # pace estimate needs ~2 arrivals per stream, so the first cycle or
     # two may fragment; after that rounds must coalesce.
     assert len(calls) <= 20, len(calls)
+
+
+# --- 2-D grid composition (streams x sequence, parallel/grid.py) ------
+
+
+def _grid_truth(frames, n_valid, N, window=None):
+    """f64 truth: sum |FFT|^2 over every stream's valid frames."""
+    want = np.zeros(N)
+    for s in range(frames.shape[0]):
+        part = frames[s, :n_valid[s]]
+        z = (part[:, 0::2].astype(np.float64) - 127.0) \
+            + 1j * (part[:, 1::2].astype(np.float64) - 127.0)
+        if window is not None:
+            z = z * window.astype(np.float64)
+        X = np.fft.fft(z, axis=1)
+        want += (X.real ** 2 + X.imag ** 2).sum(0)
+    return want
+
+
+@pytest.mark.parametrize("shape", [(2, 4), (4, 2), (8, 1), (1, 8)])
+def test_grid_streams_x_seq_parity(shape):
+    """The 2-D (streams x seq) composition matches the f64 truth: each
+    stream group's transform is sequence-sharded over its mesh row
+    (all_to_all on the seq axis), rows combine with one stream-axis
+    psum."""
+    from rtl_power_fftw_tpu.parallel import GridPsdStep, make_grid_mesh
+
+    Ds, Dq = shape
+    mesh = make_grid_mesh(Ds, Dq)
+    N, F = 256, 5
+    rng = np.random.default_rng(42)
+    frames = rng.integers(0, 256, (Ds, F, 2 * N), dtype=np.uint8)
+    n_valid = np.array([F - (s % 2) for s in range(Ds)], np.int32)
+    step = GridPsdStep(mesh, N, F)
+    got, total = step(frames, n_valid)
+    assert total == int(n_valid.sum())
+    want = _grid_truth(frames, n_valid, N)
+    np.testing.assert_allclose(got, want, rtol=2e-5)
+
+
+def test_grid_windowed_parity():
+    from rtl_power_fftw_tpu.parallel import GridPsdStep, make_grid_mesh
+
+    mesh = make_grid_mesh(2, 4)
+    N, F = 512, 4
+    w = make_window("hann", N)
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 256, (2, F, 2 * N), dtype=np.uint8)
+    n_valid = np.array([F, F - 1], np.int32)
+    step = GridPsdStep(mesh, N, F, window=w)
+    got, _ = step(frames, n_valid)
+    want = _grid_truth(frames, n_valid, N, window=w)
+    np.testing.assert_allclose(got, want, rtol=2e-5)
+
+
+def test_grid_validation():
+    from rtl_power_fftw_tpu.parallel import GridPsdStep, make_grid_mesh
+
+    mesh = make_grid_mesh(2, 4)
+    with pytest.raises(ValueError, match="power of two"):
+        GridPsdStep(mesh, 500, 4)
+    with pytest.raises(ValueError, match="seq axis"):
+        GridPsdStep(make_grid_mesh(1, 8), 16, 4)   # Dq=8 ∤ N1=N2=4
+    with pytest.raises(ValueError, match="need 16 devices"):
+        make_grid_mesh(4, 4)
