@@ -462,11 +462,6 @@ def parse_args(argv: List[str], stderr=None) -> Params:
         raise RPFexception(
             "--welch-overlap must be in [0, 100). Exiting.",
             ReturnValue.InvalidArgument)
-    if params.shard_transform and params.streams > 1:
-        raise RPFexception(
-            "Options --shard-transform and --streams are mutually "
-            "exclusive (shard either the transform or the stream axis). "
-            "Exiting.", ReturnValue.InvalidArgument)
     if params.shard_transform and params.N & (params.N - 1):
         raise RPFexception(
             "--shard-transform requires a power-of-two number of bins. "

@@ -63,8 +63,10 @@ class GridPsdStep:
     Input: (S, F, 2N) u8 IQ frames — S stream groups, F frames each —
     with per-stream valid counts. Each group is assigned to one
     ``stream``-axis row; its transforms are sequence-sharded over the
-    row's ``seq`` devices. Returns the psum-combined (N,) float32
-    unshifted power partial (the session's standard layout), replicated.
+    row's ``seq`` devices. Returns the ShardedPsdStep pair: per-stream
+    (S, N) float32 partials (sharded) and the psum-combined (N,)
+    replicated partial, both in the session's standard unshifted bin
+    layout — so MultiStreamAcquisition can drive either step type.
     """
 
     def __init__(self, mesh: Mesh, N: int, F: int,
@@ -84,6 +86,8 @@ class GridPsdStep:
         self.mesh = mesh
         self.N, self.N1, self.N2, self.F = N, N1, N2, F
         self.S, self.Dq = Ds, Dq
+        #: PsdStep.path introspection contract (session banner/stats).
+        self.path = "bigfft-grid"
 
         if window is not None:
             if len(window) != N:
@@ -116,7 +120,7 @@ class GridPsdStep:
             pwr = jnp.where(fidx < n_valid[0], pwr, 0.0)
             part = jnp.sum(pwr, axis=0)                   # (N1/Dq, N2)
             # Combine the stream groups: one psum over the other axis.
-            return jax.lax.psum(part, "stream")[None]
+            return part[None], jax.lax.psum(part, "stream")
 
         in_specs = [P("stream", None, None, "seq"), P("stream")]
         wextra = []
@@ -127,12 +131,16 @@ class GridPsdStep:
 
         sharded = shard_map(local_step, mesh=mesh,
                             in_specs=tuple(in_specs),
-                            out_specs=P(None, "seq", None))
+                            out_specs=(P("stream", "seq", None),
+                                       P("seq", None)))
 
         def flat_fn(x_u16, n_valid, *wargs):
-            out = sharded(x_u16, n_valid, *wargs)[0]      # (N1, N2) [k1,k2]
-            flat = jnp.swapaxes(out, 0, 1).reshape(N)     # k = k1 + N1·k2
-            return jax.lax.with_sharding_constraint(
+            ps, comb = sharded(x_u16, n_valid, *wargs)
+            # Flat bin k = k1 + N1·k2, the framework's standard
+            # unshifted layout (fftshift once at finalization).
+            ps_flat = jnp.swapaxes(ps, 1, 2).reshape(Ds, N)
+            flat = jnp.swapaxes(comb, 0, 1).reshape(N)
+            return ps_flat, jax.lax.with_sharding_constraint(
                 flat, NamedSharding(mesh, P()))
 
         self._fn = jax.jit(flat_fn)
@@ -155,11 +163,19 @@ class GridPsdStep:
         x = u16.reshape(S, self.F, self.N1, self.N2)
         return jax.device_put(x, self._x_sharding)
 
-    def __call__(self, frames_u8: np.ndarray,
-                 n_valid) -> Tuple[np.ndarray, int]:
-        """Accumulate |FFT|² over every stream's valid frames; returns
-        ((N,) float64 unshifted power sum, total frames)."""
+    def __call__(self, frames_u8: np.ndarray, n_valid):
+        """One device step — the ShardedPsdStep calling convention:
+        ``(S, F', 2N) u8`` frames + per-stream valid counts →
+        ``((S, N) per-stream, (N,) combined)`` float32 device arrays
+        (async; ``np.asarray`` forces completion)."""
         x = self.prepare(frames_u8)
         nv = np.asarray(n_valid, np.int32).reshape(self.S)
-        out = self._fn(x, jnp.asarray(nv), *self._window_dev)
-        return np.asarray(out, dtype=np.float64), int(nv.sum())
+        return self._fn(x, jnp.asarray(nv), *self._window_dev)
+
+    def accumulate(self, frames_u8: np.ndarray,
+                   n_valid) -> Tuple[np.ndarray, int]:
+        """Synchronous convenience: ((N,) float64 unshifted power sum
+        over every stream's valid frames, total frames)."""
+        _, comb = self(frames_u8, n_valid)
+        total = int(np.asarray(n_valid, np.int64).sum())
+        return np.asarray(comb, dtype=np.float64), total

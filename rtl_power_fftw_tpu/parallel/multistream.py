@@ -95,10 +95,33 @@ class MultiStreamAcquisition:
             frames_per_step = max(
                 _SUM_CHUNK,
                 min(params.buf_length // (2 * params.N), 2048))
-        self.step = ShardedPsdStep(
-            mesh, params.N, frames_per_step, streams=S, window=window,
-            backend=params.fft_backend if params.fft_backend != "pallas"
-            else "auto")
+        if getattr(params, "shard_transform", False):
+            # --streams S --shard-transform: the 2-D composition — one
+            # mesh row per stream, each row's transforms sequence-sharded
+            # over its seq devices (parallel/grid.py). The ShardedPsdStep
+            # call contract is shared, so the consumer loop is unchanged.
+            from ..exceptions import ReturnValue, RPFexception
+            from .grid import GridPsdStep, make_grid_mesh
+            import jax
+            n_dev = len(jax.devices())
+            dq = max(1, n_dev // S)
+            # Largest seq width that divides both four-step factors.
+            while dq > 1 and (params.N & (params.N - 1)
+                              or (1 << ((params.N.bit_length() - 1) >> 1))
+                              % dq):
+                dq //= 2
+            try:
+                self.step = GridPsdStep(make_grid_mesh(S, dq), params.N,
+                                        frames_per_step, window=window)
+            except ValueError as e:
+                raise RPFexception(
+                    f"--streams with --shard-transform: {e}. Exiting.",
+                    ReturnValue.InvalidArgument)
+        else:
+            self.step = ShardedPsdStep(
+                mesh, params.N, frames_per_step, streams=S, window=window,
+                backend=params.fft_backend if params.fft_backend != "pallas"
+                else "auto")
         self.S = S
         # Welch overlap applies per stream, same as the single-stream
         # Datastore (pipeline/datastore.py).

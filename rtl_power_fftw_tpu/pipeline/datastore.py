@@ -87,11 +87,15 @@ class Datastore:
             # Default: one buffer's worth of frames per device step, capped
             # to keep step latency and padding waste balanced.
             frames_per_step = max(1, min(params.buf_length // (2 * params.N), 4096))
-        if getattr(params, "shard_transform", False):
+        if (getattr(params, "shard_transform", False)
+                and params.streams <= 1):
             # Sequence parallelism: each transform sharded over the device
             # mesh (distributed four-step FFT, parallel/bigfft.py) instead
             # of a per-device batched step. Same (F, 2N) u8 -> (N,) f32
-            # partial-power contract as PsdStep.
+            # partial-power contract as PsdStep. (With --streams > 1 the
+            # flag belongs to MultiStreamAcquisition's 2-D grid step —
+            # parallel/grid.py — and this Datastore stays a plain
+            # single-stream fallback that the session loop won't drive.)
             self.step = _ShardedTransformStep(params.N, frames_per_step,
                                               window)
         else:

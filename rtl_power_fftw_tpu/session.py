@@ -285,12 +285,6 @@ def run_session(params: Params, source: IQSource, aux: AuxData,
 
     data = datastore if datastore is not None else Datastore(
         params, window=aux.window_values)
-    if _chatty(params):
-        # Which auto-ladder rung the compute core selected for this
-        # (N, platform, window) — observability extension; the reference
-        # has a single fixed FFTW path (datastore.cxx:30-33).
-        print(f"Transform path: {data.transform_path} "
-              f"(backend={params.fft_backend}, N={params.N})", file=err)
 
     # Parallel IQ streams over the device mesh (extension; BASELINE
     # config 5). Stream 0 is the primary source (keeps tune/retry
@@ -318,6 +312,15 @@ def run_session(params: Params, source: IQSource, aux: AuxData,
             params, all_sources, window=aux.window_values)
         print(f"Parallel streams: {params.streams} "
               f"(mesh size {multistream.step.mesh.devices.size})", file=err)
+
+    if _chatty(params):
+        # Which auto-ladder rung the ACTIVE compute core selected for
+        # this (N, platform, window) — observability extension; the
+        # reference has a single fixed FFTW path (datastore.cxx:30-33).
+        active = (multistream.step.path if multistream is not None
+                  else data.transform_path)
+        print(f"Transform path: {active} "
+              f"(backend={params.fft_backend}, N={params.N})", file=err)
 
     if install_sigint:
         set_ctrl_c_handler(True)

@@ -515,10 +515,40 @@ def test_shard_transform_session_matches_default():
     assert int(np.argmax(v1)) == int(np.argmax(v2))
 
 
-def test_shard_transform_excludes_streams():
+def test_shard_transform_with_streams_grid_session(tmp_path):
+    """--streams S --shard-transform selects the 2-D grid composition
+    (parallel/grid.py: one mesh row per stream, transforms
+    sequence-sharded within rows) and matches the plain --streams
+    session's spectrum. Round-3 change: the flags used to be mutually
+    exclusive; the composition gave the combination real semantics."""
+    stats = str(tmp_path / "grid_stats.jsonl")
+    args = ["-f", "1M", "-n", "16", "-b", "256", "--streams", "4",
+            "--source", "synthetic:tone=1.05M/30,noise=5,seed=81"]
+    src1 = SyntheticSource(tones=[(1_050_000, 30.0)], noise=5.0, seed=81)
+    rv1, out1, err1, _ = run(args, src1)
+    src2 = SyntheticSource(tones=[(1_050_000, 30.0)], noise=5.0, seed=81)
+    rv2, out2, err2, _ = run(args + ["--shard-transform",
+                                     "--stats-json", stats], src2)
+    assert rv1 == ReturnValue.Success and rv2 == ReturnValue.Success
+
+    def vals(out):
+        return np.array([float(l.split()[1]) for l in out.split("\n")
+                         if l and not l.startswith("#")])
+    v1, v2 = vals(out1), vals(out2)
+    assert v1.shape == v2.shape == (256,)
+    np.testing.assert_allclose(v2, v1, rtol=0, atol=2e-4)  # dB values
+    assert int(np.argmax(v1)) == int(np.argmax(v2))
+    import json
+    rec = json.loads(open(stats).readline())
+    assert rec["transform_path"] == "bigfft-grid"
+
+
+def test_shard_transform_streams_bad_n_typed_exit():
+    """Non-pow-2 bins with the grid combination exits 3 (typed CLI
+    error), not a traceback."""
     with pytest.raises(RPFexception) as ei:
-        parse_args(["-f", "1M", "--shard-transform", "--streams", "4"],
-                   stderr=io.StringIO())
+        parse_args(["-f", "1M", "-b", "500", "--shard-transform",
+                    "--streams", "4"], stderr=io.StringIO())
     assert ei.value.return_value == ReturnValue.InvalidArgument
 
 

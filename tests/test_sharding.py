@@ -552,10 +552,18 @@ def test_grid_streams_x_seq_parity(shape):
     frames = rng.integers(0, 256, (Ds, F, 2 * N), dtype=np.uint8)
     n_valid = np.array([F - (s % 2) for s in range(Ds)], np.int32)
     step = GridPsdStep(mesh, N, F)
-    got, total = step(frames, n_valid)
+    got, total = step.accumulate(frames, n_valid)
     assert total == int(n_valid.sum())
     want = _grid_truth(frames, n_valid, N)
     np.testing.assert_allclose(got, want, rtol=2e-5)
+    # Per-stream partials sum to the combined spectrum and each match
+    # the stream's own f64 truth.
+    ps, comb = step(frames, n_valid)
+    ps = np.asarray(ps, np.float64)
+    np.testing.assert_allclose(ps.sum(axis=0), np.asarray(comb), rtol=1e-5)
+    for s in range(Ds):
+        want_s = _grid_truth(frames[s:s + 1], n_valid[s:s + 1], N)
+        np.testing.assert_allclose(ps[s], want_s, rtol=2e-5)
 
 
 def test_grid_windowed_parity():
@@ -568,7 +576,7 @@ def test_grid_windowed_parity():
     frames = rng.integers(0, 256, (2, F, 2 * N), dtype=np.uint8)
     n_valid = np.array([F, F - 1], np.int32)
     step = GridPsdStep(mesh, N, F, window=w)
-    got, _ = step(frames, n_valid)
+    got, _ = step.accumulate(frames, n_valid)
     want = _grid_truth(frames, n_valid, N, window=w)
     np.testing.assert_allclose(got, want, rtol=2e-5)
 
