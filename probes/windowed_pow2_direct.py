@@ -8,7 +8,17 @@ measured there. This probe closes that: per backend, slope-method
 throughput (pooled endpoints) + a 30-seed adversarial 35 dB-tone
 distribution vs the WINDOWED scipy-f32 class on the same realizations.
 
-Run on TPU:  python probes/windowed_pow2_direct.py [seeds]
+MEASURED (v5e): at 16384 the kernel wins (13.0 vs four-step 12.5,
+p50 1.41 vs 1.72), at 32768 the kernel wins (8.7 vs 7.3), at 65536 the
+four-step wins BOTH axes over 3 isolated runs (6.9-8.2 GS/s max 3.23x
+vs the kernel's 5.5-7.3 max 4.29x) → windowed kernel band top = 32768.
+Late follow-up at 2^20 windowed (20 seeds, F=8): fourstep 1.89 GS/s
+p50 1.35 max 2.68; hybrid 6.77 p50 1.57 max 4.51; fft4 4.39 p50 2.95
+max 6.19 — per-realization ratios vs the scipy class; the
+budget-grade distribution comparison for the very-large-N windowed
+band decision lives in probes/windowed_large_dist.py.
+
+Run on TPU:  python probes/windowed_pow2_direct.py [seeds] [N,N,...]
 """
 import sys
 import time
