@@ -62,6 +62,31 @@ def main():
                 steps[backend] = PsdStep(N, F, window=w, backend=backend)
             except Exception as e:
                 print(f"N={N} {backend}: unavailable ({str(e)[:60]})")
+
+        # Split-window hybrid candidate (ops/dft.py): two exact f32
+        # window planes through stage 1, combined by linearity.
+        from rtl_power_fftw_tpu.ops.dft import (
+            best_hybrid_split, fourstep_hybrid_windowed_psd_partial,
+            split_window)
+        from rtl_power_fftw_tpu.ops.spectral import dequant_iq_u16
+        n1h, n2h = best_hybrid_split(N, min_n1=8)
+        w_hi, w_lo = (jnp.asarray(a) for a in split_window(w))
+
+        @jax.jit
+        def swh_step(raw16, nv):
+            re, im = dequant_iq_u16(raw16)
+            fmask = (jax.lax.broadcasted_iota(jnp.int32, (F,), 0)
+                     < nv).astype(jnp.float32)
+            return fourstep_hybrid_windowed_psd_partial(
+                re, im, fmask, w_hi, w_lo, n1h, n2h, chunk=8)
+
+        class _SW:
+            takes_u16 = True
+
+            def __call__(self, raw, nv):
+                return swh_step(raw, jnp.int32(nv))
+
+        steps["split-win-hyb"] = _SW()
         errs = {b: [] for b in steps}
         cls_d, yard_d = [], []
         for s in range(SEEDS):

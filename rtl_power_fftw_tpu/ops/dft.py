@@ -326,6 +326,90 @@ def fourstep_hybrid_psd_partial(re: jax.Array, im: jax.Array,
     return jnp.swapaxes(s, 0, 1).reshape(N)
 
 
+@functools.lru_cache(maxsize=8)
+def _split_window(key):
+    """Split a float64 window into (w_hi, w_lo) f32 terms with
+    w_hi's mantissa truncated to 15 bits.
+
+    Dequantized IQ samples are 8-bit integers (x ∈ [-127, 128],
+    datastore.cxx:75), so x·w_hi needs ≤ 23 significand bits — EXACT in
+    f32 — and x·w_lo (|w_lo| ≤ 2⁻¹⁶|w|) rounds at ~2⁻⁴⁰ relative to
+    x·w. The windowed input is therefore represented exactly as the sum
+    of two f32 planes, which is what lets the hybrid keep its
+    integer-anchor accuracy under a window (see
+    fourstep_hybrid_windowed_psd_partial)."""
+    w64 = np.frombuffer(key, dtype=np.float64)
+    w_hi = np.asarray(w64, np.float32)
+    w_hi = (w_hi.view(np.uint32) & np.uint32(0xFFFFFE00)).view(np.float32)
+    w_lo = (w64 - w_hi).astype(np.float32)
+    return w_hi, w_lo
+
+
+def split_window(window) -> "tuple[np.ndarray, np.ndarray]":
+    """Public wrapper: (w_hi 15-bit-mantissa f32, w_lo f32 residual)."""
+    w64 = np.asarray(window, np.float64)
+    return _split_window(w64.tobytes())
+
+
+def fourstep_hybrid_windowed_psd_partial(
+        re: jax.Array, im: jax.Array, fmask: jax.Array,
+        w_hi: jax.Array, w_lo: jax.Array,
+        N1: int | None = None, N2: int | None = None,
+        chunk: int = 64, precision=None) -> jax.Array:
+    """Windowed hybrid four-step with a SPLIT-WINDOW stage 1.
+
+    The plain windowed hybrid loses its accuracy anchor: stage 1's FFT
+    no longer sees exactly-representable integers once the f32 window
+    multiply rounds each sample (~2⁻²⁴ relative), and the two-stage
+    structure amplifies that input rounding ~N1-coherently under a
+    tone — measured 2.8-3.1× the windowed scipy-f32 class at 2048-4096
+    and up to 4.5× per-realization at 2²⁰ (probes/windowed_fold.py,
+    probes/windowed_pow2_direct.py), which is why the windowed auto
+    ladder routed around the hybrid.
+
+    Fix: split the window into w_hi (15-bit mantissa) + w_lo so that
+    BOTH per-sample products are exact f32 numbers (inputs are 8-bit
+    integers), and push each plane through its own stage-1 FFT —
+    linearity makes FFT(x·w) = FFT(x·w_hi) + FFT(x·w_lo) with the only
+    rounding at the final add (~ε relative, magnitude-dominated by the
+    hi term). Stage 2 and the split twiddle are unchanged. Costs one
+    extra stage-1 FFT. NOTE: this removes the input-REPRESENTATION
+    rounding exactly (verified: x·w_hi is bit-exact for all dequant
+    values); whether the windowed-hybrid excess error is that component
+    or the transform's internal arithmetic on non-integer values is
+    decided by measurement — probes/windowed_large_dist.py carries the
+    verdict and the ladder only adopts this variant where it wins.
+
+    re, im: (F, N) float32 UNWINDOWED dequantized integers.
+    """
+    F, N = re.shape
+    if N1 is None or N2 is None:
+        N1, N2 = best_fourstep_split(N)
+    assert N1 * N2 == N, (N1, N2, N)
+    thr, thi, tlr, tli, c2, s2 = (
+        jnp.asarray(a) for a in _hybrid_constants(N, N1, N2))
+    while F % chunk != 0:
+        chunk //= 2
+    prec = _HI if precision is None else precision
+
+    x = jax.lax.complex(re, im).reshape(F, N1, N2)
+    wh = w_hi.reshape(N1, N2)[None]
+    wl = w_lo.reshape(N1, N2)[None]
+    y = (jnp.fft.fft(x * wh, axis=1)
+         + jnp.fft.fft(x * wl, axis=1))           # over n1 → (F, k1, n2)
+    yr, yi = jnp.real(y), jnp.imag(y)
+    zr = (yr * thr[None] - yi * thi[None]) + (yr * tlr[None] - yi * tli[None])
+    zi = (yr * thi[None] + yi * thr[None]) + (yr * tli[None] + yi * tlr[None])
+    Xr = (jnp.matmul(zr, c2, precision=prec)
+          - jnp.matmul(zi, s2, precision=prec))   # over n2 → (F, k1, k2)
+    Xi = (jnp.matmul(zr, s2, precision=prec)
+          + jnp.matmul(zi, c2, precision=prec))
+    p = (Xr * Xr + Xi * Xi) * fmask[:, None, None]
+    g = F // chunk
+    s = p.reshape(g, chunk, N1, N2).sum(axis=1).sum(axis=0)   # (k1, k2)
+    return jnp.swapaxes(s, 0, 1).reshape(N)
+
+
 def dft_power_fourstep(re: jax.Array, im: jax.Array,
                        N1: int | None = None, N2: int | None = None) -> jax.Array:
     """|DFT(re + i·im)|² via the four-step (Bailey) algorithm on the MXU.

@@ -179,3 +179,38 @@ def test_precision_high_clamped_on_large_n_hybrid(monkeypatch, capsys):
     step2 = PsdStep(2048, 32, backend="auto", precision="high")
     err2 = capsys.readouterr().err
     assert "measured pure loss" not in err2
+
+
+def test_split_window_exactness_and_parity():
+    """split_window: w reconstructs exactly and x*w_hi is bit-exact for
+    every dequant value (the 15-bit-mantissa truncation claim); the
+    split-window hybrid matches the f64 truth within the f32 budget.
+    (Whether it beats the plain windowed hybrid is a TPU measurement —
+    probes/windowed_large_dist.py.)"""
+    import jax
+    import jax.numpy as jnp
+    from rtl_power_fftw_tpu.ops.dft import (
+        best_hybrid_split, fourstep_hybrid_windowed_psd_partial,
+        split_window)
+
+    N, F = 1024, 8
+    w = make_window("hamming", N)
+    w_hi, w_lo = split_window(w)
+    x = np.arange(-127, 129, dtype=np.float64)
+    exact = x[:, None] * w_hi.astype(np.float64)[None, :]
+    f32 = (x.astype(np.float32)[:, None] * w_hi[None, :]).astype(np.float64)
+    assert np.array_equal(exact, f32)
+    np.testing.assert_array_equal(
+        w_hi.astype(np.float64) + w_lo.astype(np.float64),
+        w.astype(np.float64))
+
+    rng = np.random.default_rng(11)
+    raw = rng.integers(0, 256, (F, 2 * N), dtype=np.uint8)
+    re = raw[:, 0::2].astype(np.float32) - 127
+    im = raw[:, 1::2].astype(np.float32) - 127
+    n1, n2 = best_hybrid_split(N, min_n1=8)
+    got = np.asarray(fourstep_hybrid_windowed_psd_partial(
+        jnp.asarray(re), jnp.asarray(im), jnp.ones(F, jnp.float32),
+        jnp.asarray(w_hi), jnp.asarray(w_lo), n1, n2), np.float64)
+    want = _f64_truth(raw, w)
+    assert _rel(got, want) < 1e-5
