@@ -248,11 +248,17 @@ def test_shipping_path_matches_reference_precision_class(N):
     # input (what the reference's fftwf_execute is to FFTW).
     z32 = ((raw[:, 0::2].astype(np.float32) - np.float32(127.0))
            + 1j * (raw[:, 1::2].astype(np.float32) - np.float32(127.0)))
-    Xp = np.asarray(jax.jit(lambda z: jnp.fft.fft(z, axis=1))(
-        z32.astype(np.complex64)))
-    plat = (Xp.real.astype(np.float64) ** 2
-            + Xp.imag.astype(np.float64) ** 2).sum(0)
-    plat_err = _max_rel(plat, want)
+    try:
+        Xp = np.asarray(jax.jit(lambda z: jnp.fft.fft(z, axis=1))(
+            z32.astype(np.complex64)))
+        plat = (Xp.real.astype(np.float64) ** 2
+                + Xp.imag.astype(np.float64) ** 2).sum(0)
+        plat_err = _max_rel(plat, want)
+    except Exception:
+        # Bare monolithic FFT compiles intermittently fail on this TPU
+        # toolchain (remote-compile UNIMPLEMENTED windows) — a
+        # scipy-class-only yardstick is stricter, so degrading is safe.
+        plat_err = 0.0
 
     step = PsdStep(N, F, backend="auto")
     padded = np.concatenate([raw, np.zeros((step.F - F, 2 * N), np.uint8)])

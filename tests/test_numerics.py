@@ -284,9 +284,18 @@ def test_adversarial_tone_distribution_class_relative():
             Xc = scipy.fft.fft(z32, axis=1)
             cls = rel((Xc.real.astype(np.float64) ** 2
                        + Xc.imag.astype(np.float64) ** 2).sum(0), want)
-            Xp = np.asarray(mono(z32))
-            plat = rel((Xp.real.astype(np.float64) ** 2
-                        + Xp.imag.astype(np.float64) ** 2).sum(0), want)
+            try:
+                Xp = np.asarray(mono(z32))
+                plat = rel((Xp.real.astype(np.float64) ** 2
+                            + Xp.imag.astype(np.float64) ** 2).sum(0),
+                           want)
+            except Exception:
+                # This toolchain's TPU backend intermittently fails to
+                # compile bare monolithic FFTs (remote-compile
+                # UNIMPLEMENTED windows, observed Aug 2026). Degrading
+                # the yardstick to the scipy class alone only makes the
+                # budget STRICTER for the shipping path.
+                plat = 0.0
             yard.append(max(cls, plat))
         assert np.median(ours) <= 1.5 * np.median(yard), \
             (N, np.median(ours), np.median(yard))

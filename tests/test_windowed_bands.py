@@ -123,9 +123,15 @@ def test_windowed_adversarial_tone_class_relative():
         Xc = scipy.fft.fft(zw32, axis=1)
         cls = _rel((Xc.real.astype(np.float64) ** 2
                     + Xc.imag.astype(np.float64) ** 2).sum(0), want)
-        Xp = np.asarray(mono(zw32))
-        plat = _rel((Xp.real.astype(np.float64) ** 2
-                     + Xp.imag.astype(np.float64) ** 2).sum(0), want)
+        try:
+            Xp = np.asarray(mono(zw32))
+            plat = _rel((Xp.real.astype(np.float64) ** 2
+                         + Xp.imag.astype(np.float64) ** 2).sum(0), want)
+        except Exception:
+            # Bare monolithic FFT compiles can fail on this TPU
+            # toolchain (see test_numerics) — scipy-only yard is
+            # stricter, so degrading is safe.
+            plat = 0.0
         yard.append(max(cls, plat))
     assert np.median(ours) <= 1.5 * np.median(yard), \
         (np.median(ours), np.median(yard))
