@@ -104,8 +104,13 @@ class MultiStreamAcquisition:
             from .grid import GridPsdStep, make_grid_mesh
             import jax
             n_dev = len(jax.devices())
-            dq = max(1, n_dev // S)
-            # Largest seq width that divides both four-step factors.
+            # Largest power-of-two seq width that fits the device budget
+            # and divides both four-step factors (N1 ≤ N2, both pow-2
+            # for pow-2 N — so dividing N1 suffices). A non-pow-2
+            # quotient (e.g. 6 devices/stream) must round DOWN to a
+            # power of two first: halving 6 visits 3, which divides
+            # neither factor.
+            dq = 1 << (max(1, n_dev // S).bit_length() - 1)
             while dq > 1 and (params.N & (params.N - 1)
                               or (1 << ((params.N.bit_length() - 1) >> 1))
                               % dq):
