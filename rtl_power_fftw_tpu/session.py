@@ -41,6 +41,70 @@ def _chatty(params: Params) -> bool:
     return (params.outcnt == 0 and params.talkless) or not params.talkless
 
 
+#: Deadline for accelerator-backend initialization (seconds). Backend
+#: init is normally sub-second (compiles are the slow part and happen
+#: LATER, with the backend alive); a remote accelerator whose transport
+#: is down can hang init forever. Override with RPF_BACKEND_TIMEOUT
+#: (0 disables the probe).
+BACKEND_TIMEOUT_S = 180.0
+
+_backend_checked = False
+
+
+def _backend_ready(stderr=None, timeout: Optional[float] = None,
+                   _probe=None) -> None:
+    """Raise RPFexception(HardwareError) if the compute backend cannot
+    initialize within the deadline (or errors outright).
+
+    The probe runs ``jax.devices()`` on a daemon thread; a hang past the
+    deadline leaves that thread abandoned (daemon ⇒ process exit is not
+    blocked) and maps to the reference's prompt typed device-failure
+    exit (device.cxx:30-50). Checked once per process."""
+    global _backend_checked
+    if _backend_checked and _probe is None:
+        return
+    import os
+    import threading
+    if timeout is None:
+        try:
+            timeout = float(os.environ.get("RPF_BACKEND_TIMEOUT",
+                                           BACKEND_TIMEOUT_S))
+        except ValueError:
+            timeout = BACKEND_TIMEOUT_S
+    if timeout <= 0:
+        _backend_checked = True
+        return
+
+    result: dict = {}
+
+    def probe():
+        try:
+            if _probe is not None:
+                result["devices"] = _probe()
+            else:
+                import jax
+                result["devices"] = len(jax.devices())
+        except BaseException as e:   # noqa: BLE001 - reported typed below
+            result["error"] = e
+
+    t = threading.Thread(target=probe, daemon=True,
+                         name="rpf-backend-probe")
+    t.start()
+    t.join(timeout)
+    if t.is_alive():
+        raise RPFexception(
+            f"Compute backend did not initialize within {timeout:.0f} s "
+            "(accelerator transport down or hung). Set "
+            "RPF_BACKEND_TIMEOUT to adjust. Exiting.",
+            ReturnValue.HardwareError)
+    if "error" in result:
+        raise RPFexception(
+            f"Compute backend failed to initialize: {result['error']}. "
+            "Exiting.", ReturnValue.HardwareError)
+    if _probe is None:
+        _backend_checked = True
+
+
 class Acquisition:
     """One data acquisition at one tuned frequency (acquisition.cxx:211-348)."""
 
@@ -282,6 +346,15 @@ def run_session(params: Params, source: IQSource, aux: AuxData,
 
     plan = Plan(params, actual_samplerate)
     plan.print(file=err)
+
+    # Bound accelerator-backend initialization. A dead/unreachable
+    # remote accelerator can make the first jax call hang indefinitely
+    # (observed: a downed TPU tunnel hangs backend init forever) — the
+    # reference fails PROMPTLY with a typed exit when its device cannot
+    # open (device.cxx:30-50 → exit 1/2), so the rebuild probes the
+    # backend from a daemon thread with a deadline and maps a hang or
+    # init error to the hardware-error exit (7).
+    _backend_ready(stderr=err)
 
     data = datastore if datastore is not None else Datastore(
         params, window=aux.window_values)

@@ -690,3 +690,25 @@ def test_stitch_out_bad_path_is_invalid_input():
                     stdout=io.StringIO(), stderr=io.StringIO(),
                     install_sigint=False)
     assert e.value.retval == ReturnValue.InvalidInput
+
+
+def test_backend_probe_timeout_and_error():
+    """_backend_ready maps a hung or failing backend init to the typed
+    hardware-error exit (7) instead of hanging the session forever
+    (observed live: a downed TPU tunnel hangs the first jax call
+    indefinitely; the reference fails promptly, device.cxx:30-50)."""
+    import time as _time
+    from rtl_power_fftw_tpu.session import _backend_ready
+
+    with pytest.raises(RPFexception) as ei:
+        _backend_ready(timeout=0.2, _probe=lambda: _time.sleep(5))
+    assert ei.value.return_value == ReturnValue.HardwareError
+    assert "did not initialize" in str(ei.value)
+
+    def boom():
+        raise RuntimeError("Unable to initialize backend 'axon'")
+    with pytest.raises(RPFexception) as ei:
+        _backend_ready(timeout=5.0, _probe=boom)
+    assert ei.value.return_value == ReturnValue.HardwareError
+    # Healthy probe passes.
+    _backend_ready(timeout=5.0, _probe=lambda: 1)
