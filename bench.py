@@ -36,6 +36,23 @@ def main() -> None:
     N = 2048
     F = 4096          # frames per step (16.8 MB of u8 IQ)
     ITER_LO, ITER_HI = 32, 128
+
+    # Bounded backend init: a downed accelerator transport can hang the
+    # first jax call forever (observed live). The bench must always emit
+    # its ONE JSON line, so a hang/failure degrades to an honest zero.
+    from rtl_power_fftw_tpu.session import _backend_ready
+    from rtl_power_fftw_tpu.exceptions import RPFexception
+    try:
+        _backend_ready(timeout=float(
+            __import__("os").environ.get("RPF_BACKEND_TIMEOUT", 240.0)))
+    except RPFexception as e:
+        print(f"bench: {e}", file=sys.stderr)
+        print(json.dumps({
+            "metric": "equivalent IQ throughput per chip @2048-bin "
+                      "averaged PSD",
+            "value": 0.0, "unit": "GS/s", "vs_baseline": 0.0}))
+        return
+
     dev = jax.devices()[0]
     print(f"bench device: {dev} ({dev.platform})", file=sys.stderr)
 
