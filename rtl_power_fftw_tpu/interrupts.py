@@ -36,8 +36,18 @@ def _handler(signum, frame):
 
 
 def set_ctrl_c_handler(install: bool) -> None:
-    """Install/uninstall the SIGINT handler (interrupts.cxx:33-43)."""
-    signal.signal(signal.SIGINT, _handler if install else signal.SIG_DFL)
+    """Install/uninstall the SIGINT handler (interrupts.cxx:33-43).
+
+    Real SIGINT delivery always runs the handler on the main thread;
+    test/fault-injection harnesses may escalate programmatically from a
+    worker thread, where CPython forbids signal.signal — the escalation
+    COUNT is what matters (the session polls it), so a non-main-thread
+    uninstall is a no-op rather than an error."""
+    try:
+        signal.signal(signal.SIGINT,
+                      _handler if install else signal.SIG_DFL)
+    except ValueError:  # not the main thread (harness-simulated Ctrl-C)
+        pass
 
 
 def reset() -> None:
