@@ -293,3 +293,53 @@ def test_hybrid_large_n_explicit_backend_parity():
     want = _want64(raw)
     rel = (np.abs(got - want) / np.maximum(np.abs(want), 1e-30)).max()
     assert rel < 1e-5, rel
+
+
+@pytest.mark.parametrize("N", [1 << 17, 1 << 20])
+def test_windowed_shipping_path_matches_reference_class(N):
+    """The WINDOWED analogue of the reference-class golden above: the
+    windowed auto path at very large N must stay within 1.5x of the
+    platform-aware windowed f32 class (scipy f32 on the identically
+    windowed input; plus the platform's own monolithic FFT when it
+    compiles) on realistic inputs — the same form of budget the
+    unwindowed test enforces. (Adversarial-tone DISTRIBUTIONS at these
+    sizes are the probes' domain: probes/windowed_large_dist.py.)"""
+    import jax
+    import jax.numpy as jnp
+    import scipy.fft
+    from rtl_power_fftw_tpu.auxdata import make_window
+
+    F = 2
+    w = make_window("hann", N)
+    w64 = w.astype(np.float64)
+    rng = np.random.default_rng(71 + N)
+    t = np.arange(F * N)
+    x = 20.0 * np.exp(2j * np.pi * 0.2347 * t) + 4.0 * (
+        rng.standard_normal(F * N) + 1j * rng.standard_normal(F * N))
+    re8 = np.clip(np.round(x.real + 127), 0, 255).astype(np.uint8)
+    im8 = np.clip(np.round(x.imag + 127), 0, 255).astype(np.uint8)
+    raw = np.stack([re8, im8], axis=-1).reshape(F, 2 * N)
+
+    z = (raw[:, 0::2].astype(np.float64) - 127.0) \
+        + 1j * (raw[:, 1::2].astype(np.float64) - 127.0)
+    X = np.fft.fft(z * w64, axis=1)
+    want = (X.real ** 2 + X.imag ** 2).sum(0)
+
+    zw32 = (z * w64).astype(np.complex64)
+    Xc = scipy.fft.fft(zw32, axis=1)
+    class_err = _max_rel((Xc.real.astype(np.float64) ** 2
+                          + Xc.imag.astype(np.float64) ** 2).sum(0), want)
+    try:
+        Xp = np.asarray(jax.jit(lambda a: jnp.fft.fft(a, axis=1))(zw32))
+        plat_err = _max_rel((Xp.real.astype(np.float64) ** 2
+                             + Xp.imag.astype(np.float64) ** 2).sum(0),
+                            want)
+    except Exception:
+        plat_err = 0.0  # degraded-yard fallback (see unwindowed test)
+
+    step = PsdStep(N, F, window=w, backend="auto")
+    padded = np.concatenate([raw, np.zeros((step.F - F, 2 * N), np.uint8)])
+    inp = padded.view(np.uint16) if step.takes_u16 else padded
+    ours = _max_rel(np.asarray(step(inp, F), np.float64), want)
+    budget = max(1e-5, 1.5 * max(class_err, plat_err))
+    assert ours <= budget, (ours, class_err, plat_err, budget)
