@@ -22,16 +22,79 @@ Diagnostics go to stderr; the JSON line to stdout.
 from __future__ import annotations
 
 import json
+import os
+import signal
+import subprocess
 import sys
 import time
 from functools import partial
 
 import numpy as np
 
+_METRIC = "equivalent IQ throughput per chip @2048-bin averaged PSD"
+_json_emitted = False
+
+
+def _emit(value: float) -> None:
+    """Print the ONE contractual JSON line (at most once per process)."""
+    global _json_emitted
+    if _json_emitted:
+        return
+    _json_emitted = True
+    print(json.dumps({
+        "metric": _METRIC,
+        "value": round(float(value), 4), "unit": "GS/s",
+        "vs_baseline": round(float(value) / 1.0, 4)}), flush=True)
+
+
+def _emit_zero_and_exit(signum, frame):  # pragma: no cover - signal path
+    # If the caller times this bench out (SIGTERM/SIGINT), still honor
+    # the one-JSON-line contract with an honest zero instead of dying
+    # silently mid-measurement.
+    print(f"bench: terminated by signal {signum}", file=sys.stderr)
+    _emit(0.0)
+    os._exit(0)
+
+
+def _backend_recovers(budget_s: float, probe_timeout_s: float) -> bool:
+    """Probe the accelerator transport in FRESH subprocesses until one
+    succeeds or the budget runs out.
+
+    A hung in-process ``jax.devices()`` wedges that process's backend
+    init for good (the abandoned probe thread holds the once-only init),
+    so recovery after a transient transport outage can only be detected
+    from a clean process. Returns True as soon as a subprocess sees the
+    device; the caller's own (fresh) init is then expected to succeed."""
+    deadline = time.monotonic() + budget_s
+    attempt = 0
+    while time.monotonic() < deadline:
+        attempt += 1
+        left = deadline - time.monotonic()
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(len(jax.devices()))"],
+                timeout=min(probe_timeout_s, max(left, 30.0)),
+                capture_output=True)
+            if r.returncode == 0:
+                print(f"bench: backend probe ok on attempt {attempt}",
+                      file=sys.stderr)
+                return True
+            print(f"bench: backend probe attempt {attempt} failed "
+                  f"(rc={r.returncode})", file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"bench: backend probe attempt {attempt} hung",
+                  file=sys.stderr)
+        time.sleep(min(60.0, max(0.0, deadline - time.monotonic())))
+    return False
+
 
 def main() -> None:
-    import jax
-    import jax.numpy as jnp
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(sig, _emit_zero_and_exit)
+        except (ValueError, OSError):  # non-main thread / exotic host
+            pass
 
     N = 2048
     F = 4096          # frames per step (16.8 MB of u8 IQ)
@@ -39,18 +102,28 @@ def main() -> None:
 
     # Bounded backend init: a downed accelerator transport can hang the
     # first jax call forever (observed live). The bench must always emit
-    # its ONE JSON line, so a hang/failure degrades to an honest zero.
+    # its ONE JSON line, so a hang/failure degrades to an honest zero —
+    # after giving a TRANSIENT outage a bounded chance to clear
+    # (subprocess probes; in-process init cannot be retried once hung).
+    probe_timeout = float(os.environ.get("RPF_BACKEND_TIMEOUT", 240.0))
+    retry_budget = float(os.environ.get("RPF_BENCH_RETRY_BUDGET", 600.0))
+    if not _backend_recovers(budget_s=retry_budget,
+                             probe_timeout_s=probe_timeout):
+        print("bench: accelerator transport down for the whole retry "
+              f"budget ({retry_budget:.0f} s)", file=sys.stderr)
+        _emit(0.0)
+        return
+
+    import jax
+    import jax.numpy as jnp
+
     from rtl_power_fftw_tpu.session import _backend_ready
     from rtl_power_fftw_tpu.exceptions import RPFexception
     try:
-        _backend_ready(timeout=float(
-            __import__("os").environ.get("RPF_BACKEND_TIMEOUT", 240.0)))
+        _backend_ready(timeout=probe_timeout)
     except RPFexception as e:
         print(f"bench: {e}", file=sys.stderr)
-        print(json.dumps({
-            "metric": "equivalent IQ throughput per chip @2048-bin "
-                      "averaged PSD",
-            "value": 0.0, "unit": "GS/s", "vs_baseline": 0.0}))
+        _emit(0.0)
         return
 
     dev = jax.devices()[0]
@@ -122,10 +195,7 @@ def main() -> None:
     if t_hi <= t_lo:
         # Unrecoverable: report an explicit 0 rather than a negative or
         # infinite throughput in the one-JSON-line contract.
-        print(json.dumps({
-            "metric": "equivalent IQ throughput per chip @2048-bin averaged PSD",
-            "value": 0.0, "unit": "GS/s", "vs_baseline": 0.0,
-        }))
+        _emit(0.0)
         return
     per_step = (t_hi - t_lo) / (ITER_HI - ITER_LO)
     overhead = t_lo - ITER_LO * per_step
@@ -137,12 +207,7 @@ def main() -> None:
     print(f"per-step {per_step*1e6:.1f} us → {spectra_per_s:,.0f} spectra/s "
           f"= {gsps:.3f} GS/s", file=sys.stderr)
 
-    print(json.dumps({
-        "metric": "equivalent IQ throughput per chip @2048-bin averaged PSD",
-        "value": round(gsps, 4),
-        "unit": "GS/s",
-        "vs_baseline": round(gsps / 1.0, 4),
-    }))
+    _emit(gsps)
 
 
 if __name__ == "__main__":
