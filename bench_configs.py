@@ -75,11 +75,25 @@ def main() -> None:
     # (e.g. --only config3) — for isolated re-measures of one row.
     only = ""
     if "--only" in sys.argv:
-        only = sys.argv[sys.argv.index("--only") + 1]
+        idx = sys.argv.index("--only") + 1
+        if idx >= len(sys.argv):
+            print("usage: bench_configs.py [--quick] [--only <substr>]",
+                  file=sys.stderr)
+            raise SystemExit(2)
+        only = sys.argv[idx]
     dev = jax.devices()[0]
     print(f"device: {dev} ({dev.platform})", file=sys.stderr)
     rng = np.random.default_rng(0)
     rows = []
+
+    def print_table():
+        if only and not rows:
+            print(f"warning: --only {only!r} matched no config",
+                  file=sys.stderr)
+        print("| config | N | frames/step | us/step | spectra/s | GS/s |")
+        print("|---|---|---|---|---|---|")
+        for r in rows:
+            print("| " + " | ".join(str(c) for c in r) + " |")
 
     def measure(name, N, F, lo, hi, window=None, baseline=None, isolate=3):
         """One config: F frames of N bins per step, through the SHIPPING
@@ -147,11 +161,9 @@ def main() -> None:
     # sharded step + psum chained in-program with the slope methodology.
     from jax.sharding import NamedSharding, PartitionSpec as P
     from rtl_power_fftw_tpu.parallel import ShardedPsdStep, make_mesh
-    if only and only not in "config5: 16 streams psum":
-        print("| config | N | frames/step | us/step | spectra/s | GS/s |")
-        print("|---|---|---|---|---|---|")
-        for r in rows:
-            print("| " + " | ".join(str(c) for c in r) + " |")
+    config5_name = "config5: 16 streams psum"
+    if only and only not in config5_name:
+        print_table()
         return
     S, N5, F5 = 16, 2048, 256 if not quick else 128
     mesh = make_mesh(min(len(jax.devices()), S))
@@ -179,16 +191,13 @@ def main() -> None:
 
     per = _slope_time(lambda iters: many5(raw5, iters), lo, hi)
     spectra = S * F5 / per
-    rows.append(("config5: 16 streams psum", N5, S * F5,
+    rows.append((config5_name, N5, S * F5,
                  f"{per*1e6:,.0f}", f"{spectra:,.0f}",
                  f"{spectra*N5/1e9:.2f}"))
     print(f"  config5: {per*1e6:,.0f} us/step, {spectra*N5/1e9:.2f} GS/s",
           file=sys.stderr)
 
-    print("| config | N | frames/step | us/step | spectra/s | GS/s |")
-    print("|---|---|---|---|---|---|")
-    for r in rows:
-        print("| " + " | ".join(str(c) for c in r) + " |")
+    print_table()
 
 
 if __name__ == "__main__":

@@ -42,12 +42,15 @@ def set_ctrl_c_handler(install: bool) -> None:
     test/fault-injection harnesses may escalate programmatically from a
     worker thread, where CPython forbids signal.signal — the escalation
     COUNT is what matters (the session polls it), so a non-main-thread
-    uninstall is a no-op rather than an error."""
+    UNINSTALL is a no-op rather than an error. A failed INSTALL still
+    raises: silently running without the handler would lose the
+    graceful finish-this-pass semantics on a real Ctrl-C."""
     try:
         signal.signal(signal.SIGINT,
                       _handler if install else signal.SIG_DFL)
     except ValueError:  # not the main thread (harness-simulated Ctrl-C)
-        pass
+        if install:
+            raise
 
 
 def reset() -> None:

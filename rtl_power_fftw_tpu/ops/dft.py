@@ -333,9 +333,11 @@ def _split_window(key):
 
     Dequantized IQ samples are 8-bit integers (x ∈ [-127, 128],
     datastore.cxx:75), so x·w_hi needs ≤ 23 significand bits — EXACT in
-    f32 — and x·w_lo (|w_lo| ≤ 2⁻¹⁶|w|) rounds at ~2⁻⁴⁰ relative to
-    x·w. The windowed input is therefore represented exactly as the sum
-    of two f32 planes, which is what lets the hybrid keep its
+    f32 — while x·w_lo still rounds at f32 ε; since |w_lo| ≤ 2⁻¹⁴|w|
+    (9 truncated fraction bits + the f64→f32 rounding of w), that
+    rounding is ~2⁻³⁸ RELATIVE TO x·w. The windowed input is therefore
+    represented as two f32 planes whose sum carries only the tiny w_lo
+    rounding — which is what lets the hybrid keep (almost all of) its
     integer-anchor accuracy under a window (see
     fourstep_hybrid_windowed_psd_partial)."""
     w64 = np.frombuffer(key, dtype=np.float64)
@@ -368,11 +370,13 @@ def fourstep_hybrid_windowed_psd_partial(
     ladder routed around the hybrid.
 
     Fix: split the window into w_hi (15-bit mantissa) + w_lo so that
-    BOTH per-sample products are exact f32 numbers (inputs are 8-bit
-    integers), and push each plane through its own stage-1 FFT —
-    linearity makes FFT(x·w) = FFT(x·w_hi) + FFT(x·w_lo) with the only
-    rounding at the final add (~ε relative, magnitude-dominated by the
-    hi term). Stage 2 and the split twiddle are unchanged. Costs one
+    the DOMINANT per-sample product x·w_hi is an exact f32 number
+    (inputs are 8-bit integers) and the residual product x·w_lo, which
+    does round at f32 ε, is ≤ 2⁻¹⁴ of the total (so its rounding is
+    ~2⁻³⁸ relative to x·w — see _split_window); push each plane through
+    its own stage-1 FFT — linearity makes
+    FFT(x·w) = FFT(x·w_hi) + FFT(x·w_lo) with the remaining rounding at
+    the final add (~ε relative, magnitude-dominated by the hi term). Stage 2 and the split twiddle are unchanged. Costs one
     extra stage-1 FFT. NOTE: this removes the input-REPRESENTATION
     rounding exactly (verified: x·w_hi is bit-exact for all dequant
     values); whether the windowed-hybrid excess error is that component

@@ -51,8 +51,7 @@ BACKEND_TIMEOUT_S = 180.0
 _backend_checked = False
 
 
-def _backend_ready(stderr=None, timeout: Optional[float] = None,
-                   _probe=None) -> None:
+def _backend_ready(timeout: Optional[float] = None, _probe=None) -> None:
     """Raise RPFexception(HardwareError) if the compute backend cannot
     initialize within the deadline (or errors outright).
 
@@ -354,7 +353,7 @@ def run_session(params: Params, source: IQSource, aux: AuxData,
     # open (device.cxx:30-50 → exit 1/2), so the rebuild probes the
     # backend from a daemon thread with a deadline and maps a hang or
     # init error to the hardware-error exit (7).
-    _backend_ready(stderr=err)
+    _backend_ready()
 
     data = datastore if datastore is not None else Datastore(
         params, window=aux.window_values)

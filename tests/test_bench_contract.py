@@ -18,9 +18,10 @@ import pytest
 BENCH = os.path.join(os.path.dirname(__file__), os.pardir, "bench.py")
 
 # Keep children away from the axon TPU tunnel (conftest only fixes the
-# parent process; these tests spawn fresh interpreters).
-CHILD_ENV = {**os.environ, "PALLAS_AXON_POOL_IPS": "",
-             "JAX_PLATFORMS": "cpu"}
+# parent process; these tests spawn fresh interpreters). The bogus
+# platform makes every backend init fail FAST and deterministically.
+DOWN_ENV = {**os.environ, "PALLAS_AXON_POOL_IPS": "",
+            "JAX_PLATFORMS": "bogus-platform"}
 
 
 def _one_json_zero_line(stdout: str):
@@ -34,27 +35,42 @@ def _one_json_zero_line(stdout: str):
 
 
 def test_bench_emits_zero_line_when_backend_never_recovers():
-    # Retry budget 0 → no probe attempt can succeed → honest zero.
+    # Retry budget 0 → no recovery probe can succeed → honest zero.
+    # Malformed RPF_BACKEND_TIMEOUT must be tolerated, not crash.
     r = subprocess.run(
         [sys.executable, BENCH], capture_output=True, text=True,
-        timeout=120, env={**CHILD_ENV, "RPF_BENCH_RETRY_BUDGET": "0"})
+        timeout=180, env={**DOWN_ENV, "RPF_BENCH_RETRY_BUDGET": "0",
+                          "RPF_BACKEND_TIMEOUT": "not-a-number"})
     assert r.returncode == 0, r.stderr
     _one_json_zero_line(r.stdout)
     assert "retry budget" in r.stderr
+    assert "ignoring malformed RPF_BACKEND_TIMEOUT" in r.stderr
+
+
+def test_bench_reexec_marker_short_circuits_the_retry_loop():
+    # After a re-exec the marker forbids a second retry loop (a flapping
+    # transport must not bounce the bench forever).
+    r = subprocess.run(
+        [sys.executable, BENCH], capture_output=True, text=True,
+        timeout=180, env={**DOWN_ENV, "RPF_BENCH_RETRY_BUDGET": "600",
+                          "RPF_BACKEND_TIMEOUT": "60",
+                          "RPF_BENCH_REEXEC": "1"})
+    assert r.returncode == 0, r.stderr
+    _one_json_zero_line(r.stdout)
+    assert "backend probe" not in r.stderr  # no retry loop ran
 
 
 def test_bench_sigterm_still_emits_the_json_line():
-    # An unavailable platform makes every subprocess probe fail fast, so
-    # bench sits in its retry loop; the driver's timeout (SIGTERM) must
-    # still produce the one JSON line.
+    # The unavailable platform makes the in-process init fail fast, so
+    # bench sits in its subprocess retry loop; the driver's timeout
+    # (SIGTERM) must still produce the one JSON line.
     p = subprocess.Popen(
         [sys.executable, BENCH], stdout=subprocess.PIPE,
         stderr=subprocess.PIPE, text=True,
-        env={**CHILD_ENV, "JAX_PLATFORMS": "bogus-platform",
-             "RPF_BENCH_RETRY_BUDGET": "600",
+        env={**DOWN_ENV, "RPF_BENCH_RETRY_BUDGET": "600",
              "RPF_BACKEND_TIMEOUT": "30"})
     try:
-        deadline = time.time() + 60
+        deadline = time.time() + 90
         # Give bench time to install its handlers (module imports run
         # before main()), then deliver the signal; repeat in case the
         # first lands in an uninterruptible spot.
