@@ -65,3 +65,30 @@ def test_real_sigint_delivery():
     err = io.StringIO()
     assert check_interrupt(InterruptState.FinishPass, stderr=err)
     assert "finish this pass" in err.getvalue()
+
+
+def test_non_main_thread_uninstall_tolerated_install_raises():
+    """Worker-thread escalation may UNINSTALL as a no-op (the count is
+    what matters), but a worker-thread INSTALL must fail loudly —
+    silently running without a handler would lose graceful Ctrl-C."""
+    import threading
+
+    results = {}
+
+    def worker():
+        try:
+            set_ctrl_c_handler(False)
+            results["uninstall"] = "ok"
+        except Exception as e:  # pragma: no cover - failure reporting
+            results["uninstall"] = e
+        try:
+            set_ctrl_c_handler(True)
+            results["install"] = "ok"
+        except ValueError:
+            results["install"] = "raised"
+
+    t = threading.Thread(target=worker)
+    t.start()
+    t.join()
+    assert results["uninstall"] == "ok"
+    assert results["install"] == "raised"
