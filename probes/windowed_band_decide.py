@@ -59,8 +59,9 @@ def rel(got, want):
                   / np.maximum(np.abs(want), 1e-30)).max())
 
 
-def make_split_win_step(N, F, w):
-    """PsdStep-shaped wrapper over the split-window hybrid candidate."""
+def make_split_win_step(N, F, w, chunk):
+    """PsdStep-shaped wrapper over the split-window hybrid candidate
+    (same two-stage-sum chunk as the shipping PsdStep at this F)."""
     n1h, n2h = best_hybrid_split(N, min_n1=8)
     w_hi, w_lo = (jnp.asarray(a) for a in split_window(w))
 
@@ -70,7 +71,7 @@ def make_split_win_step(N, F, w):
         fmask = (jax.lax.broadcasted_iota(jnp.int32, (F,), 0)
                  < nv).astype(jnp.float32)
         return fourstep_hybrid_windowed_psd_partial(
-            re, im, fmask, w_hi, w_lo, n1h, n2h, chunk=8)
+            re, im, fmask, w_hi, w_lo, n1h, n2h, chunk=chunk)
 
     class _SW:
         takes_u16 = True
@@ -89,8 +90,10 @@ def make_split_win_step(N, F, w):
 def main():
     mono = jax.jit(lambda z: jnp.fft.fft(z, axis=1))
     for N in NS:
-        F = 8
-        F, _ = adapt_batch(F)
+        # Same frame-count policy as probes/windowed_pow2_direct.py so
+        # speed numbers are comparable with the committed band tables.
+        F = max(8, min(512, (1 << 23) // N))
+        F, chunk = adapt_batch(F)
         w = make_window("hann", N)
         w64 = w.astype(np.float64)
 
@@ -102,7 +105,7 @@ def main():
                 print(f"N={N} {backend}: unavailable ({str(e)[:60]})",
                       flush=True)
         try:
-            steps["split-win"] = make_split_win_step(N, F, w)
+            steps["split-win"] = make_split_win_step(N, F, w, chunk)
         except Exception as e:
             print(f"N={N} split-win: unavailable ({str(e)[:60]})",
                   flush=True)
