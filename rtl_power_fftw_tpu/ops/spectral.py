@@ -485,8 +485,50 @@ class PsdStep:
         if n_valid == self.F:
             if self._nv_full is None:
                 self._nv_full = jnp.int32(self.F)
-            return self._step(raw, self._nv_full)
-        return self._step(raw, jnp.int32(n_valid))
+            nv = self._nv_full
+        else:
+            nv = jnp.int32(n_valid)
+        try:
+            return self._step(raw, nv)
+        except Exception as e:  # noqa: BLE001 - filtered in the handler
+            if not self._fallback_to_matmul(e):
+                raise
+            return self._step(raw, nv)
+
+    def _fallback_to_matmul(self, e: Exception) -> bool:
+        """Last-resort compile resilience for auto's final ladder rung.
+
+        Every rung above the monolithic platform FFT is measured and
+        shape-gated, but the "xla" rung (prime and 2·prime N, degenerate
+        splits) delegates lowering entirely to the backend — and a
+        backend FFT emitter CAN refuse a shape (observed live on this
+        toolchain: a remote-compile window returning UNIMPLEMENTED for
+        bare FFT jits). The matmul DFT always lowers — it is plain MXU
+        dot-generals — and shares the xla rung's u8 input convention, so
+        the session degrades seamlessly instead of dying mid-acquisition
+        (the reference never aborts on a plannable size either: FFTW
+        plans ANY N, datastore.cxx:30-33). Returns True if the step was
+        rebuilt and the dispatch should be retried."""
+        if not (self.backend == "auto" and self.path == "xla"
+                and self.N <= 8192):  # 2·(N,N) f32 weights: 0.5 GiB cap
+            return False
+        msg = f"{type(e).__name__}: {e}"
+        if not any(s in msg for s in ("UNIMPLEMENTED", "Unimplemented",
+                                      "NotImplemented", "unsupported",
+                                      "Unsupported")):
+            return False  # runtime/user errors propagate untouched
+        import sys as _sys
+        print(f"Warning: the platform FFT failed to compile for N={self.N} "
+              f"({type(e).__name__}); falling back to the matmul DFT path.",
+              file=_sys.stderr)
+        self._power = _power_backend("matmul", self.N)
+        self.backend = "matmul"
+        try:
+            self._step = jax.jit(self._make_step())
+        finally:
+            self.backend = "auto"  # keep the user's request introspectable
+        self.path = "matmul"
+        return True
 
     def lowered_fn(self):
         """The raw jitted function, for entry-point/compile checks.

@@ -1,0 +1,73 @@
+"""Compile-failure resilience of auto's monolithic-FFT rung.
+
+Auto's measured ladder covers composite N; prime and 2·prime N delegate
+to the platform's monolithic FFT — the one rung whose lowering the
+framework does not control. A live remote-compile window on this
+toolchain returned UNIMPLEMENTED for exactly such bare FFT jits, which
+would have killed a running session at e.g. -b 509 (N=1018=2·509). The
+PsdStep falls back to the matmul DFT (plain dot-generals, same u8
+convention) and warns instead (ops/spectral.py _fallback_to_matmul).
+"""
+import numpy as np
+import pytest
+
+from rtl_power_fftw_tpu.ops.spectral import PsdStep
+
+
+def _golden(raw, F, N):
+    z = (raw[:F, 0::2].astype(np.float64) - 127.0) \
+        + 1j * (raw[:F, 1::2].astype(np.float64) - 127.0)
+    return (np.abs(np.fft.fft(z, axis=1)) ** 2).sum(0)
+
+
+def _fail_once(exc):
+    state = {"fired": False}
+
+    def step(raw, nv):
+        if not state["fired"]:
+            state["fired"] = True
+            raise exc
+        raise AssertionError("failing stub called twice")
+
+    return step
+
+
+def test_unimplemented_fft_falls_back_to_matmul(capsys):
+    N = 1018  # 2·509: degenerate split → auto lands on the xla rung
+    step = PsdStep(N, 8, backend="auto")
+    assert step.path == "xla"
+    # Simulate the backend refusing to lower the FFT at first dispatch.
+    step._step = _fail_once(RuntimeError(
+        "UNIMPLEMENTED: FFT shape not supported by this emitter"))
+    rng = np.random.default_rng(7)
+    raw = rng.integers(0, 256, size=(step.F, 2 * N), dtype=np.uint8)
+    got = np.asarray(step(raw, 8), dtype=np.float64)
+    want = _golden(raw, 8, N)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    assert step.path == "matmul"
+    assert step.backend == "auto"  # the user's request stays introspectable
+    assert "falling back to the matmul DFT" in capsys.readouterr().err
+    # Subsequent dispatches use the rebuilt step directly.
+    got2 = np.asarray(step(raw, 8), dtype=np.float64)
+    np.testing.assert_allclose(got2, want, rtol=1e-5)
+
+
+def test_other_errors_propagate():
+    N = 1018
+    step = PsdStep(N, 8, backend="auto")
+    step._step = _fail_once(ValueError("boom"))
+    raw = np.zeros((step.F, 2 * N), dtype=np.uint8)
+    with pytest.raises(ValueError, match="boom"):
+        step(raw, 8)
+    assert step.path == "xla"  # no silent rebuild
+
+
+def test_no_fallback_on_composite_paths():
+    # A measured rung (hybrid/fourstep/...) must never be silently
+    # swapped for matmul, even on an UNIMPLEMENTED-class message.
+    step = PsdStep(2048, 8, backend="auto")
+    assert step.path != "xla"
+    step._step = _fail_once(RuntimeError("UNIMPLEMENTED: nope"))
+    raw = np.zeros((step.F, 2048), dtype=np.uint16)
+    with pytest.raises(RuntimeError, match="UNIMPLEMENTED"):
+        step(raw, 8)
