@@ -52,6 +52,7 @@ class ShardedPsdStep:
         self.S = streams
         self.F, self._chunk = adapt_batch(frames_per_step)
         self.combine = combine
+        self._backend_req = backend
         window_arr = None
         if window is not None:
             window_arr = jnp.asarray(np.asarray(window, dtype=np.float32))
@@ -237,9 +238,43 @@ class ShardedPsdStep:
             raw = jax.device_put(raw, self._raw_sharding)
         if not isinstance(n_valid, jax.Array):
             n_valid = np.asarray(n_valid, dtype=np.int32)
-        if self._window is not None:
-            return self._step(raw, n_valid, self._window)
-        return self._step(raw, n_valid)
+        try:
+            if self._window is not None:
+                return self._step(raw, n_valid, self._window)
+            return self._step(raw, n_valid)
+        except Exception as e:  # noqa: BLE001 - filtered in the handler
+            if not self._fallback_to_matmul(e):
+                raise
+            if self._window is not None:
+                return self._step(raw, n_valid, self._window)
+            return self._step(raw, n_valid)
+
+    def _fallback_to_matmul(self, e: Exception) -> bool:
+        """Same compile-failure resilience as PsdStep._fallback_to_matmul
+        (see ops/spectral.py): auto's monolithic-FFT rung (prime/2·prime
+        N) is the only one whose lowering the framework doesn't control;
+        if the backend refuses it, rebuild on the matmul DFT locally
+        (dot-generals always lower; same u8 convention) and retry."""
+        if not (self._backend_req == "auto" and self.path == "xla"
+                and self.N <= 8192):
+            return False
+        msg = f"{type(e).__name__}: {e}"
+        if not any(s in msg for s in ("UNIMPLEMENTED", "Unimplemented",
+                                      "NotImplemented", "unsupported",
+                                      "Unsupported")):
+            return False
+        import sys as _sys
+        print(f"Warning: the platform FFT failed to compile for N={self.N} "
+              f"({type(e).__name__}); falling back to the matmul DFT path "
+              "on each shard.", file=_sys.stderr)
+        window_np = (None if self._window is None
+                     else np.asarray(self._window))
+        self.__init__(self.mesh, self.N, self.F, streams=self.S,
+                      window=window_np, backend="matmul",
+                      combine=self.combine)
+        self._backend_req = "auto"  # the user's request stays visible
+        self.path = "matmul"
+        return True
 
     def example_args(self):
         if self._u16_in:

@@ -71,3 +71,31 @@ def test_no_fallback_on_composite_paths():
     raw = np.zeros((step.F, 2048), dtype=np.uint16)
     with pytest.raises(RuntimeError, match="UNIMPLEMENTED"):
         step(raw, 8)
+
+
+def test_sharded_step_falls_back_too():
+    import jax
+    from rtl_power_fftw_tpu.parallel import ShardedPsdStep, make_mesh
+
+    N = 1018
+    mesh = make_mesh(min(8, len(jax.devices())))
+    step = ShardedPsdStep(mesh, N, 8, streams=8, backend="auto")
+    assert step.path == "xla"
+    state = {"fired": False}
+
+    def failing(*a):
+        state["fired"] = True
+        raise RuntimeError("UNIMPLEMENTED: FFT emitter refused")
+
+    step._step = failing
+    rng = np.random.default_rng(5)
+    raw = rng.integers(0, 256, size=(8, step.F, 2 * N), dtype=np.uint8)
+    nv = np.full((8,), 8, dtype=np.int32)
+    per_stream, combined = step(raw, nv)
+    assert state["fired"]
+    assert step.path == "matmul"
+    assert step._backend_req == "auto"
+    want0 = _golden(raw[0], 8, N)
+    np.testing.assert_allclose(np.asarray(per_stream)[0], want0, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(per_stream).sum(0),
+                               np.asarray(combined), rtol=1e-5)
