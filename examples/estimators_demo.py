@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Tour of the library estimators on one synthetic capture.
 
-Generates a short IQ capture (tone + AM signal + noise) with the same
+Generates a short IQ capture (a 30 dB tone over noise) with the same
 synthetic source the CLI uses, then runs every estimator in
 ``rtl_power_fftw_tpu.models`` over it and prints a one-line summary
 each. No hardware needed; runs on CPU or TPU alike.
@@ -27,6 +27,7 @@ N = 1024
 def main() -> None:
     seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 0.25
     src = make_source("synthetic:tone=100.3M/30,noise=6,seed=42", RATE)
+    assert src.sample_rate == RATE  # make_source applies the rate
     src.set_frequency(100_000_000)
     iq, _ = src.read(int(2 * RATE * seconds))
     print(f"capture: {iq.size // 2} samples @ {RATE/1e6:.3f} MS/s")

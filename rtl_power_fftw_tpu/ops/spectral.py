@@ -119,6 +119,23 @@ def _power_backend(backend: str, N: int) -> Callable[[jax.Array, jax.Array], jax
     raise ValueError(f"unknown fft backend: {backend}")
 
 
+def is_fft_compile_refusal(e: Exception) -> bool:
+    """True when an exception looks like the backend REFUSING TO LOWER a
+    program (compile-time UNIMPLEMENTED/unsupported), as opposed to a
+    runtime/user error. Shared by the PsdStep and ShardedPsdStep
+    monolithic-FFT fallbacks so the two classifiers cannot diverge."""
+    msg = f"{type(e).__name__}: {e}"
+    return any(s in msg for s in ("UNIMPLEMENTED", "Unimplemented",
+                                  "NotImplemented", "unsupported",
+                                  "Unsupported"))
+
+
+# The matmul-DFT fallback materializes 2·(N, N) f32 weight tables; cap the
+# rebuild at 0.5 GiB of weights (N = 8192) — prime/2·prime bin counts in
+# practice are far smaller.
+FFT_FALLBACK_MAX_N = 8192
+
+
 class PsdStep:
     """A jitted device step: (F, 2N) u8 frames → (N,) f32 partial power sum.
 
@@ -157,9 +174,10 @@ class PsdStep:
         self._u16_in = False   # set by _make_step when the pallas kernel ships
         #: which ladder rung _make_step selected for this (N, F, window,
         #: backend, platform) signature: "pallas" | "hybrid" |
-        #: "fourstep" | "fft4" | "xla" — introspection for band tests
+        #: "fourstep" | "fft4" | "xla" (plus "matmul" — explicit request
+        #: or the compile fallback) — introspection for band tests
         #: and users (auto resolves per platform).
-        self.path = "xla"
+        self.path = "matmul" if backend == "matmul" else "xla"
         self._step = jax.jit(self._make_step())
 
     def _make_step(self):
@@ -510,12 +528,9 @@ class PsdStep:
         plans ANY N, datastore.cxx:30-33). Returns True if the step was
         rebuilt and the dispatch should be retried."""
         if not (self.backend == "auto" and self.path == "xla"
-                and self.N <= 8192):  # 2·(N,N) f32 weights: 0.5 GiB cap
+                and self.N <= FFT_FALLBACK_MAX_N):
             return False
-        msg = f"{type(e).__name__}: {e}"
-        if not any(s in msg for s in ("UNIMPLEMENTED", "Unimplemented",
-                                      "NotImplemented", "unsupported",
-                                      "Unsupported")):
+        if not is_fft_compile_refusal(e):
             return False  # runtime/user errors propagate untouched
         import sys as _sys
         print(f"Warning: the platform FFT failed to compile for N={self.N} "

@@ -52,7 +52,9 @@ class ShardedPsdStep:
         self.S = streams
         self.F, self._chunk = adapt_batch(frames_per_step)
         self.combine = combine
-        self._backend_req = backend
+        #: the REQUESTED backend (same public contract as PsdStep.backend;
+        #: ``path`` below is what the ladder actually selected).
+        self.backend = backend
         window_arr = None
         if window is not None:
             window_arr = jnp.asarray(np.asarray(window, dtype=np.float32))
@@ -66,8 +68,10 @@ class ShardedPsdStep:
         # the measured crossover; XLA FFT otherwise.
         self._u16_in = False
         #: selected ladder rung ("pallas" | "hybrid" | "fourstep" |
-        #: "fft4" | "xla") — same introspection contract as PsdStep.path.
-        self.path = "xla"
+        #: "fft4" | "xla" | "matmul" — the last via explicit request or
+        #: the compile fallback) — same introspection contract as
+        #: PsdStep.path.
+        self.path = "matmul" if backend == "matmul" else "xla"
         pallas_kernel = None
         fused = None
         if backend in ("pallas", "auto"):
@@ -255,13 +259,11 @@ class ShardedPsdStep:
         N) is the only one whose lowering the framework doesn't control;
         if the backend refuses it, rebuild on the matmul DFT locally
         (dot-generals always lower; same u8 convention) and retry."""
-        if not (self._backend_req == "auto" and self.path == "xla"
-                and self.N <= 8192):
+        from ..ops.spectral import FFT_FALLBACK_MAX_N, is_fft_compile_refusal
+        if not (self.backend == "auto" and self.path == "xla"
+                and self.N <= FFT_FALLBACK_MAX_N):
             return False
-        msg = f"{type(e).__name__}: {e}"
-        if not any(s in msg for s in ("UNIMPLEMENTED", "Unimplemented",
-                                      "NotImplemented", "unsupported",
-                                      "Unsupported")):
+        if not is_fft_compile_refusal(e):
             return False
         import sys as _sys
         print(f"Warning: the platform FFT failed to compile for N={self.N} "
@@ -272,7 +274,7 @@ class ShardedPsdStep:
         self.__init__(self.mesh, self.N, self.F, streams=self.S,
                       window=window_np, backend="matmul",
                       combine=self.combine)
-        self._backend_req = "auto"  # the user's request stays visible
+        self.backend = "auto"  # the user's request stays introspectable
         self.path = "matmul"
         return True
 

@@ -26,10 +26,15 @@ def make_source(spec: str, sample_rate: int = 2_048_000) -> IQSource:
     kind = kind.strip().lower()
     if kind == "synthetic":
         try:
-            return parse_synthetic_spec(rest)
+            src = parse_synthetic_spec(rest)
         except ValueError as e:
             raise RPFexception(f"Bad --source synthetic spec: {e}",
                                ReturnValue.InvalidArgument)
+        # Honor the requested rate like the file source does (the session
+        # re-applies params.sample_rate anyway, but library callers of
+        # make_source(spec, rate) must not silently get the default).
+        src.set_sample_rate(sample_rate)
+        return src
     if kind == "file":
         path, _, opt = rest.partition(":")
         if not path:

@@ -23,7 +23,7 @@ def _golden(raw, F, N):
 def _fail_once(exc):
     state = {"fired": False}
 
-    def step(raw, nv):
+    def step(*args):
         if not state["fired"]:
             state["fired"] = True
             raise exc
@@ -73,29 +73,31 @@ def test_no_fallback_on_composite_paths():
         step(raw, 8)
 
 
-def test_sharded_step_falls_back_too():
+@pytest.mark.parametrize("windowed", [False, True])
+def test_sharded_step_falls_back_too(windowed):
     import jax
+    from rtl_power_fftw_tpu.auxdata import make_window
     from rtl_power_fftw_tpu.parallel import ShardedPsdStep, make_mesh
 
     N = 1018
+    w = make_window("hann", N) if windowed else None
     mesh = make_mesh(min(8, len(jax.devices())))
-    step = ShardedPsdStep(mesh, N, 8, streams=8, backend="auto")
+    step = ShardedPsdStep(mesh, N, 8, streams=8, window=w, backend="auto")
     assert step.path == "xla"
-    state = {"fired": False}
-
-    def failing(*a):
-        state["fired"] = True
-        raise RuntimeError("UNIMPLEMENTED: FFT emitter refused")
-
-    step._step = failing
+    # _fail_once asserts the dead step is never dispatched twice (the
+    # retry must go through the REBUILT step, not the broken one).
+    step._step = _fail_once(RuntimeError("UNIMPLEMENTED: FFT emitter refused"))
     rng = np.random.default_rng(5)
     raw = rng.integers(0, 256, size=(8, step.F, 2 * N), dtype=np.uint8)
     nv = np.full((8,), 8, dtype=np.int32)
     per_stream, combined = step(raw, nv)
-    assert state["fired"]
     assert step.path == "matmul"
-    assert step._backend_req == "auto"
-    want0 = _golden(raw[0], 8, N)
+    assert step.backend == "auto"
+    z0 = (raw[0, :8, 0::2].astype(np.float64) - 127.0) \
+        + 1j * (raw[0, :8, 1::2].astype(np.float64) - 127.0)
+    if w is not None:
+        z0 = z0 * w.astype(np.float64)  # window survives the re-init
+    want0 = (np.abs(np.fft.fft(z0, axis=1)) ** 2).sum(0)
     np.testing.assert_allclose(np.asarray(per_stream)[0], want0, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(per_stream).sum(0),
                                np.asarray(combined), rtol=1e-5)
