@@ -6,3 +6,4 @@ from .kurtosis import spectral_kurtosis  # noqa: F401
 from .multitaper import multitaper_psd  # noqa: F401
 from .coherence import coherence  # noqa: F401
 from .cyclo import spectral_correlation  # noqa: F401
+from .pfb import pfb_psd, pfb_channelize, pfb_prototype  # noqa: F401
