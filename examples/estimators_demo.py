@@ -17,7 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from rtl_power_fftw_tpu.models import (   # noqa: E402
     bartlett_psd, welch_psd, multitaper_psd, spectral_kurtosis,
-    spectrogram, coherence, spectral_correlation)
+    spectrogram, coherence, spectral_correlation, pfb_psd)
 from rtl_power_fftw_tpu.sources.registry import make_source  # noqa: E402
 
 RATE = 2_048_000
@@ -60,6 +60,11 @@ def main() -> None:
     freqs, gamma2, _ = coherence(iq[:half], iq[half:2 * half], N, RATE)
     print(f"coherence:           median gamma^2 {np.median(gamma2):.3f} "
           "(independent halves → ~0)")
+
+    freqs, psd = pfb_psd(iq, N, RATE, center_freq=100_000_000, taps=4)
+    print(f"pfb_psd (4-tap):     peak {psd.max():7.2f} dB @ "
+          f"{freqs[np.argmax(psd)]/1e6:.4f} MHz "
+          "(sharper channel isolation than the plain FFT)")
 
     alphas, scf, coh = spectral_correlation(iq[:2 * 64 * N], N, RATE,
                                             max_alpha_bins=8)
