@@ -27,7 +27,7 @@ N = 1024
 def main() -> None:
     seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 0.25
     src = make_source("synthetic:tone=100.3M/30,noise=6,seed=42", RATE)
-    assert src.sample_rate == RATE  # make_source applies the rate
+    assert src.sample_rate() == RATE  # make_source applies the rate
     src.set_frequency(100_000_000)
     iq, _ = src.read(int(2 * RATE * seconds))
     print(f"capture: {iq.size // 2} samples @ {RATE/1e6:.3f} MS/s")
