@@ -236,3 +236,13 @@ def test_file_source_zero_copy_slot_passthrough(tmp_path):
         src.read(chunk)             # only 1000 bytes left
     np.testing.assert_array_equal(e.value.partial, data[-1000:])
     src.close()
+
+
+def test_make_source_applies_sample_rate_to_synthetic():
+    """Library callers of make_source(spec, rate) must get a source
+    generating at that rate, not the synthetic default (the session
+    re-applies params.sample_rate itself, but one-shot model users
+    don't)."""
+    from rtl_power_fftw_tpu.sources.registry import make_source
+    src = make_source("synthetic:noise=5,seed=1", 2_400_000)
+    assert src.sample_rate() == 2_400_000
