@@ -156,6 +156,10 @@ class Params:
     window_function: str = ""
     # Welch-style overlap between successive FFT frames, in percent of N.
     welch_overlap: float = 0.0
+    # Polyphase-filterbank estimator: taps per branch (0 = plain FFT
+    # periodogram, the reference's estimator). The prototype filter is a
+    # windowed sinc; --window-function selects its window (default hann).
+    pfb_taps: int = 0
     # Number of parallel IQ streams sharded over the device mesh.
     streams: int = 1
     # Shard each transform across the device mesh (sequence parallelism
@@ -241,6 +245,11 @@ def _build_parser() -> _Parser:
                         "blackman-harris, flattop, bartlett, boxcar).")
     p.add_argument("--welch-overlap", type=float, default=0.0,
                    help="Welch overlap between FFT frames in percent of N (0 = Bartlett).")
+    p.add_argument("--pfb-taps", type=int, default=0, metavar="P",
+                   help="Use a P-tap polyphase filterbank instead of the "
+                        "plain FFT periodogram (sharper channel isolation; "
+                        "prototype = windowed sinc, window from "
+                        "--window-function, default hann). 0 disables.")
     p.add_argument("--streams", type=int, default=1,
                    help="Parallel IQ streams sharded across the TPU mesh.")
     p.add_argument("--shard-transform", action="store_true",
@@ -445,6 +454,7 @@ def parse_args(argv: List[str], stderr=None) -> Params:
     params.source = ns.source
     params.window_function = ns.window_function.lower()
     params.welch_overlap = ns.welch_overlap
+    params.pfb_taps = ns.pfb_taps
     params.streams = max(1, ns.streams)
     params.shard_transform = ns.shard_transform
     params.frames_per_step = ns.frames_per_step
@@ -462,6 +472,26 @@ def parse_args(argv: List[str], stderr=None) -> Params:
         raise RPFexception(
             "--welch-overlap must be in [0, 100). Exiting.",
             ReturnValue.InvalidArgument)
+    if params.pfb_taps:
+        if not (2 <= params.pfb_taps <= 32):
+            raise RPFexception(
+                "--pfb-taps must be in [2, 32] (0 disables). Exiting.",
+                ReturnValue.InvalidArgument)
+        conflicts = []
+        if params.window:
+            conflicts.append("--window (the PFB prototype replaces the "
+                             "window; use --window-function to shape it)")
+        if params.welch_overlap > 0.0:
+            conflicts.append("--welch-overlap")
+        if params.shard_transform:
+            conflicts.append("--shard-transform")
+        if params.streams > 1:
+            conflicts.append("--streams")
+        if conflicts:
+            raise RPFexception(
+                "--pfb-taps cannot be combined with "
+                + ", ".join(conflicts) + ". Exiting.",
+                ReturnValue.InvalidArgument)
     if params.shard_transform and params.N & (params.N - 1):
         raise RPFexception(
             "--shard-transform requires a power-of-two number of bins. "

@@ -133,6 +133,83 @@ def pfb_psd(iq_u8: np.ndarray, M: int, sample_rate: int,
     return bin_frequencies(center_freq, M, sample_rate), psd
 
 
+@functools.lru_cache(maxsize=8)
+def _pfb_session_step(N: int, P: int, F: int, chunk: int):
+    from ..ops.spectral import dequant_iq
+
+    @jax.jit
+    def step(x_u8: jax.Array, n_valid: jax.Array, h: jax.Array) -> jax.Array:
+        # x_u8: (F + P - 1, 2N) u8 — (P-1) history blocks then F new
+        # frames; h: (P, N). Output j (0..F-1) spans x rows j..j+P-1,
+        # i.e. it ENDS at new frame j and never reads rows past j — so
+        # zero-padded staging rows >= n_valid only feed outputs that the
+        # fmask below removes.
+        re, im = dequant_iq(x_u8, F + P - 1, N)
+        sr = jnp.zeros((F, N), jnp.float32)
+        si = jnp.zeros((F, N), jnp.float32)
+        for p in range(P):
+            sr = sr + re[p:p + F] * h[p][None, :]
+            si = si + im[p:p + F] * h[p][None, :]
+        X = jnp.fft.fft(jax.lax.complex(sr, si), axis=1)
+        pwr = jnp.real(X) * jnp.real(X) + jnp.imag(X) * jnp.imag(X)
+        fmask = (jax.lax.broadcasted_iota(jnp.int32, (F,), 0)
+                 < n_valid).astype(jnp.float32)
+        pwr = pwr * fmask[:, None]
+        g = F // chunk
+        return pwr.reshape(g, chunk, N).sum(axis=1).sum(axis=0)
+    return step
+
+
+class PfbSessionStep:
+    """PsdStep-compatible session step running the PFB estimator.
+
+    Same contract as ops.spectral.PsdStep (``.F``, ``.path``,
+    ``__call__(frames (F, 2N) u8, n_valid) -> (N,) f32 async partial``)
+    so pipeline.Datastore can drive it unchanged, plus ``reset()`` which
+    the datastore calls per acquisition so filter history never leaks
+    across retunes. Stateful on purpose: the PFB needs the previous
+    P-1 blocks, which the step carries across batches as a u8 tail
+    (value 127 == zero signal, datastore.cxx:75). The first P-1 outputs
+    of each acquisition therefore see zero prehistory (standard PFB
+    warm-up) — this keeps the ``repeats`` accounting exact: every output
+    frame consumes exactly N new samples, like the reference's spectra.
+    """
+
+    def __init__(self, N: int, frames_per_step: int, taps: int = 4,
+                 window: str = "hann"):
+        from ..ops.spectral import adapt_batch
+        if taps < 2:
+            raise ValueError("pfb taps must be >= 2")
+        self.N = N
+        self.P = taps
+        self.F, self._chunk = adapt_batch(frames_per_step)
+        self.path = "pfb"
+        h = pfb_prototype(N, taps, window)
+        self._h = jnp.asarray(h.reshape(taps, N))
+        self._u16_in = False
+        self._step = _pfb_session_step(N, taps, self.F, self._chunk)
+        self.reset()
+
+    @property
+    def takes_u16(self) -> bool:
+        return False
+
+    def reset(self) -> None:
+        """Clear filter history (new acquisition / retune)."""
+        self._tail = np.full((self.P - 1, 2 * self.N), 127, dtype=np.uint8)
+
+    def __call__(self, raw: np.ndarray, n_valid: int) -> jax.Array:
+        x = np.concatenate([self._tail, raw], axis=0)
+        out = self._step(x, jnp.int32(n_valid), self._h)
+        # History update from VALID rows only (staging pads with zeros).
+        if n_valid >= self.P - 1:
+            self._tail = np.array(raw[n_valid - self.P + 1:n_valid])
+        else:
+            self._tail = np.concatenate(
+                [self._tail, raw[:n_valid]], axis=0)[-(self.P - 1):].copy()
+        return out
+
+
 def pfb_channelize(iq_u8: np.ndarray, M: int,
                    taps: int = 4,
                    prototype: Optional[np.ndarray] = None,

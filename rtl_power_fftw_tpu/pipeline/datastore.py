@@ -87,7 +87,18 @@ class Datastore:
             # Default: one buffer's worth of frames per device step, capped
             # to keep step latency and padding waste balanced.
             frames_per_step = max(1, min(params.buf_length // (2 * params.N), 4096))
-        if (getattr(params, "shard_transform", False)
+        if getattr(params, "pfb_taps", 0) > 1:
+            # Polyphase-filterbank estimator (--pfb-taps): same step
+            # contract, plus per-acquisition history reset (see
+            # begin_acquisition). The (N,) window array is deliberately
+            # ignored here — the PFB's windowed-sinc PROTOTYPE subsumes
+            # it; --window-function names the prototype's window and
+            # parse_args rejects -w window files with --pfb-taps.
+            from ..models.pfb import PfbSessionStep
+            self.step = PfbSessionStep(
+                params.N, frames_per_step, taps=params.pfb_taps,
+                window=params.window_function or "hann")
+        elif (getattr(params, "shard_transform", False)
                 and params.streams <= 1):
             # Sequence parallelism: each transform sharded over the device
             # mesh (distributed four-step FFT, parallel/bigfft.py) instead
@@ -157,6 +168,9 @@ class Datastore:
         self.pwr = np.zeros(self.N, dtype=np.float64)
         self.repeats_done = 0
         self.slicer.reset()
+        reset = getattr(self.step, "reset", None)
+        if reset is not None:
+            reset()  # stateful steps (PFB history) must not leak across retunes
         self._acquisition_finished = False
         self._consumer_error = None
         self._consumer = threading.Thread(target=self._consume, daemon=True)
