@@ -492,6 +492,16 @@ def parse_args(argv: List[str], stderr=None) -> Params:
                 "--pfb-taps cannot be combined with "
                 + ", ".join(conflicts) + ". Exiting.",
                 ReturnValue.InvalidArgument)
+        ignored = []
+        if params.fft_backend != "auto":
+            ignored.append("--fft-backend")
+        if params.precision != "highest":
+            ignored.append("--precision")
+        if ignored:
+            verb = "is" if len(ignored) == 1 else "are"
+            print("Warning: the polyphase filterbank uses its own batched "
+                  f"FFT step; {' and '.join(ignored)} {verb} ignored "
+                  "with --pfb-taps.", file=err)
     if params.shard_transform and params.N & (params.N - 1):
         raise RPFexception(
             "--shard-transform requires a power-of-two number of bins. "

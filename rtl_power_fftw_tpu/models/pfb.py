@@ -45,22 +45,32 @@ def pfb_prototype(M: int, taps: int = 4,
     return h.astype(np.float32)
 
 
+def _pfb_core(xr: jax.Array, xi: jax.Array, h: jax.Array,
+              T: int, M: int, P: int, chunk: int,
+              fmask: Optional[jax.Array] = None) -> jax.Array:
+    """Shared PFB kernel body: S[t] = Σ_p x[t+p]·h[p] (P is static and
+    small, so the loop unrolls into P fused multiply-adds over (T, M)
+    planes), one batched M-point FFT, |X|², optional output-frame mask,
+    then the house two-stage f32 tree sum."""
+    sr = jnp.zeros((T, M), jnp.float32)
+    si = jnp.zeros((T, M), jnp.float32)
+    for p in range(P):
+        sr = sr + xr[p:p + T] * h[p][None, :]
+        si = si + xi[p:p + T] * h[p][None, :]
+    X = jnp.fft.fft(jax.lax.complex(sr, si), axis=1)
+    pwr = jnp.real(X) * jnp.real(X) + jnp.imag(X) * jnp.imag(X)
+    if fmask is not None:
+        pwr = pwr * fmask[:, None]
+    g = T // chunk
+    return pwr.reshape(g, chunk, M).sum(axis=1).sum(axis=0)
+
+
 @functools.lru_cache(maxsize=8)
 def _pfb_step(M: int, P: int, T: int, chunk: int):
     @jax.jit
     def step(xr: jax.Array, xi: jax.Array, h: jax.Array) -> jax.Array:
         # xr, xi: (T + P - 1, M) f32 block planes; h: (P, M) f32.
-        # S[t] = Σ_p x[t+p]·h[p] — P is static and small, so the loop
-        # unrolls into P fused multiply-adds over (T, M) planes.
-        sr = jnp.zeros((T, M), jnp.float32)
-        si = jnp.zeros((T, M), jnp.float32)
-        for p in range(P):
-            sr = sr + xr[p:p + T] * h[p][None, :]
-            si = si + xi[p:p + T] * h[p][None, :]
-        X = jnp.fft.fft(jax.lax.complex(sr, si), axis=1)
-        pwr = jnp.real(X) * jnp.real(X) + jnp.imag(X) * jnp.imag(X)
-        g = T // chunk
-        return pwr.reshape(g, chunk, M).sum(axis=1).sum(axis=0)
+        return _pfb_core(xr, xi, h, T, M, P, chunk)
     return step
 
 
@@ -145,18 +155,9 @@ def _pfb_session_step(N: int, P: int, F: int, chunk: int):
         # zero-padded staging rows >= n_valid only feed outputs that the
         # fmask below removes.
         re, im = dequant_iq(x_u8, F + P - 1, N)
-        sr = jnp.zeros((F, N), jnp.float32)
-        si = jnp.zeros((F, N), jnp.float32)
-        for p in range(P):
-            sr = sr + re[p:p + F] * h[p][None, :]
-            si = si + im[p:p + F] * h[p][None, :]
-        X = jnp.fft.fft(jax.lax.complex(sr, si), axis=1)
-        pwr = jnp.real(X) * jnp.real(X) + jnp.imag(X) * jnp.imag(X)
         fmask = (jax.lax.broadcasted_iota(jnp.int32, (F,), 0)
                  < n_valid).astype(jnp.float32)
-        pwr = pwr * fmask[:, None]
-        g = F // chunk
-        return pwr.reshape(g, chunk, N).sum(axis=1).sum(axis=0)
+        return _pfb_core(re, im, h, F, N, P, chunk, fmask=fmask)
     return step
 
 
@@ -186,7 +187,6 @@ class PfbSessionStep:
         self.path = "pfb"
         h = pfb_prototype(N, taps, window)
         self._h = jnp.asarray(h.reshape(taps, N))
-        self._u16_in = False
         self._step = _pfb_session_step(N, taps, self.F, self._chunk)
         self.reset()
 

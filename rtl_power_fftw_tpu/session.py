@@ -391,8 +391,12 @@ def run_session(params: Params, source: IQSource, aux: AuxData,
         # reference has a single fixed FFTW path (datastore.cxx:30-33).
         active = (multistream.step.path if multistream is not None
                   else data.transform_path)
+        # The PFB estimator has its own fixed step; don't echo a backend
+        # name it never consulted (parse_args warned if one was given).
+        backend_note = ("" if active == "pfb"
+                        else f"backend={params.fft_backend}, ")
         print(f"Transform path: {active} "
-              f"(backend={params.fft_backend}, N={params.N})", file=err)
+              f"({backend_note}N={params.N})", file=err)
 
     if install_sigint:
         set_ctrl_c_handler(True)
