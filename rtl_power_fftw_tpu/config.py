@@ -485,8 +485,6 @@ def parse_args(argv: List[str], stderr=None) -> Params:
             conflicts.append("--welch-overlap")
         if params.shard_transform:
             conflicts.append("--shard-transform")
-        if params.streams > 1:
-            conflicts.append("--streams")
         if conflicts:
             raise RPFexception(
                 "--pfb-taps cannot be combined with "

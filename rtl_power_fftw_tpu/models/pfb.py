@@ -210,6 +210,115 @@ class PfbSessionStep:
         return out
 
 
+class ShardedPfbStep:
+    """PFB estimator over the stream mesh (``--streams`` + ``--pfb-taps``).
+
+    Same call contract as parallel.sharded.ShardedPsdStep — ``(S, F, 2N)``
+    u8 frames + ``(S,)`` n_valid → ``(per_stream (S, N) f32`` sharded on the
+    stream axis, ``combined (N,) f32`` replicated via ONE psum over ICI) —
+    so MultiStreamAcquisition's consumer loop drives it unchanged. The
+    PfbSessionStep's stateful u8 filter history is carried HOST-side per
+    stream as an ``(S, P−1, 2N)`` tail (127-fill == zero signal,
+    datastore.cxx:75) and cleared by ``reset()`` per acquisition, so
+    history never leaks across retunes and never crosses streams. Each
+    device runs the PFB on its local stream shard only; the cross-stream
+    combine is the reference's serial accumulation (datastore.cxx:82-87)
+    as a collective.
+
+    Output accounting matches PfbSessionStep exactly: every output frame
+    consumes N NEW samples of its own stream; the first P−1 outputs of
+    each acquisition see zero prehistory (standard PFB warm-up), so the
+    combined result equals running PfbSessionStep per stream and summing.
+    """
+
+    def __init__(self, mesh, N: int, frames_per_step: int, streams: int,
+                 taps: int = 4, window: str = "hann"):
+        from jax.sharding import NamedSharding, PartitionSpec as Pspec
+        try:  # stable API (jax >= 0.4.35)
+            from jax import shard_map
+        except ImportError:  # pragma: no cover
+            from jax.experimental.shard_map import shard_map
+        from ..ops.spectral import adapt_batch, dequant_iq
+
+        if taps < 2:
+            raise ValueError("pfb taps must be >= 2")
+        axis = mesh.axis_names[0]
+        n_dev = mesh.devices.size
+        if streams % n_dev != 0:
+            raise ValueError(
+                f"streams ({streams}) must be divisible by mesh size ({n_dev})")
+        self.mesh = mesh
+        self.axis = axis
+        self.N = N
+        self.S = streams
+        self.P = taps
+        self.F, self._chunk = adapt_batch(frames_per_step)
+        self.path = "pfb"
+        h = pfb_prototype(N, taps, window)
+        self._h = jnp.asarray(h.reshape(taps, N))
+        N_, F_, P_, chunk = N, self.F, taps, self._chunk
+
+        def local_step(x_u8: jax.Array, n_valid: jax.Array,
+                       h: jax.Array):
+            # x_u8: (S_local, F + P − 1, 2N) u8 — per stream, (P−1)
+            # history rows then F new frames; n_valid: (S_local,) i32.
+            # Output j of stream s spans its x rows j..j+P−1, ENDING at
+            # new frame j (see _pfb_session_step), so zero-padded staging
+            # rows ≥ n_valid only feed outputs the fmask removes.
+            S_l = x_u8.shape[0]
+            R = F_ + P_ - 1
+            re, im = dequant_iq(x_u8.reshape(S_l * R, 2 * N_), S_l * R, N_)
+            re = re.reshape(S_l, R, N_)
+            im = im.reshape(S_l, R, N_)
+            fmask = (jax.lax.broadcasted_iota(jnp.int32, (S_l, F_), 1)
+                     < n_valid[:, None]).astype(jnp.float32)
+            per_stream = jax.vmap(
+                lambda r, i, m: _pfb_core(r, i, h, F_, N_, P_, chunk,
+                                          fmask=m))(re, im, fmask)
+            combined = jax.lax.psum(per_stream.sum(axis=0), axis)
+            return per_stream, combined
+
+        sharded = shard_map(local_step, mesh=mesh,
+                            in_specs=(Pspec(axis), Pspec(axis), Pspec()),
+                            out_specs=(Pspec(axis), Pspec()),
+                            check_vma=False)
+        self._step = jax.jit(sharded)
+        self._raw_sharding = NamedSharding(mesh, Pspec(axis))
+        self.reset()
+
+    @property
+    def takes_u16(self) -> bool:
+        return False
+
+    def reset(self) -> None:
+        """Clear every stream's filter history (new acquisition/retune)."""
+        self._tails = np.full((self.S, self.P - 1, 2 * self.N), 127,
+                              dtype=np.uint8)
+
+    def __call__(self, raw, n_valid) -> Tuple[jax.Array, jax.Array]:
+        """raw: (S, F, 2N) u8, n_valid: (S,) int — host numpy arrays (the
+        history seam is host state, so fully-addressable input only)."""
+        raw_np = raw if isinstance(raw, np.ndarray) else np.asarray(raw)
+        nv = np.asarray(n_valid, dtype=np.int32)
+        x = np.concatenate([self._tails, raw_np], axis=1)
+        out = self._step(jax.device_put(x, self._raw_sharding), nv, self._h)
+        # History update from VALID rows only (staging pads with zeros;
+        # a zero-valid round — e.g. a straggler miss — keeps the tail).
+        for s in range(self.S):
+            v = int(nv[s])
+            if v >= self.P - 1:
+                self._tails[s] = raw_np[s, v - self.P + 1:v]
+            elif v > 0:
+                self._tails[s] = np.concatenate(
+                    [self._tails[s], raw_np[s, :v]], axis=0)[-(self.P - 1):]
+        return out
+
+    def example_args(self):
+        raw = np.zeros((self.S, self.F, 2 * self.N), dtype=np.uint8)
+        nv = np.zeros((self.S,), dtype=np.int32)
+        return (raw, nv)
+
+
 def pfb_channelize(iq_u8: np.ndarray, M: int,
                    taps: int = 4,
                    prototype: Optional[np.ndarray] = None,

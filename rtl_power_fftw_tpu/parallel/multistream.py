@@ -95,7 +95,20 @@ class MultiStreamAcquisition:
             frames_per_step = max(
                 _SUM_CHUNK,
                 min(params.buf_length // (2 * params.N), 2048))
-        if getattr(params, "shard_transform", False):
+        if getattr(params, "pfb_taps", 0) > 1:
+            # --streams S --pfb-taps P: the PFB estimator sharded over the
+            # stream mesh. Same consumer contract as ShardedPsdStep; the
+            # per-stream filter history lives host-side in the step and is
+            # reset per acquisition in run(). The (N,) window array is
+            # ignored for the same reason as the single-stream Datastore:
+            # the PFB prototype subsumes it (parse_args rejects -w with
+            # --pfb-taps; --window-function shapes the prototype).
+            from ..models.pfb import ShardedPfbStep
+            self.step = ShardedPfbStep(
+                mesh, params.N, frames_per_step, streams=S,
+                taps=params.pfb_taps,
+                window=params.window_function or "hann")
+        elif getattr(params, "shard_transform", False):
             # --streams S --shard-transform: the 2-D composition — one
             # mesh row per stream, each row's transforms sequence-sharded
             # over its seq devices (parallel/grid.py). The ShardedPsdStep
@@ -201,6 +214,9 @@ class MultiStreamAcquisition:
         fb = 2 * N
 
         self._tune_all(freq)
+        reset = getattr(self.step, "reset", None)
+        if reset is not None:
+            reset()  # stateful steps (PFB history) must not leak across retunes
 
         queues = [_queue.Queue(maxsize=self.QUEUE_DEPTH) for _ in range(S)]
         items_sem = threading.Semaphore(0)  # one permit per queued item

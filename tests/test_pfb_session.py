@@ -88,8 +88,12 @@ def test_pfb_cli_validation():
     with pytest.raises(RPFexception):
         parse_args(["-f", "100M", "--pfb-taps", "4",
                     "--welch-overlap", "50"])
+    # --streams composes (sharded PFB); --shard-transform still conflicts.
+    p = parse_args(["-f", "100M", "--pfb-taps", "4", "--streams", "4"])
+    assert p.pfb_taps == 4 and p.streams == 4
     with pytest.raises(RPFexception):
-        parse_args(["-f", "100M", "--pfb-taps", "4", "--streams", "4"])
+        parse_args(["-f", "100M", "-n", "1024", "--pfb-taps", "4",
+                    "--streams", "4", "--shard-transform"])
     with pytest.raises(RPFexception):
         parse_args(["-f", "100M", "--pfb-taps", "4", "-w", "win.txt"])
     p = parse_args(["-f", "100M", "--pfb-taps", "4",
