@@ -160,6 +160,14 @@ class Params:
     # periodogram, the reference's estimator). The prototype filter is a
     # windowed sinc; --window-function selects its window (default hann).
     pfb_taps: int = 0
+    # Thomson multitaper estimator: number of DPSS tapers (0 = off). Each
+    # frame is windowed by K orthogonal Slepian tapers and the K
+    # eigenspectra are averaged — the lowest-variance estimator for a
+    # fixed data length.
+    multitaper: int = 0
+    # DPSS time-bandwidth product NW for --multitaper (taper main-lobe
+    # half-width = NW bins).
+    time_bandwidth: float = 4.0
     # Number of parallel IQ streams sharded over the device mesh.
     streams: int = 1
     # Shard each transform across the device mesh (sequence parallelism
@@ -250,6 +258,14 @@ def _build_parser() -> _Parser:
                         "plain FFT periodogram (sharper channel isolation; "
                         "prototype = windowed sinc, window from "
                         "--window-function, default hann). 0 disables.")
+    p.add_argument("--multitaper", type=int, default=0, metavar="K",
+                   help="Average K DPSS (Slepian) eigenspectra per frame "
+                        "(Thomson multitaper): lowest estimator variance "
+                        "for a fixed data length. 0 disables.")
+    p.add_argument("--time-bandwidth", type=float, default=4.0,
+                   metavar="NW",
+                   help="DPSS time-bandwidth product for --multitaper "
+                        "(default 4.0; resolution-variance trade-off).")
     p.add_argument("--streams", type=int, default=1,
                    help="Parallel IQ streams sharded across the TPU mesh.")
     p.add_argument("--shard-transform", action="store_true",
@@ -455,6 +471,8 @@ def parse_args(argv: List[str], stderr=None) -> Params:
     params.window_function = ns.window_function.lower()
     params.welch_overlap = ns.welch_overlap
     params.pfb_taps = ns.pfb_taps
+    params.multitaper = ns.multitaper
+    params.time_bandwidth = ns.time_bandwidth
     params.streams = max(1, ns.streams)
     params.shard_transform = ns.shard_transform
     params.frames_per_step = ns.frames_per_step
@@ -500,6 +518,54 @@ def parse_args(argv: List[str], stderr=None) -> Params:
             print("Warning: the polyphase filterbank uses its own batched "
                   f"FFT step; {' and '.join(ignored)} {verb} ignored "
                   "with --pfb-taps.", file=err)
+    if params.multitaper:
+        if not (1 <= params.multitaper <= 32):
+            raise RPFexception(
+                "--multitaper must be in [1, 32] (0 disables). Exiting.",
+                ReturnValue.InvalidArgument)
+        if params.multitaper > params.N:
+            raise RPFexception(
+                f"--multitaper K ({params.multitaper}) cannot exceed the "
+                f"number of bins ({params.N}). Exiting.",
+                ReturnValue.InvalidArgument)
+        if not (1.0 <= params.time_bandwidth <= 64.0):
+            raise RPFexception(
+                "--time-bandwidth must be in [1, 64]. Exiting.",
+                ReturnValue.InvalidArgument)
+        conflicts = []
+        if params.window:
+            conflicts.append("--window (DPSS tapers replace the window)")
+        if params.window_function:
+            conflicts.append("--window-function")
+        if params.welch_overlap > 0.0:
+            conflicts.append("--welch-overlap")
+        if params.pfb_taps:
+            conflicts.append("--pfb-taps")
+        if params.shard_transform:
+            conflicts.append("--shard-transform")
+        if conflicts:
+            raise RPFexception(
+                "--multitaper cannot be combined with "
+                + ", ".join(conflicts) + ". Exiting.",
+                ReturnValue.InvalidArgument)
+        if params.multitaper > 2 * params.time_bandwidth - 1:
+            print(f"Warning: only the first ~2NW-1 = "
+                  f"{int(2 * params.time_bandwidth - 1)} DPSS tapers are "
+                  "well concentrated; extra tapers raise leakage. Consider "
+                  "a larger --time-bandwidth.", file=err)
+        ignored = []
+        if params.fft_backend != "auto":
+            ignored.append("--fft-backend")
+        if params.precision != "highest":
+            ignored.append("--precision")
+        if ignored:
+            verb = "is" if len(ignored) == 1 else "are"
+            print("Warning: the multitaper estimator uses its own batched "
+                  f"transform step; {' and '.join(ignored)} {verb} ignored "
+                  "with --multitaper.", file=err)
+    elif params.time_bandwidth != 4.0:
+        print("Warning: --time-bandwidth has no effect without "
+              "--multitaper.", file=err)
     if params.shard_transform and params.N & (params.N - 1):
         raise RPFexception(
             "--shard-transform requires a power-of-two number of bins. "

@@ -57,6 +57,210 @@ def _mt_step(N: int, F: int, K: int, backend: str):
     return step
 
 
+@functools.lru_cache(maxsize=8)
+def _mt_partial_step(N: int, F: int, K: int, chunk: int, mode: str):
+    """Session device step: (F, 2N) u8 + scalar n_valid + (K, N) tapers →
+    (N,) f32 partial (Σ_frames mean_tapers |FFT|²), unshifted bins.
+
+    mode selects the transform for the (F·K, N) tapered batch:
+    "fourstep" — the all-matmul four-step partial (the windowed-band
+    choice on TPU: tapered input is windowed-class, and it never touches
+    the platform's monolithic FFT lowering); "xla" — the platform FFT
+    (the class yardstick on CPU); "matmul" — direct DFT (compile
+    fallback, same role as PsdStep's)."""
+    from ..ops.dft import best_fourstep_split, fourstep_psd_partial
+    from ..ops.spectral import dft_power_matmul
+
+    if mode == "fourstep":
+        n1, n2 = best_fourstep_split(N)
+
+    @jax.jit
+    def step(raw, n_valid, tapers):
+        re, im = dequant_iq(raw, F, N)
+        re_t = (re[:, None, :] * tapers[None]).reshape(F * K, N)
+        im_t = (im[:, None, :] * tapers[None]).reshape(F * K, N)
+        fmask = (jax.lax.broadcasted_iota(jnp.int32, (F,), 0)
+                 < n_valid).astype(jnp.float32)
+        fmask_t = jnp.repeat(fmask, K)
+        if mode == "fourstep":
+            total = fourstep_psd_partial(re_t, im_t, fmask_t, n1, n2,
+                                         chunk=chunk)
+        else:
+            if mode == "matmul":
+                p = dft_power_matmul(re_t, im_t)
+            else:
+                X = jnp.fft.fft(jax.lax.complex(re_t, im_t), axis=1)
+                p = jnp.real(X) ** 2 + jnp.imag(X) ** 2
+            p = p * fmask_t[:, None]
+            g = (F * K) // chunk
+            total = p.reshape(g, chunk, N).sum(1).sum(0)
+        return total / np.float32(K)
+
+    return step
+
+
+def _mt_mode(N: int) -> str:
+    """Transform choice for the tapered batch (see _mt_partial_step)."""
+    from ..ops.dft import best_fourstep_split
+    n1, _ = best_fourstep_split(N)
+    if jax.default_backend() == "tpu" and n1 >= 8 and N <= 65536:
+        return "fourstep"
+    return "xla"
+
+
+def _session_tapers(N: int, NW: float, K: int):
+    """(K, N) DPSS tapers in the session's output-unit convention:
+    unit-energy Slepians rescaled by √N so a flat spectrum matches the
+    boxcar/reference normalization (same convention as multitaper_psd)."""
+    from ..exceptions import ReturnValue, RPFexception
+    try:
+        t = dpss_tapers(N, NW, K)
+    except RuntimeError as e:
+        raise RPFexception(f"{e}. Exiting.",
+                           ReturnValue.InvalidArgument) from e
+    return t * np.sqrt(np.float32(N))
+
+
+class MultitaperSessionStep:
+    """PsdStep-compatible session step for the Thomson multitaper
+    estimator (``--multitaper K``): same contract as ops.spectral.PsdStep
+    (``.F``, ``.path``, ``__call__(frames (F, 2N) u8, n_valid) -> (N,)
+    f32 async partial``), stateless, so pipeline.Datastore drives it
+    unchanged. Each frame still consumes exactly N new samples —
+    ``repeats`` accounting, timing, and `.met` semantics match the
+    reference's spectra; only the per-frame estimator changes
+    (K eigenspectra averaged instead of one boxcar periodogram,
+    datastore.cxx:66-88)."""
+
+    def __init__(self, N: int, frames_per_step: int, K: int,
+                 NW: float = 4.0):
+        from ..ops.spectral import adapt_batch
+        self.N = N
+        self.K = K
+        self.F, self._chunk = adapt_batch(frames_per_step)
+        self.path = "multitaper"
+        self._tapers = jnp.asarray(_session_tapers(N, NW, K))
+        self._mode = _mt_mode(N)
+        self._step = _mt_partial_step(N, self.F, K, self._chunk, self._mode)
+
+    @property
+    def takes_u16(self) -> bool:
+        return False
+
+    def __call__(self, raw: np.ndarray, n_valid: int) -> jax.Array:
+        try:
+            return self._step(raw, jnp.int32(n_valid), self._tapers)
+        except Exception as e:  # noqa: BLE001 - filtered below
+            if not self._fallback_to_matmul(e):
+                raise
+            return self._step(raw, jnp.int32(n_valid), self._tapers)
+
+    def _fallback_to_matmul(self, e: Exception) -> bool:
+        """Same compile-failure resilience as PsdStep (ops/spectral.py):
+        only the "xla" mode touches the platform's monolithic FFT
+        lowering; if the backend refuses it, rebuild on the direct
+        matmul DFT and retry."""
+        from ..ops.spectral import FFT_FALLBACK_MAX_N, is_fft_compile_refusal
+        if self._mode != "xla" or self.N > FFT_FALLBACK_MAX_N:
+            return False
+        if not is_fft_compile_refusal(e):
+            return False
+        import sys as _sys
+        print(f"Warning: the platform FFT failed to compile for N={self.N} "
+              f"({type(e).__name__}); the multitaper step falls back to "
+              "the matmul DFT path.", file=_sys.stderr)
+        self._mode = "matmul"
+        self._step = _mt_partial_step(self.N, self.F, self.K, self._chunk,
+                                      "matmul")
+        return True
+
+
+class ShardedMultitaperStep:
+    """The multitaper estimator over the stream mesh (``--streams`` +
+    ``--multitaper``): same call contract as parallel.sharded.
+    ShardedPsdStep — (S, F, 2N) u8 + (S,) n_valid → (per_stream (S, N)
+    sharded, combined (N,) replicated via one psum over ICI). Stateless
+    (no reset needed): eigenspectrum averaging commutes with any
+    partition of the frames, so the combined result equals running
+    MultitaperSessionStep per stream and summing."""
+
+    def __init__(self, mesh, N: int, frames_per_step: int, streams: int,
+                 K: int, NW: float = 4.0):
+        from jax.sharding import NamedSharding, PartitionSpec as Pspec
+        try:  # stable API (jax >= 0.4.35)
+            from jax import shard_map
+        except ImportError:  # pragma: no cover
+            from jax.experimental.shard_map import shard_map
+        from ..ops.dft import best_fourstep_split, fourstep_psd_partial
+        from ..ops.spectral import adapt_batch, dft_power_matmul
+
+        axis = mesh.axis_names[0]
+        n_dev = mesh.devices.size
+        if streams % n_dev != 0:
+            raise ValueError(
+                f"streams ({streams}) must be divisible by mesh size ({n_dev})")
+        self.mesh = mesh
+        self.axis = axis
+        self.N = N
+        self.S = streams
+        self.K = K
+        self.F, self._chunk = adapt_batch(frames_per_step)
+        self.path = "multitaper"
+        self._tapers = jnp.asarray(_session_tapers(N, NW, K))
+        mode = _mt_mode(N)
+        N_, F_, K_, chunk = N, self.F, K, self._chunk
+        if mode == "fourstep":
+            n1, n2 = best_fourstep_split(N)
+
+        def one_stream(re, im, fmask, tapers):
+            re_t = (re[:, None, :] * tapers[None]).reshape(F_ * K_, N_)
+            im_t = (im[:, None, :] * tapers[None]).reshape(F_ * K_, N_)
+            fmask_t = jnp.repeat(fmask, K_)
+            if mode == "fourstep":
+                total = fourstep_psd_partial(re_t, im_t, fmask_t, n1, n2,
+                                             chunk=chunk)
+            else:
+                X = jnp.fft.fft(jax.lax.complex(re_t, im_t), axis=1)
+                p = (jnp.real(X) ** 2 + jnp.imag(X) ** 2) * fmask_t[:, None]
+                g = (F_ * K_) // chunk
+                total = p.reshape(g, chunk, N_).sum(1).sum(0)
+            return total / np.float32(K_)
+
+        def local_step(raw, n_valid, tapers):
+            # raw: (S_local, F, 2N) u8; n_valid: (S_local,) i32.
+            S_l = raw.shape[0]
+            re, im = dequant_iq(raw.reshape(S_l * F_, 2 * N_), S_l * F_, N_)
+            fmask = (jax.lax.broadcasted_iota(jnp.int32, (S_l, F_), 1)
+                     < n_valid[:, None]).astype(jnp.float32)
+            per_stream = jax.vmap(
+                lambda r, i, m: one_stream(r, i, m, tapers))(
+                re.reshape(S_l, F_, N_), im.reshape(S_l, F_, N_), fmask)
+            combined = jax.lax.psum(per_stream.sum(axis=0), axis)
+            return per_stream, combined
+
+        sharded = shard_map(local_step, mesh=mesh,
+                            in_specs=(Pspec(axis), Pspec(axis), Pspec()),
+                            out_specs=(Pspec(axis), Pspec()),
+                            check_vma=False)
+        self._step = jax.jit(sharded)
+        self._raw_sharding = NamedSharding(mesh, Pspec(axis))
+
+    @property
+    def takes_u16(self) -> bool:
+        return False
+
+    def __call__(self, raw, n_valid) -> Tuple[jax.Array, jax.Array]:
+        if isinstance(raw, np.ndarray):
+            raw = jax.device_put(raw, self._raw_sharding)
+        nv = np.asarray(n_valid, dtype=np.int32)
+        return self._step(raw, nv, self._tapers)
+
+    def example_args(self):
+        raw = np.zeros((self.S, self.F, 2 * self.N), dtype=np.uint8)
+        nv = np.zeros((self.S,), dtype=np.int32)
+        return (raw, nv)
+
+
 def multitaper_psd(iq_u8: np.ndarray, N: int, sample_rate: int,
                    center_freq: int = 0,
                    NW: float = 4.0, K: Optional[int] = None,

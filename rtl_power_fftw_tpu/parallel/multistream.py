@@ -108,6 +108,13 @@ class MultiStreamAcquisition:
                 mesh, params.N, frames_per_step, streams=S,
                 taps=params.pfb_taps,
                 window=params.window_function or "hann")
+        elif getattr(params, "multitaper", 0) >= 1:
+            # --streams S --multitaper K: the Thomson estimator sharded
+            # over the stream mesh (stateless; same consumer contract).
+            from ..models.multitaper import ShardedMultitaperStep
+            self.step = ShardedMultitaperStep(
+                mesh, params.N, frames_per_step, streams=S,
+                K=params.multitaper, NW=params.time_bandwidth)
         elif getattr(params, "shard_transform", False):
             # --streams S --shard-transform: the 2-D composition — one
             # mesh row per stream, each row's transforms sequence-sharded

@@ -98,6 +98,15 @@ class Datastore:
             self.step = PfbSessionStep(
                 params.N, frames_per_step, taps=params.pfb_taps,
                 window=params.window_function or "hann")
+        elif getattr(params, "multitaper", 0) >= 1:
+            # Thomson multitaper estimator (--multitaper K): stateless
+            # PsdStep-contract step averaging K DPSS eigenspectra per
+            # frame. parse_args rejects -w/--window-function with it
+            # (the tapers replace the window), so `window` is None here.
+            from ..models.multitaper import MultitaperSessionStep
+            self.step = MultitaperSessionStep(
+                params.N, frames_per_step, K=params.multitaper,
+                NW=params.time_bandwidth)
         elif (getattr(params, "shard_transform", False)
                 and params.streams <= 1):
             # Sequence parallelism: each transform sharded over the device

@@ -391,9 +391,10 @@ def run_session(params: Params, source: IQSource, aux: AuxData,
         # reference has a single fixed FFTW path (datastore.cxx:30-33).
         active = (multistream.step.path if multistream is not None
                   else data.transform_path)
-        # The PFB estimator has its own fixed step; don't echo a backend
-        # name it never consulted (parse_args warned if one was given).
-        backend_note = ("" if active == "pfb"
+        # The PFB and multitaper estimators have their own fixed steps;
+        # don't echo a backend name they never consulted (parse_args
+        # warned if one was given).
+        backend_note = ("" if active in ("pfb", "multitaper")
                         else f"backend={params.fft_backend}, ")
         print(f"Transform path: {active} "
               f"({backend_note}N={params.N})", file=err)
