@@ -101,11 +101,8 @@ def _mt_partial_step(N: int, F: int, K: int, chunk: int, mode: str):
 
 def _mt_mode(N: int) -> str:
     """Transform choice for the tapered batch (see _mt_partial_step)."""
-    from ..ops.dft import best_fourstep_split
-    n1, _ = best_fourstep_split(N)
-    if jax.default_backend() == "tpu" and n1 >= 8 and N <= 65536:
-        return "fourstep"
-    return "xla"
+    from ..ops.spectral import tapered_batch_mode
+    return tapered_batch_mode(N)
 
 
 def _session_tapers(N: int, NW: float, K: int):
@@ -187,12 +184,7 @@ class ShardedMultitaperStep:
     def __init__(self, mesh, N: int, frames_per_step: int, streams: int,
                  K: int, NW: float = 4.0):
         from jax.sharding import NamedSharding, PartitionSpec as Pspec
-        try:  # stable API (jax >= 0.4.35)
-            from jax import shard_map
-        except ImportError:  # pragma: no cover
-            from jax.experimental.shard_map import shard_map
-        from ..ops.dft import best_fourstep_split, fourstep_psd_partial
-        from ..ops.spectral import adapt_batch, dft_power_matmul
+        from ..ops.spectral import adapt_batch
 
         axis = mesh.axis_names[0]
         n_dev = mesh.devices.size
@@ -207,10 +199,23 @@ class ShardedMultitaperStep:
         self.F, self._chunk = adapt_batch(frames_per_step)
         self.path = "multitaper"
         self._tapers = jnp.asarray(_session_tapers(N, NW, K))
-        mode = _mt_mode(N)
-        N_, F_, K_, chunk = N, self.F, K, self._chunk
+        self._raw_sharding = NamedSharding(mesh, Pspec(axis))
+        self._mode = _mt_mode(N)
+        self._build(self._mode)
+
+    def _build(self, mode: str) -> None:
+        from jax.sharding import PartitionSpec as Pspec
+        try:  # stable API (jax >= 0.4.35)
+            from jax import shard_map
+        except ImportError:  # pragma: no cover
+            from jax.experimental.shard_map import shard_map
+        from ..ops.dft import best_fourstep_split, fourstep_psd_partial
+        from ..ops.spectral import dft_power_matmul
+
+        axis = self.axis
+        N_, F_, K_, chunk = self.N, self.F, self.K, self._chunk
         if mode == "fourstep":
-            n1, n2 = best_fourstep_split(N)
+            n1, n2 = best_fourstep_split(N_)
 
         def one_stream(re, im, fmask, tapers):
             re_t = (re[:, None, :] * tapers[None]).reshape(F_ * K_, N_)
@@ -220,8 +225,12 @@ class ShardedMultitaperStep:
                 total = fourstep_psd_partial(re_t, im_t, fmask_t, n1, n2,
                                              chunk=chunk)
             else:
-                X = jnp.fft.fft(jax.lax.complex(re_t, im_t), axis=1)
-                p = (jnp.real(X) ** 2 + jnp.imag(X) ** 2) * fmask_t[:, None]
+                if mode == "matmul":
+                    p = dft_power_matmul(re_t, im_t)
+                else:
+                    X = jnp.fft.fft(jax.lax.complex(re_t, im_t), axis=1)
+                    p = jnp.real(X) ** 2 + jnp.imag(X) ** 2
+                p = p * fmask_t[:, None]
                 g = (F_ * K_) // chunk
                 total = p.reshape(g, chunk, N_).sum(1).sum(0)
             return total / np.float32(K_)
@@ -238,22 +247,43 @@ class ShardedMultitaperStep:
             combined = jax.lax.psum(per_stream.sum(axis=0), axis)
             return per_stream, combined
 
-        sharded = shard_map(local_step, mesh=mesh,
+        sharded = shard_map(local_step, mesh=self.mesh,
                             in_specs=(Pspec(axis), Pspec(axis), Pspec()),
                             out_specs=(Pspec(axis), Pspec()),
                             check_vma=False)
         self._step = jax.jit(sharded)
-        self._raw_sharding = NamedSharding(mesh, Pspec(axis))
 
     @property
     def takes_u16(self) -> bool:
         return False
 
+    def _fallback_to_matmul(self, e: Exception) -> bool:
+        """Same compile-failure resilience as ShardedPsdStep: only the
+        "xla" mode touches the monolithic-FFT lowering; on refusal
+        rebuild each shard's transform on the direct matmul DFT."""
+        from ..ops.spectral import FFT_FALLBACK_MAX_N, is_fft_compile_refusal
+        if self._mode != "xla" or self.N > FFT_FALLBACK_MAX_N:
+            return False
+        if not is_fft_compile_refusal(e):
+            return False
+        import sys as _sys
+        print(f"Warning: the platform FFT failed to compile for N={self.N} "
+              f"({type(e).__name__}); the sharded multitaper step falls "
+              "back to the matmul DFT path on each shard.", file=_sys.stderr)
+        self._mode = "matmul"
+        self._build("matmul")
+        return True
+
     def __call__(self, raw, n_valid) -> Tuple[jax.Array, jax.Array]:
         if isinstance(raw, np.ndarray):
             raw = jax.device_put(raw, self._raw_sharding)
         nv = np.asarray(n_valid, dtype=np.int32)
-        return self._step(raw, nv, self._tapers)
+        try:
+            return self._step(raw, nv, self._tapers)
+        except Exception as e:  # noqa: BLE001 - filtered in the handler
+            if not self._fallback_to_matmul(e):
+                raise
+            return self._step(raw, nv, self._tapers)
 
     def example_args(self):
         raw = np.zeros((self.S, self.F, 2 * self.N), dtype=np.uint8)

@@ -47,18 +47,35 @@ def pfb_prototype(M: int, taps: int = 4,
 
 def _pfb_core(xr: jax.Array, xi: jax.Array, h: jax.Array,
               T: int, M: int, P: int, chunk: int,
-              fmask: Optional[jax.Array] = None) -> jax.Array:
+              fmask: Optional[jax.Array] = None,
+              mode: str = "xla") -> jax.Array:
     """Shared PFB kernel body: S[t] = Σ_p x[t+p]·h[p] (P is static and
     small, so the loop unrolls into P fused multiply-adds over (T, M)
-    planes), one batched M-point FFT, |X|², optional output-frame mask,
-    then the house two-stage f32 tree sum."""
+    planes), one batched M-point transform, |X|², optional output-frame
+    mask, then the house two-stage f32 tree sum.
+
+    The polyphase sums are windowed-class planes, so ``mode`` follows
+    ops.spectral.tapered_batch_mode: "fourstep" — the all-matmul
+    four-step partial on the TPU band (tone-robust there, never touches
+    the platform's monolithic-FFT lowering); "xla" — the platform FFT
+    (the class yardstick on CPU); "matmul" — direct DFT (compile
+    fallback, same role as PsdStep's)."""
     sr = jnp.zeros((T, M), jnp.float32)
     si = jnp.zeros((T, M), jnp.float32)
     for p in range(P):
         sr = sr + xr[p:p + T] * h[p][None, :]
         si = si + xi[p:p + T] * h[p][None, :]
-    X = jnp.fft.fft(jax.lax.complex(sr, si), axis=1)
-    pwr = jnp.real(X) * jnp.real(X) + jnp.imag(X) * jnp.imag(X)
+    if mode == "fourstep":
+        from ..ops.dft import best_fourstep_split, fourstep_psd_partial
+        n1, n2 = best_fourstep_split(M)
+        m = fmask if fmask is not None else jnp.ones((T,), jnp.float32)
+        return fourstep_psd_partial(sr, si, m, n1, n2, chunk=chunk)
+    if mode == "matmul":
+        from ..ops.dft import dft_power_matmul
+        pwr = dft_power_matmul(sr, si)
+    else:
+        X = jnp.fft.fft(jax.lax.complex(sr, si), axis=1)
+        pwr = jnp.real(X) * jnp.real(X) + jnp.imag(X) * jnp.imag(X)
     if fmask is not None:
         pwr = pwr * fmask[:, None]
     g = T // chunk
@@ -66,11 +83,11 @@ def _pfb_core(xr: jax.Array, xi: jax.Array, h: jax.Array,
 
 
 @functools.lru_cache(maxsize=8)
-def _pfb_step(M: int, P: int, T: int, chunk: int):
+def _pfb_step(M: int, P: int, T: int, chunk: int, mode: str = "xla"):
     @jax.jit
     def step(xr: jax.Array, xi: jax.Array, h: jax.Array) -> jax.Array:
         # xr, xi: (T + P - 1, M) f32 block planes; h: (P, M) f32.
-        return _pfb_core(xr, xi, h, T, M, P, chunk)
+        return _pfb_core(xr, xi, h, T, M, P, chunk, mode=mode)
     return step
 
 
@@ -125,11 +142,13 @@ def pfb_psd(iq_u8: np.ndarray, M: int, sample_rate: int,
     im = (iq[1:used:2].astype(np.float32) - np.float32(127.0)).reshape(-1, M)
     h_dev = jnp.asarray(h.reshape(P, M))
 
+    from ..ops.spectral import tapered_batch_mode
+    mode = tapered_batch_mode(M)
     pwr = np.zeros(M, dtype=np.float64)
     start = 0
     while start < T_total:
         T = min(frames_per_step, T_total - start)
-        step = _pfb_step(M, P, T, _chunk_for(T))
+        step = _pfb_step(M, P, T, _chunk_for(T), mode)
         # Batches share P-1 rows of input history at the seam.
         xr = re[start:start + T + P - 1]
         xi = im[start:start + T + P - 1]
@@ -144,7 +163,8 @@ def pfb_psd(iq_u8: np.ndarray, M: int, sample_rate: int,
 
 
 @functools.lru_cache(maxsize=8)
-def _pfb_session_step(N: int, P: int, F: int, chunk: int):
+def _pfb_session_step(N: int, P: int, F: int, chunk: int,
+                      mode: str = "xla"):
     from ..ops.spectral import dequant_iq
 
     @jax.jit
@@ -157,7 +177,7 @@ def _pfb_session_step(N: int, P: int, F: int, chunk: int):
         re, im = dequant_iq(x_u8, F + P - 1, N)
         fmask = (jax.lax.broadcasted_iota(jnp.int32, (F,), 0)
                  < n_valid).astype(jnp.float32)
-        return _pfb_core(re, im, h, F, N, P, chunk, fmask=fmask)
+        return _pfb_core(re, im, h, F, N, P, chunk, fmask=fmask, mode=mode)
     return step
 
 
@@ -178,7 +198,7 @@ class PfbSessionStep:
 
     def __init__(self, N: int, frames_per_step: int, taps: int = 4,
                  window: str = "hann"):
-        from ..ops.spectral import adapt_batch
+        from ..ops.spectral import adapt_batch, tapered_batch_mode
         if taps < 2:
             raise ValueError("pfb taps must be >= 2")
         self.N = N
@@ -187,7 +207,9 @@ class PfbSessionStep:
         self.path = "pfb"
         h = pfb_prototype(N, taps, window)
         self._h = jnp.asarray(h.reshape(taps, N))
-        self._step = _pfb_session_step(N, taps, self.F, self._chunk)
+        self._mode = tapered_batch_mode(N)
+        self._step = _pfb_session_step(N, taps, self.F, self._chunk,
+                                       self._mode)
         self.reset()
 
     @property
@@ -198,9 +220,33 @@ class PfbSessionStep:
         """Clear filter history (new acquisition / retune)."""
         self._tail = np.full((self.P - 1, 2 * self.N), 127, dtype=np.uint8)
 
+    def _fallback_to_matmul(self, e: Exception) -> bool:
+        """Same compile-failure resilience as PsdStep (ops/spectral.py):
+        only the "xla" mode touches the platform's monolithic-FFT
+        lowering; on refusal rebuild the jitted step on the direct
+        matmul DFT (filter history is untouched) and retry."""
+        from ..ops.spectral import FFT_FALLBACK_MAX_N, is_fft_compile_refusal
+        if self._mode != "xla" or self.N > FFT_FALLBACK_MAX_N:
+            return False
+        if not is_fft_compile_refusal(e):
+            return False
+        import sys as _sys
+        print(f"Warning: the platform FFT failed to compile for N={self.N} "
+              f"({type(e).__name__}); the PFB step falls back to the "
+              "matmul DFT path.", file=_sys.stderr)
+        self._mode = "matmul"
+        self._step = _pfb_session_step(self.N, self.P, self.F, self._chunk,
+                                       "matmul")
+        return True
+
     def __call__(self, raw: np.ndarray, n_valid: int) -> jax.Array:
         x = np.concatenate([self._tail, raw], axis=0)
-        out = self._step(x, jnp.int32(n_valid), self._h)
+        try:
+            out = self._step(x, jnp.int32(n_valid), self._h)
+        except Exception as e:  # noqa: BLE001 - filtered in the handler
+            if not self._fallback_to_matmul(e):
+                raise
+            out = self._step(x, jnp.int32(n_valid), self._h)
         # History update from VALID rows only (staging pads with zeros).
         if n_valid >= self.P - 1:
             self._tail = np.array(raw[n_valid - self.P + 1:n_valid])
@@ -234,11 +280,7 @@ class ShardedPfbStep:
     def __init__(self, mesh, N: int, frames_per_step: int, streams: int,
                  taps: int = 4, window: str = "hann"):
         from jax.sharding import NamedSharding, PartitionSpec as Pspec
-        try:  # stable API (jax >= 0.4.35)
-            from jax import shard_map
-        except ImportError:  # pragma: no cover
-            from jax.experimental.shard_map import shard_map
-        from ..ops.spectral import adapt_batch, dequant_iq
+        from ..ops.spectral import adapt_batch, tapered_batch_mode
 
         if taps < 2:
             raise ValueError("pfb taps must be >= 2")
@@ -256,7 +298,21 @@ class ShardedPfbStep:
         self.path = "pfb"
         h = pfb_prototype(N, taps, window)
         self._h = jnp.asarray(h.reshape(taps, N))
-        N_, F_, P_, chunk = N, self.F, taps, self._chunk
+        self._raw_sharding = NamedSharding(mesh, Pspec(axis))
+        self._mode = tapered_batch_mode(N)
+        self._build(self._mode)
+        self.reset()
+
+    def _build(self, mode: str) -> None:
+        from jax.sharding import PartitionSpec as Pspec
+        try:  # stable API (jax >= 0.4.35)
+            from jax import shard_map
+        except ImportError:  # pragma: no cover
+            from jax.experimental.shard_map import shard_map
+        from ..ops.spectral import dequant_iq
+
+        axis = self.axis
+        N_, F_, P_, chunk = self.N, self.F, self.P, self._chunk
 
         def local_step(x_u8: jax.Array, n_valid: jax.Array,
                        h: jax.Array):
@@ -274,17 +330,15 @@ class ShardedPfbStep:
                      < n_valid[:, None]).astype(jnp.float32)
             per_stream = jax.vmap(
                 lambda r, i, m: _pfb_core(r, i, h, F_, N_, P_, chunk,
-                                          fmask=m))(re, im, fmask)
+                                          fmask=m, mode=mode))(re, im, fmask)
             combined = jax.lax.psum(per_stream.sum(axis=0), axis)
             return per_stream, combined
 
-        sharded = shard_map(local_step, mesh=mesh,
+        sharded = shard_map(local_step, mesh=self.mesh,
                             in_specs=(Pspec(axis), Pspec(axis), Pspec()),
                             out_specs=(Pspec(axis), Pspec()),
                             check_vma=False)
         self._step = jax.jit(sharded)
-        self._raw_sharding = NamedSharding(mesh, Pspec(axis))
-        self.reset()
 
     @property
     def takes_u16(self) -> bool:
@@ -301,7 +355,13 @@ class ShardedPfbStep:
         raw_np = raw if isinstance(raw, np.ndarray) else np.asarray(raw)
         nv = np.asarray(n_valid, dtype=np.int32)
         x = np.concatenate([self._tails, raw_np], axis=1)
-        out = self._step(jax.device_put(x, self._raw_sharding), nv, self._h)
+        x_dev = jax.device_put(x, self._raw_sharding)
+        try:
+            out = self._step(x_dev, nv, self._h)
+        except Exception as e:  # noqa: BLE001 - filtered in the handler
+            if not self._fallback_to_matmul(e):
+                raise
+            out = self._step(x_dev, nv, self._h)
         # History update from VALID rows only (staging pads with zeros;
         # a zero-valid round — e.g. a straggler miss — keeps the tail).
         for s in range(self.S):
@@ -312,6 +372,24 @@ class ShardedPfbStep:
                 self._tails[s] = np.concatenate(
                     [self._tails[s], raw_np[s, :v]], axis=0)[-(self.P - 1):]
         return out
+
+    def _fallback_to_matmul(self, e: Exception) -> bool:
+        """Same compile-failure resilience as ShardedPsdStep: only the
+        "xla" mode touches the monolithic-FFT lowering; on refusal
+        rebuild each shard's transform on the direct matmul DFT (filter
+        history is untouched) and retry."""
+        from ..ops.spectral import FFT_FALLBACK_MAX_N, is_fft_compile_refusal
+        if self._mode != "xla" or self.N > FFT_FALLBACK_MAX_N:
+            return False
+        if not is_fft_compile_refusal(e):
+            return False
+        import sys as _sys
+        print(f"Warning: the platform FFT failed to compile for N={self.N} "
+              f"({type(e).__name__}); the sharded PFB step falls back to "
+              "the matmul DFT path on each shard.", file=_sys.stderr)
+        self._mode = "matmul"
+        self._build("matmul")
+        return True
 
     def example_args(self):
         raw = np.zeros((self.S, self.F, 2 * self.N), dtype=np.uint8)

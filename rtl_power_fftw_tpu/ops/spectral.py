@@ -136,6 +136,20 @@ def is_fft_compile_refusal(e: Exception) -> bool:
 FFT_FALLBACK_MAX_N = 8192
 
 
+def tapered_batch_mode(N: int) -> str:
+    """Transform choice for estimator steps whose input planes are
+    already windowed-class (multitaper's tapered batch, the PFB's
+    polyphase sums): "fourstep" — the all-matmul four-step partial on
+    the TPU band (the windowed-band pick: tone-robust there, and it
+    never touches the platform's monolithic-FFT lowering) — or "xla",
+    the platform FFT (the class yardstick on CPU; prime/huge N)."""
+    from .dft import best_fourstep_split
+    n1, _ = best_fourstep_split(N)
+    if jax.default_backend() == "tpu" and n1 >= 8 and N <= 65536:
+        return "fourstep"
+    return "xla"
+
+
 class PsdStep:
     """A jitted device step: (F, 2N) u8 frames → (N,) f32 partial power sum.
 

@@ -101,3 +101,78 @@ def test_sharded_step_falls_back_too(windowed):
     np.testing.assert_allclose(np.asarray(per_stream)[0], want0, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(per_stream).sum(0),
                                np.asarray(combined), rtol=1e-5)
+
+
+def test_pfb_session_step_falls_back(capsys):
+    """The PFB estimator's "xla" mode has the same fallback; filter
+    history survives the rebuild."""
+    from rtl_power_fftw_tpu.models.pfb import PfbSessionStep
+    from test_pfb_session import _direct_pfb_pwr
+
+    N, P, F = 64, 3, 8
+    step = PfbSessionStep(N, F, taps=P)
+    assert step._mode == "xla"
+    step._step = _fail_once(RuntimeError("UNIMPLEMENTED: FFT refused"))
+    rng = np.random.default_rng(3)
+    raw = rng.integers(0, 256, size=(F, 2 * N), dtype=np.uint8)
+    got = np.asarray(step(raw, F), dtype=np.float64)
+    want = _direct_pfb_pwr(raw, N, P)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    assert step._mode == "matmul" and step.path == "pfb"
+    assert "PFB step falls back" in capsys.readouterr().err
+    # History carried into the next (rebuilt) dispatch as usual.
+    raw2 = rng.integers(0, 256, size=(F, 2 * N), dtype=np.uint8)
+    got2 = np.asarray(step(raw2, F), dtype=np.float64)
+    want2 = _direct_pfb_pwr(np.vstack([raw, raw2]), N, P) - want
+    np.testing.assert_allclose(got2, want2, rtol=1e-4)
+
+
+def test_sharded_pfb_step_falls_back(capsys):
+    import jax
+    from rtl_power_fftw_tpu.models.pfb import ShardedPfbStep
+    from test_pfb_session import _direct_pfb_pwr
+
+    N, P, F, S = 64, 3, 8, 8
+    mesh_size = min(8, len(jax.devices()))
+    from rtl_power_fftw_tpu.parallel import make_mesh
+    step = ShardedPfbStep(make_mesh(mesh_size), N, F, streams=S, taps=P)
+    assert step._mode == "xla"
+    step._step = _fail_once(RuntimeError("UNIMPLEMENTED: FFT refused"))
+    rng = np.random.default_rng(4)
+    raw = rng.integers(0, 256, size=(S, F, 2 * N), dtype=np.uint8)
+    nv = np.full((S,), F, dtype=np.int32)
+    per_stream, combined = step(raw, nv)
+    assert step._mode == "matmul"
+    assert "sharded PFB step falls back" in capsys.readouterr().err
+    want0 = _direct_pfb_pwr(raw[0], N, P)
+    np.testing.assert_allclose(np.asarray(per_stream)[0], want0, rtol=1e-5)
+
+
+def test_multitaper_steps_fall_back(capsys):
+    import jax
+    from rtl_power_fftw_tpu.models.multitaper import (
+        MultitaperSessionStep, ShardedMultitaperStep)
+    from rtl_power_fftw_tpu.parallel import make_mesh
+    from test_multitaper_session import _direct_mt_pwr
+
+    N, K, F, S = 64, 3, 8, 8
+    step = MultitaperSessionStep(N, F, K=K)
+    assert step._mode == "xla"
+    step._step = _fail_once(RuntimeError("UNIMPLEMENTED: FFT refused"))
+    rng = np.random.default_rng(6)
+    raw = rng.integers(0, 256, size=(F, 2 * N), dtype=np.uint8)
+    got = np.asarray(step(raw, F), dtype=np.float64)
+    np.testing.assert_allclose(got, _direct_mt_pwr(raw, N, K), rtol=1e-5)
+    assert step._mode == "matmul"
+
+    sstep = ShardedMultitaperStep(make_mesh(min(8, len(jax.devices()))),
+                                  N, F, streams=S, K=K)
+    assert sstep._mode == "xla"
+    sstep._step = _fail_once(RuntimeError("UNIMPLEMENTED: FFT refused"))
+    sraw = rng.integers(0, 256, size=(S, F, 2 * N), dtype=np.uint8)
+    ps, comb = sstep(sraw, np.full((S,), F, np.int32))
+    assert sstep._mode == "matmul"
+    np.testing.assert_allclose(np.asarray(ps)[0],
+                               _direct_mt_pwr(sraw[0], N, K), rtol=1e-5)
+    errtext = capsys.readouterr().err
+    assert "multitaper step falls back" in errtext

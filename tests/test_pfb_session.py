@@ -119,3 +119,22 @@ def test_pfb_session_e2e_tone_peak(tmp_path):
     assert len(rows) == 256
     peak_freq = freqs[np.argmax(vals)]
     assert abs(peak_freq - 100.2e6) < 2 * params.sample_rate / 256
+
+
+def test_pfb_fourstep_mode_matches_direct():
+    """The TPU-band transform for the polyphase sums ("fourstep" mode —
+    all-matmul four-step on the windowed-class planes, never the
+    monolithic FFT) is numerically interchangeable with the XLA mode,
+    pinned here on CPU where both lower."""
+    import jax.numpy as jnp
+    from rtl_power_fftw_tpu.models.pfb import _pfb_session_step
+
+    N, P, F, chunk = 64, 3, 8, 8
+    step = _pfb_session_step(N, P, F, chunk, "fourstep")
+    h = pfb_prototype(N, P).reshape(P, N)
+    rng = np.random.default_rng(12)
+    raw = rng.integers(0, 256, size=(F, 2 * N), dtype=np.uint8)
+    x = np.vstack([np.full((P - 1, 2 * N), 127, np.uint8), raw])
+    got = np.asarray(step(x, jnp.int32(F), jnp.asarray(h)), np.float64)
+    want = _direct_pfb_pwr(raw, N, P)
+    np.testing.assert_allclose(got, want, rtol=2e-5)
