@@ -168,6 +168,10 @@ class Params:
     # DPSS time-bandwidth product NW for --multitaper (taper main-lobe
     # half-width = NW bins).
     time_bandwidth: float = 4.0
+    # Spectral-kurtosis sidecar (RFI flagging): accumulate the second
+    # moment Σ|X|⁴ alongside the PSD and write per-bin SK to this file
+    # (empty = off). The averaged spectrum itself is unchanged.
+    sk_file: str = ""
     # Number of parallel IQ streams sharded over the device mesh.
     streams: int = 1
     # Shard each transform across the device mesh (sequence parallelism
@@ -266,6 +270,11 @@ def _build_parser() -> _Parser:
                    metavar="NW",
                    help="DPSS time-bandwidth product for --multitaper "
                         "(default 4.0; resolution-variance trade-off).")
+    p.add_argument("--sk-file", type=str, default="", metavar="FILE",
+                   help="Write per-bin spectral kurtosis (Nita-Gary "
+                        "generalized SK; Gaussian expectation 1) to FILE "
+                        "alongside each spectrum — per-bin RFI flagging "
+                        "without touching the averaged PSD.")
     p.add_argument("--streams", type=int, default=1,
                    help="Parallel IQ streams sharded across the TPU mesh.")
     p.add_argument("--shard-transform", action="store_true",
@@ -473,6 +482,7 @@ def parse_args(argv: List[str], stderr=None) -> Params:
     params.pfb_taps = ns.pfb_taps
     params.multitaper = ns.multitaper
     params.time_bandwidth = ns.time_bandwidth
+    params.sk_file = ns.sk_file
     params.streams = max(1, ns.streams)
     params.shard_transform = ns.shard_transform
     params.frames_per_step = ns.frames_per_step
@@ -566,6 +576,30 @@ def parse_args(argv: List[str], stderr=None) -> Params:
     elif params.time_bandwidth != 4.0:
         print("Warning: --time-bandwidth has no effect without "
               "--multitaper.", file=err)
+    if params.sk_file:
+        conflicts = []
+        if params.welch_overlap > 0.0:
+            # Overlapped frames are correlated; the SK null distribution
+            # assumes independent spectra.
+            conflicts.append("--welch-overlap")
+        if params.pfb_taps:
+            conflicts.append("--pfb-taps")
+        if params.multitaper:
+            conflicts.append("--multitaper")
+        if params.streams > 1:
+            conflicts.append("--streams")
+        if params.shard_transform:
+            conflicts.append("--shard-transform")
+        if conflicts:
+            raise RPFexception(
+                "--sk-file cannot be combined with "
+                + ", ".join(conflicts) + ". Exiting.",
+                ReturnValue.InvalidArgument)
+        if params.fft_backend in ("pallas", "hybrid", "fft4"):
+            print("Warning: --sk-file needs per-frame spectra for the "
+                  "second moment, which the fused "
+                  f"'{params.fft_backend}' path does not expose; using "
+                  "the auto per-frame transform instead.", file=err)
     if params.shard_transform and params.N & (params.N - 1):
         raise RPFexception(
             "--shard-transform requires a power-of-two number of bins. "

@@ -49,6 +49,83 @@ def _sk_step(N: int, F: int, windowed: bool, backend: str):
     return step
 
 
+def compute_sk(s1: np.ndarray, s2: np.ndarray, M: int) -> np.ndarray:
+    """Generalized SK from accumulated moments (Nita & Gary 2010):
+    SK = (M+1)/(M−1)·(M·S2/S1² − 1), float64, unshifted bin order."""
+    s1 = np.asarray(s1, dtype=np.float64)
+    s2 = np.asarray(s2, dtype=np.float64)
+    return (M + 1.0) / (M - 1.0) * (
+        M * s2 / np.maximum(s1 * s1, 1e-300) - 1.0)
+
+
+class SkSessionStep:
+    """PsdStep-compatible session step that accumulates BOTH spectral
+    moments (``--sk-file``): same contract as ops.spectral.PsdStep except
+    ``moments = 2`` — ``__call__`` returns the pair ``(s1, s2)`` of (N,)
+    f32 async partials (Σ|X|², Σ|X|⁴ over valid frames), which
+    pipeline.Datastore accumulates separately. ``s1`` is bit-identical in
+    role to the plain PSD accumulator, so the averaged spectrum written
+    to stdout is unchanged by the sidecar; the marginal device cost is
+    one elementwise square and one extra reduction.
+
+    The second moment needs PER-FRAME spectra, so the fused
+    (pre-accumulated) kernel paths don't apply; the transform follows
+    ops.spectral.tapered_batch_mode's band choice (all-matmul four-step
+    on the TPU band, platform FFT elsewhere, matmul DFT on explicit
+    request or compile fallback)."""
+
+    moments = 2
+
+    def __init__(self, N: int, frames_per_step: int,
+                 window: Optional[np.ndarray] = None,
+                 backend: str = "auto"):
+        from ..ops.spectral import tapered_batch_mode
+        self.N = N
+        self.F, _ = adapt_batch(frames_per_step)
+        if backend in ("matmul", "fourstep", "xla"):
+            self._mode = backend
+        else:
+            self._mode = tapered_batch_mode(N)
+        self.backend = backend
+        self.path = self._mode
+        self._w = ()
+        if window is not None:
+            import jax.numpy as _jnp
+            self._w = (_jnp.asarray(np.asarray(window, np.float32)),)
+        self._windowed = window is not None
+        self._step = _sk_step(N, self.F, self._windowed, self._mode)
+
+    @property
+    def takes_u16(self) -> bool:
+        return False
+
+    def _fallback_to_matmul(self, e: Exception) -> bool:
+        """Same compile-failure resilience as PsdStep: only the "xla"
+        mode touches the monolithic-FFT lowering."""
+        from ..ops.spectral import FFT_FALLBACK_MAX_N, is_fft_compile_refusal
+        if self._mode != "xla" or self.N > FFT_FALLBACK_MAX_N:
+            return False
+        if not is_fft_compile_refusal(e):
+            return False
+        import sys as _sys
+        print(f"Warning: the platform FFT failed to compile for N={self.N} "
+              f"({type(e).__name__}); the SK step falls back to the matmul "
+              "DFT path.", file=_sys.stderr)
+        self._mode = "matmul"
+        self.path = "matmul"
+        self._step = _sk_step(self.N, self.F, self._windowed, "matmul")
+        return True
+
+    def __call__(self, raw: np.ndarray, n_valid: int):
+        import jax.numpy as _jnp
+        try:
+            return self._step(raw, _jnp.int32(n_valid), *self._w)
+        except Exception as e:  # noqa: BLE001 - filtered in the handler
+            if not self._fallback_to_matmul(e):
+                raise
+            return self._step(raw, _jnp.int32(n_valid), *self._w)
+
+
 def spectral_kurtosis(iq_u8: np.ndarray, N: int, sample_rate: int,
                       center_freq: int = 0,
                       repeats: Optional[int] = None,

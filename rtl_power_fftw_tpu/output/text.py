@@ -70,3 +70,39 @@ class TextWriter:
         (rtl_power_fftw.cxx:184-194)."""
         self.stream.write("\n")
         self.stream.flush()
+
+
+class SkWriter:
+    """Spectral-kurtosis sidecar (``--sk-file``): same line formatting,
+    timestamps, and blank-line separators as the main text output so
+    every downstream tool that parses one parses the other. No DC-bin
+    interpolation — RFI flagging wants the true DC statistic."""
+
+    def __init__(self, stream: IO[str]):
+        self.stream = stream
+
+    def write_sk(self, freqs: Iterable[float], sk: Iterable[float],
+                 start_timestamp: str, end_timestamp: str,
+                 tuned_freq: int, actual_samplerate: int, N: int,
+                 spectra: int) -> None:
+        out = self.stream
+        out.write("# rtl-power-fftw spectral kurtosis\n")
+        out.write(f"# Acquisition start: {start_timestamp}\n")
+        out.write(f"# Acquisition end: {end_timestamp}\n")
+        out.write(f"# Spectra accumulated: {spectra}\n")
+        out.write("#\n")
+        out.write("# frequency [Hz] spectral kurtosis "
+                  "(Gaussian expectation 1)\n")
+        fprec = freq_precision(tuned_freq, actual_samplerate, N)
+        lines = []
+        for f, v in zip(np.asarray(freqs, dtype=np.float64),
+                        np.asarray(sk, dtype=np.float64)):
+            lines.append(f"{cxx_float(f, fprec)} "
+                         f"{cxx_float(v, POWER_PRECISION)}\n")
+        out.write("".join(lines))
+        out.write("\n")
+        out.flush()
+
+    def end_measurement_set(self) -> None:
+        self.stream.write("\n")
+        self.stream.flush()

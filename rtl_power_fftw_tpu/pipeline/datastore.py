@@ -37,6 +37,8 @@ from ..ops.spectral import FrameSlicer, PsdStep
 class AcquisitionResult:
     pwr: np.ndarray            # (N,) float64, unshifted bins
     repeats_done: int
+    #: Σ|X|⁴ second moment (only with a moments=2 step, e.g. --sk-file).
+    pwr2: Optional[np.ndarray] = None
 
 
 class _ShardedTransformStep:
@@ -107,6 +109,14 @@ class Datastore:
             self.step = MultitaperSessionStep(
                 params.N, frames_per_step, K=params.multitaper,
                 NW=params.time_bandwidth)
+        elif getattr(params, "sk_file", ""):
+            # Spectral-kurtosis sidecar (--sk-file): the step accumulates
+            # BOTH moments; s1 doubles as the ordinary PSD accumulator so
+            # the averaged spectrum is unchanged by the sidecar.
+            from ..models.kurtosis import SkSessionStep
+            self.step = SkSessionStep(params.N, frames_per_step,
+                                      window=window,
+                                      backend=params.fft_backend)
         elif (getattr(params, "shard_transform", False)
                 and params.streams <= 1):
             # Sequence parallelism: each transform sharded over the device
@@ -140,7 +150,9 @@ class Datastore:
         self._acquisition_finished = False
 
         # Accumulator state (reset per acquisition).
+        self.moments = getattr(self.step, "moments", 1)
         self.pwr = np.zeros(self.N, dtype=np.float64)
+        self.pwr2 = np.zeros(self.N, dtype=np.float64)  # used iff moments == 2
         self.repeats_done = 0
         self._consumer: Optional[threading.Thread] = None
         self._consumer_error: Optional[BaseException] = None
@@ -175,6 +187,7 @@ class Datastore:
         """Reset accumulator and start the consumer thread (the reference
         spawns fftThread per acquisition, acquisition.cxx:256)."""
         self.pwr = np.zeros(self.N, dtype=np.float64)
+        self.pwr2 = np.zeros(self.N, dtype=np.float64)
         self.repeats_done = 0
         self.slicer.reset()
         reset = getattr(self.step, "reset", None)
@@ -214,7 +227,9 @@ class Datastore:
         self._consumer.join()
         if self._consumer_error is not None:
             raise self._consumer_error
-        return AcquisitionResult(pwr=self.pwr, repeats_done=self.repeats_done)
+        return AcquisitionResult(
+            pwr=self.pwr, repeats_done=self.repeats_done,
+            pwr2=self.pwr2 if self.moments == 2 else None)
 
     # --- consumer (device dispatch) ---
 
@@ -222,11 +237,18 @@ class Datastore:
         try:
             pending: Deque = collections.deque()  # in-flight device partials
 
+            two_moments = self.moments == 2
+
             def drain(to_len: int) -> None:
                 while len(pending) > to_len:
                     partial = pending.popleft()
                     # np.asarray blocks until the device step is done.
-                    self.pwr += np.asarray(partial, dtype=np.float64)
+                    if two_moments:
+                        s1, s2 = partial
+                        self.pwr += np.asarray(s1, dtype=np.float64)
+                        self.pwr2 += np.asarray(s2, dtype=np.float64)
+                    else:
+                        self.pwr += np.asarray(partial, dtype=np.float64)
 
             F = self.step.F
             frame_bytes = 2 * self.N

@@ -126,6 +126,7 @@ class Acquisition:
         self.successfulReadouts = 0
         self.repeats_done = 0
         self.pwr: Optional[np.ndarray] = None
+        self.pwr2: Optional[np.ndarray] = None  # Σ|X|⁴ (--sk-file)
         self.multistream = multistream
         self.record = record      # open binary file: raw consumed IQ copy
         self.stream_eof = False
@@ -246,6 +247,7 @@ class Acquisition:
 
         result = self.data.finish_acquisition()
         self.pwr = result.pwr
+        self.pwr2 = result.pwr2
         self.repeats_done = result.repeats_done
 
     def unique_samples(self) -> int:
@@ -413,7 +415,16 @@ def run_session(params: Params, source: IQSource, aux: AuxData,
         matrix_writer.truncate()
 
     record = None
+    sk_writer = None
+    sk_stream = None
     try:
+        if params.sk_file:
+            # Spectral-kurtosis sidecar (--sk-file): truncate at session
+            # start like the matrix .bin (rtl_power_fftw.cxx:122-128).
+            from .output.text import SkWriter
+            sk_stream = open(params.sk_file, "w")
+            sk_writer = SkWriter(sk_stream)
+            print(f"Writing spectral kurtosis to {params.sk_file}", file=err)
         if params.record_file and multistream is None:
             # Raw-IQ capture (extension): one file for the whole session;
             # with hopping the per-hop streams are appended in scan order.
@@ -435,7 +446,8 @@ def run_session(params: Params, source: IQSource, aux: AuxData,
     try:
         return _session_loop(params, aux, source, data, multistream, record,
                              plan, stats, actual_samplerate, text_writer,
-                             matrix_writer, err, exit_time)
+                             matrix_writer, err, exit_time,
+                             sk_writer=sk_writer)
     finally:
         # Close capture files on EVERY exit path (errors included), so
         # buffered tails are flushed and library callers don't leak fds.
@@ -443,11 +455,13 @@ def run_session(params: Params, source: IQSource, aux: AuxData,
             record.close()
         if multistream is not None:
             multistream.stop_recording()
+        if sk_stream is not None:
+            sk_stream.close()
 
 
 def _session_loop(params, aux, source, data, multistream, record, plan,
                   stats, actual_samplerate, text_writer, matrix_writer,
-                  err, exit_time) -> ReturnValue:
+                  err, exit_time, sk_writer=None) -> ReturnValue:
     """The measurement loop proper (rtl_power_fftw.cxx:132-225)."""
     params.finalfreq = plan.freqs_to_tune[-1]
     freqs_meta_needed = True
@@ -514,6 +528,21 @@ def _session_loop(params, aux, source, data, multistream, record, plan,
 
             values = acquisition.write_data(text_writer, matrix_writer)
             any_written = True
+            if (sk_writer is not None and acquisition.pwr2 is not None
+                    and acquisition.repeats_done >= 2):
+                # SK needs M >= 2 (the (M+1)/(M−1) estimator); a 1-spectrum
+                # partial hop writes no SK block.
+                from .models.kurtosis import compute_sk
+                sk_vals = np.fft.fftshift(compute_sk(
+                    acquisition.pwr, acquisition.pwr2,
+                    acquisition.repeats_done))
+                sk_writer.write_sk(
+                    bin_frequencies(acquisition.tuned_freq, params.N,
+                                    actual_samplerate),
+                    sk_vals, acquisition.startAcqTimestamp,
+                    acquisition.endAcqTimestamp, acquisition.tuned_freq,
+                    actual_samplerate, params.N,
+                    spectra=acquisition.repeats_done)
             if params.stitch_file:
                 pass_spectra.append(
                     (bin_frequencies(acquisition.tuned_freq, params.N,
@@ -591,8 +620,12 @@ def _session_loop(params, aux, source, data, multistream, record, plan,
                 do_exit = True
                 print("Session duration elapsed.", file=err)
                 text_writer.end_measurement_set()
+                if sk_writer is not None:
+                    sk_writer.end_measurement_set()
         else:
             text_writer.end_measurement_set()
+            if sk_writer is not None:
+                sk_writer.end_measurement_set()
 
         if params.endless:
             do_exit = False

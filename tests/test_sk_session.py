@@ -1,0 +1,203 @@
+"""--sk-file: the spectral-kurtosis sidecar as a session-level path.
+
+The sidecar accumulates the second moment Σ|X|⁴ alongside the ordinary
+PSD (Nita & Gary generalized SK) and writes per-bin SK to a separate
+file; the averaged spectrum on stdout must be unchanged by it.
+"""
+import io
+
+import numpy as np
+import pytest
+
+from rtl_power_fftw_tpu.config import parse_args
+from rtl_power_fftw_tpu.exceptions import RPFexception
+from rtl_power_fftw_tpu.models.kurtosis import (SkSessionStep, _sk_step,
+                                                compute_sk)
+from rtl_power_fftw_tpu.ops.spectral import PsdStep
+
+
+def _direct_moments(raw_frames, N, window=None):
+    """Float64 session-semantics moments: per valid frame, |FFT|² and its
+    square, summed — the yardstick for both accumulators."""
+    z = ((raw_frames[:, 0::2].astype(np.float64) - 127.0)
+         + 1j * (raw_frames[:, 1::2].astype(np.float64) - 127.0))
+    if window is not None:
+        z = z * np.asarray(window, np.float64)
+    p = np.abs(np.fft.fft(z, axis=-1)) ** 2
+    return p.sum(0), (p * p).sum(0)
+
+
+def test_sk_step_matches_direct_float64():
+    N, F = 64, 8
+    step = SkSessionStep(N, F)
+    assert step.moments == 2 and not step.takes_u16
+    rng = np.random.default_rng(11)
+    frames = rng.integers(0, 256, size=(2 * F + 5, 2 * N), dtype=np.uint8)
+    s1 = np.zeros(N)
+    s2 = np.zeros(N)
+    for lo, hi in ((0, F), (F, 2 * F), (2 * F, 2 * F + 5)):
+        batch = frames[lo:hi]
+        nv = len(batch)
+        padded = np.zeros((F, 2 * N), np.uint8)
+        padded[:nv] = batch
+        a, b = step(padded, nv)
+        s1 += np.asarray(a, np.float64)
+        s2 += np.asarray(b, np.float64)
+    w1, w2 = _direct_moments(frames, N)
+    np.testing.assert_allclose(s1, w1, rtol=1e-5)
+    np.testing.assert_allclose(s2, w2, rtol=1e-5)
+
+
+def test_sk_step_windowed_matches_direct():
+    from rtl_power_fftw_tpu.auxdata import make_window
+    N, F = 64, 8
+    win = make_window("hann", N)
+    step = SkSessionStep(N, F, window=win)
+    rng = np.random.default_rng(12)
+    raw = rng.integers(0, 256, size=(F, 2 * N), dtype=np.uint8)
+    a, b = step(raw, F)
+    w1, w2 = _direct_moments(raw, N, window=win)
+    np.testing.assert_allclose(np.asarray(a, np.float64), w1, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(b, np.float64), w2, rtol=1e-5)
+
+
+def test_sk_s1_bit_identical_to_plain_psd_step():
+    """The sidecar must not change the averaged spectrum: on the same
+    transform mode, s1 and the plain PsdStep partial are the SAME
+    reduction over the SAME power array — bit-identical, not just
+    close."""
+    N, F = 64, 8
+    sk = SkSessionStep(N, F, backend="xla")
+    psd = PsdStep(N, F, backend="xla")
+    rng = np.random.default_rng(13)
+    raw = rng.integers(0, 256, size=(F, 2 * N), dtype=np.uint8)
+    s1, _ = sk(raw, 5)
+    ref = psd(raw, 5)
+    assert np.array_equal(np.asarray(s1), np.asarray(ref))
+
+
+def test_sk_fourstep_mode_matches_xla_mode():
+    """The TPU-band transform choice ("fourstep") is numerically
+    interchangeable with the platform-FFT mode, pinned on CPU where both
+    lower."""
+    import jax.numpy as jnp
+    N, F = 64, 8
+    rng = np.random.default_rng(14)
+    raw = rng.integers(0, 256, size=(F, 2 * N), dtype=np.uint8)
+    a1, b1 = _sk_step(N, F, False, "fourstep")(raw, jnp.int32(F))
+    a2, b2 = _sk_step(N, F, False, "xla")(raw, jnp.int32(F))
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), rtol=4e-5)
+
+
+def test_compute_sk_statistics():
+    """Gaussian bins → SK ≈ 1; a coherent constant tone → SK → 0;
+    impulsive (on/off) power → SK > 1."""
+    rng = np.random.default_rng(15)
+    M, N = 4096, 8
+    p = rng.chisquare(2, size=(M, N)) / 2.0      # unit-mean exponential
+    p[:, 3] = 5.0                                 # coherent tone bin
+    p[:, 5] = np.where(rng.random(M) < 0.05, 40.0, 1e-3)  # impulsive
+    sk = compute_sk(p.sum(0), (p * p).sum(0), M)
+    gauss = [i for i in range(N) if i not in (3, 5)]
+    assert np.all(np.abs(sk[gauss] - 1.0) < 0.2)
+    assert sk[3] < 0.05
+    assert sk[5] > 5.0
+
+
+def test_sk_cli_validation():
+    for bad in (["--welch-overlap", "50"], ["--pfb-taps", "4"],
+                ["--multitaper", "4"], ["--streams", "2"],
+                ["--shard-transform"]):
+        argv = ["-f", "100M", "-n", "64", "--sk-file", "sk.txt"] + bad
+        with pytest.raises(RPFexception):
+            parse_args(argv, stderr=io.StringIO())
+    # Fused backends can't expose per-frame spectra: warn, don't fail.
+    err = io.StringIO()
+    p = parse_args(["-f", "100M", "--sk-file", "sk.txt",
+                    "--fft-backend", "pallas"], stderr=err)
+    assert p.sk_file == "sk.txt"
+    assert "per-frame" in err.getvalue()
+    # A window is fine alongside the sidecar.
+    p = parse_args(["-f", "100M", "--sk-file", "sk.txt",
+                    "--window-function", "hann"], stderr=io.StringIO())
+    assert p.sk_file == "sk.txt" and p.window_function == "hann"
+
+
+def test_sk_session_e2e(tmp_path):
+    from test_session_e2e import run
+    from rtl_power_fftw_tpu.sources import SyntheticSource
+
+    sk_path = tmp_path / "sk.txt"
+    N, repeats = 32, 256
+    args = ["-f", "100M", "-b", str(N), "-n", str(repeats),
+            "--source", "synthetic:tone=100.2M/35,noise=6,seed=1"]
+
+    def mksrc():
+        return SyntheticSource(tones=[(100_200_000, 35.0)], noise=6.0,
+                               seed=1)
+
+    rv, out, err, params = run(args + ["--sk-file", str(sk_path)], mksrc())
+    assert int(rv) == 0
+    assert f"Writing spectral kurtosis to {sk_path}" in err
+
+    # 1) The averaged spectrum is unchanged by the sidecar.
+    rv2, out2, _, _ = run(args, mksrc())
+    assert int(rv2) == 0
+
+    def parse_cols(text):
+        rows = [l.split() for l in text.split("\n")
+                if l and not l.startswith("#")]
+        return (np.array([float(r[0]) for r in rows]),
+                np.array([float(r[1]) for r in rows]))
+
+    freqs, vals = parse_cols(out)
+    freqs2, vals2 = parse_cols(out2)
+    np.testing.assert_array_equal(freqs, freqs2)
+    np.testing.assert_allclose(vals, vals2, rtol=1e-4)
+
+    # 2) The sidecar file: same line shape, SK ≈ 1 off-tone, ≪ 1 on-tone.
+    sk_text = sk_path.read_text()
+    assert sk_text.startswith("# rtl-power-fftw spectral kurtosis\n")
+    assert f"# Spectra accumulated: {repeats}\n" in sk_text
+    skf, skv = parse_cols(sk_text)
+    assert len(skf) == N
+    np.testing.assert_array_equal(skf, freqs)
+    tone_bin = int(np.argmax(vals))
+    assert skv[tone_bin] < 0.5          # coherent tone drives SK → 0
+    others = np.delete(skv, tone_bin)
+    assert abs(np.median(others) - 1.0) < 0.25
+    # Blank-line separators match the main writer (spectrum + set).
+    assert sk_text.endswith("\n\n\n") or sk_text.endswith("\n\n")
+
+
+def test_sk_session_single_spectrum_writes_no_block(tmp_path):
+    """SK needs M ≥ 2 (the (M+1)/(M−1) estimator): a 1-spectrum
+    acquisition writes no SK block — but the session still succeeds."""
+    from test_session_e2e import run
+    from rtl_power_fftw_tpu.sources import SyntheticSource
+
+    sk_path = tmp_path / "sk1.txt"
+    src = SyntheticSource(noise=5.0, seed=2)
+    rv, out, err, _ = run(["-f", "100M", "-b", "32", "-n", "1",
+                           "--source", "synthetic:noise=5,seed=2",
+                           "--sk-file", str(sk_path)], src)
+    assert int(rv) == 0
+    assert "spectral kurtosis" not in sk_path.read_text()
+
+
+def test_sk_session_multi_hop(tmp_path):
+    """Frequency scans write one SK block per hop, in hop order."""
+    from test_session_e2e import run
+    from rtl_power_fftw_tpu.sources import SyntheticSource
+
+    sk_path = tmp_path / "skhop.txt"
+    src = SyntheticSource(noise=5.0, seed=3)
+    rv, out, err, _ = run(["-f", "100M:104M", "-b", "32", "-n", "16",
+                           "--source", "synthetic:noise=5,seed=3",
+                           "--sk-file", str(sk_path)], src)
+    assert int(rv) == 0
+    sk_text = sk_path.read_text()
+    n_blocks = sk_text.count("# rtl-power-fftw spectral kurtosis")
+    n_main = out.count("# rtl-power-fftw output")
+    assert n_blocks == n_main and n_blocks >= 2
