@@ -586,8 +586,6 @@ def parse_args(argv: List[str], stderr=None) -> Params:
             conflicts.append("--pfb-taps")
         if params.multitaper:
             conflicts.append("--multitaper")
-        if params.streams > 1:
-            conflicts.append("--streams")
         if params.shard_transform:
             conflicts.append("--shard-transform")
         if conflicts:

@@ -126,6 +126,108 @@ class SkSessionStep:
             return self._step(raw, _jnp.int32(n_valid), *self._w)
 
 
+class ShardedSkStep:
+    """The spectral-kurtosis sidecar over the stream mesh (``--streams``
+    + ``--sk-file``): same call contract as parallel.sharded.
+    ShardedPsdStep — (S, F, 2N) u8 + (S,) n_valid — but ``moments = 2``:
+    the combined output is a (2, N) stack of the psum-reduced moments
+    (Σ|X|², Σ|X|⁴ over all streams), while ``per_stream`` stays the
+    (S, N) first-moment partials so the per-stream diagnostics and the
+    averaged spectrum are unchanged. Stateless: both moment sums commute
+    with any partition of the frames, so the combined result equals
+    running SkSessionStep per stream and summing — with M = S·repeats
+    in the SK estimator (streams are same-distribution acquisitions of
+    the same dwell, exactly the reference's accumulation semantics
+    scaled out, datastore.cxx:82-87)."""
+
+    moments = 2
+
+    def __init__(self, mesh, N: int, frames_per_step: int, streams: int,
+                 window: Optional[np.ndarray] = None):
+        from ..ops.spectral import tapered_batch_mode
+
+        axis = mesh.axis_names[0]
+        n_dev = mesh.devices.size
+        if streams % n_dev != 0:
+            raise ValueError(
+                f"streams ({streams}) must be divisible by mesh size ({n_dev})")
+        self.mesh = mesh
+        self.axis = axis
+        self.N = N
+        self.S = streams
+        self.F, self._chunk = adapt_batch(frames_per_step)
+        self._w = ()
+        if window is not None:
+            self._w = (jnp.asarray(np.asarray(window, np.float32)),)
+        self._mode = tapered_batch_mode(N)
+        self.path = self._mode
+        self._build(self._mode)
+
+    def _build(self, mode: str) -> None:
+        from jax.sharding import PartitionSpec as Pspec
+        try:  # stable API (jax >= 0.4.35)
+            from jax import shard_map
+        except ImportError:  # pragma: no cover
+            from jax.experimental.shard_map import shard_map
+
+        axis = self.axis
+        N_, F_, chunk = self.N, self.F, self._chunk
+        power_fn = _power_backend(mode, N_)
+
+        def local_step(raw, n_valid, *w):
+            # raw: (S_local, F, 2N) u8; n_valid: (S_local,) i32.
+            S_l = raw.shape[0]
+            re, im = dequant_iq(raw.reshape(S_l * F_, 2 * N_), S_l * F_,
+                                N_, w[0] if w else None)
+            p = power_fn(re, im)  # (S_l·F, N)
+            fmask = (jax.lax.broadcasted_iota(jnp.int32, (S_l, F_), 1)
+                     < n_valid[:, None]).astype(jnp.float32)
+            p = p * fmask.reshape(S_l * F_, 1)
+            g = F_ // chunk
+            s1 = p.reshape(S_l, g, chunk, N_).sum(2).sum(1)       # (S_l, N)
+            s2 = (p * p).reshape(S_l, g, chunk, N_).sum(2).sum(1)
+            combined = jax.lax.psum(
+                jnp.stack([s1.sum(0), s2.sum(0)]), axis)          # (2, N)
+            return s1, combined
+
+        w_specs = (Pspec(),) * len(self._w)
+        sharded = shard_map(local_step, mesh=self.mesh,
+                            in_specs=(Pspec(axis), Pspec(axis)) + w_specs,
+                            out_specs=(Pspec(axis), Pspec()),
+                            check_vma=False)
+        self._step = jax.jit(sharded)
+
+    @property
+    def takes_u16(self) -> bool:
+        return False
+
+    def _fallback_to_matmul(self, e: Exception) -> bool:
+        """Same compile-failure resilience as ShardedPsdStep: only the
+        "xla" mode touches the monolithic-FFT lowering."""
+        from ..ops.spectral import FFT_FALLBACK_MAX_N, is_fft_compile_refusal
+        if self._mode != "xla" or self.N > FFT_FALLBACK_MAX_N:
+            return False
+        if not is_fft_compile_refusal(e):
+            return False
+        import sys as _sys
+        print(f"Warning: the platform FFT failed to compile for N={self.N} "
+              f"({type(e).__name__}); the sharded SK step falls back to "
+              "the matmul DFT path on each shard.", file=_sys.stderr)
+        self._mode = "matmul"
+        self.path = "matmul"
+        self._build("matmul")
+        return True
+
+    def __call__(self, raw: np.ndarray, n_valid: np.ndarray):
+        nv = jnp.asarray(np.asarray(n_valid, np.int32))
+        try:
+            return self._step(raw, nv, *self._w)
+        except Exception as e:  # noqa: BLE001 - filtered in the handler
+            if not self._fallback_to_matmul(e):
+                raise
+            return self._step(raw, nv, *self._w)
+
+
 def spectral_kurtosis(iq_u8: np.ndarray, N: int, sample_rate: int,
                       center_freq: int = 0,
                       repeats: Optional[int] = None,

@@ -48,6 +48,8 @@ class MultiStreamResult:
     device_readouts: int = 0    # summed over streams
     successful_readouts: int = 0
     stream_eof: bool = False    # any stream's recording ran dry
+    #: Σ|X|⁴ combined over streams (only with a moments=2 step, --sk-file).
+    pwr2: Optional[np.ndarray] = None
 
 
 class MultiStreamAcquisition:
@@ -115,6 +117,13 @@ class MultiStreamAcquisition:
             self.step = ShardedMultitaperStep(
                 mesh, params.N, frames_per_step, streams=S,
                 K=params.multitaper, NW=params.time_bandwidth)
+        elif getattr(params, "sk_file", ""):
+            # --streams S --sk-file: both spectral moments psum-combined
+            # over the stream mesh (moments=2 consumer contract; M in the
+            # SK estimator becomes S·repeats).
+            from ..models.kurtosis import ShardedSkStep
+            self.step = ShardedSkStep(mesh, params.N, frames_per_step,
+                                      streams=S, window=window)
         elif getattr(params, "shard_transform", False):
             # --streams S --shard-transform: the 2-D composition — one
             # mesh row per stream, each row's transforms sequence-sharded
@@ -337,12 +346,19 @@ class MultiStreamAcquisition:
         done = np.zeros(S, dtype=np.int64)
         pending = collections.deque()
         max_in_flight = 2
+        two_moments = getattr(self.step, "moments", 1) == 2
+        pwr2 = np.zeros(N, dtype=np.float64) if two_moments else None
 
         def drain(to_len: int) -> None:
             while len(pending) > to_len:
                 ps, combined, nv = pending.popleft()
                 per_stream[:] += np.asarray(ps, dtype=np.float64)
-                pwr[:] += np.asarray(combined, dtype=np.float64)
+                if two_moments:
+                    c = np.asarray(combined, dtype=np.float64)  # (2, N)
+                    pwr[:] += c[0]
+                    pwr2[:] += c[1]
+                else:
+                    pwr[:] += np.asarray(combined, dtype=np.float64)
                 done[:] += nv
 
         try:
@@ -450,4 +466,4 @@ class MultiStreamAcquisition:
             pwr=pwr, per_stream_pwr=per_stream, repeats_done=done,
             device_readouts=int(counters[:, 0].sum()),
             successful_readouts=int(counters[:, 1].sum()),
-            stream_eof=any(eof_flags))
+            stream_eof=any(eof_flags), pwr2=pwr2)

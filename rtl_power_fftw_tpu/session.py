@@ -170,6 +170,7 @@ class Acquisition:
                 print(f"Acquisition done at {self.endAcqTimestamp}",
                       file=self.err)
             self.pwr = result.pwr
+            self.pwr2 = result.pwr2
             self.repeats_done = int(result.repeats_done.sum())
             self.multistream_repeats = result.repeats_done
             self.deviceReadouts = result.device_readouts

@@ -107,8 +107,7 @@ def test_compute_sk_statistics():
 
 def test_sk_cli_validation():
     for bad in (["--welch-overlap", "50"], ["--pfb-taps", "4"],
-                ["--multitaper", "4"], ["--streams", "2"],
-                ["--shard-transform"]):
+                ["--multitaper", "4"], ["--shard-transform"]):
         argv = ["-f", "100M", "-n", "64", "--sk-file", "sk.txt"] + bad
         with pytest.raises(RPFexception):
             parse_args(argv, stderr=io.StringIO())
@@ -184,6 +183,63 @@ def test_sk_session_single_spectrum_writes_no_block(tmp_path):
                            "--sk-file", str(sk_path)], src)
     assert int(rv) == 0
     assert "spectral kurtosis" not in sk_path.read_text()
+
+
+def test_sharded_sk_matches_per_stream_session_steps():
+    """--streams + --sk-file: the psum-combined moments equal running
+    SkSessionStep per stream and summing (both moments commute with any
+    partition of the frames)."""
+    from rtl_power_fftw_tpu.models.kurtosis import ShardedSkStep
+    from rtl_power_fftw_tpu.parallel import make_mesh
+
+    S, N, F = 8, 64, 8
+    mesh = make_mesh(8)
+    step = ShardedSkStep(mesh, N, F, streams=S)
+    assert step.moments == 2 and not step.takes_u16
+    single = SkSessionStep(N, F)
+    rng = np.random.default_rng(21)
+    nvals = np.array([F, 3, 0, 5, F, F, 1, 7], np.int32)
+    raw = np.zeros((S, F, 2 * N), np.uint8)
+    for s in range(S):
+        raw[s, :nvals[s]] = rng.integers(
+            0, 256, (nvals[s], 2 * N), dtype=np.uint8)
+    ps, comb = step(raw, nvals)
+    singles = [single(raw[s], int(nvals[s])) for s in range(S)]
+    w1 = np.stack([np.asarray(a, np.float64) for a, _ in singles])
+    w2 = np.stack([np.asarray(b, np.float64) for _, b in singles])
+    np.testing.assert_allclose(np.asarray(ps, np.float64), w1, rtol=1e-6)
+    comb = np.asarray(comb, np.float64)
+    assert comb.shape == (2, N)
+    np.testing.assert_allclose(comb[0], w1.sum(0), rtol=1e-6)
+    np.testing.assert_allclose(comb[1], w2.sum(0), rtol=1e-6)
+    with pytest.raises(ValueError, match="divisible"):
+        ShardedSkStep(mesh, N, F, streams=6)
+
+
+def test_multistream_sk_session_e2e(tmp_path):
+    """--streams 8 --sk-file: one SK block with M = S·repeats, tone bin
+    flagged, averaged spectrum still the psum-combined PSD."""
+    from test_session_e2e import run
+    from rtl_power_fftw_tpu.sources import SyntheticSource
+
+    sk_path = tmp_path / "skms.txt"
+    src = SyntheticSource(tones=[(100_200_000, 35.0)], noise=6.0, seed=0)
+    rv, out, err, _ = run(
+        ["-f", "100M", "-b", "32", "-n", "32", "--streams", "8",
+         "--source", "synthetic:tone=100.2M/35,noise=6,seed=0",
+         "--sk-file", str(sk_path)], src)
+    assert int(rv) == 0
+    assert "Parallel streams: 8 (mesh size 8)" in err
+    sk_text = sk_path.read_text()
+    assert "# Spectra accumulated: 256\n" in sk_text  # 8 x 32
+    rows = [l.split() for l in sk_text.split("\n")
+            if l and not l.startswith("#")]
+    skv = np.array([float(r[1]) for r in rows])
+    vals = np.array([float(l.split()[1]) for l in out.split("\n")
+                     if l and not l.startswith("#")])
+    tone_bin = int(np.argmax(vals))
+    assert skv[tone_bin] < 0.5
+    assert abs(np.median(np.delete(skv, tone_bin)) - 1.0) < 0.25
 
 
 def test_sk_session_multi_hop(tmp_path):
