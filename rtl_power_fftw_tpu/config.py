@@ -172,6 +172,10 @@ class Params:
     # moment Σ|X|⁴ alongside the PSD and write per-bin SK to this file
     # (empty = off). The averaged spectrum itself is unchanged.
     sk_file: str = ""
+    # Real-time SK excision (0 = off): per device-step block, drop a
+    # bin's contribution to the averaged spectrum when the block's
+    # |SK−1| exceeds this many null standard deviations (2/√M).
+    sk_excise: float = 0.0
     # Number of parallel IQ streams sharded over the device mesh.
     streams: int = 1
     # Shard each transform across the device mesh (sequence parallelism
@@ -275,6 +279,14 @@ def _build_parser() -> _Parser:
                         "generalized SK; Gaussian expectation 1) to FILE "
                         "alongside each spectrum — per-bin RFI flagging "
                         "without touching the averaged PSD.")
+    p.add_argument("--sk-excise", type=float, default=0.0, metavar="SIGMA",
+                   help="Real-time RFI excision: per accumulation block, "
+                        "drop a bin's contribution when the block's "
+                        "spectral kurtosis strays more than SIGMA null "
+                        "standard deviations (2/sqrt(M)) from 1. The "
+                        "averaged spectrum becomes the per-bin mean over "
+                        "surviving blocks; fully-flagged bins fall back "
+                        "to the unexcised average.")
     p.add_argument("--streams", type=int, default=1,
                    help="Parallel IQ streams sharded across the TPU mesh.")
     p.add_argument("--shard-transform", action="store_true",
@@ -483,6 +495,7 @@ def parse_args(argv: List[str], stderr=None) -> Params:
     params.multitaper = ns.multitaper
     params.time_bandwidth = ns.time_bandwidth
     params.sk_file = ns.sk_file
+    params.sk_excise = ns.sk_excise
     params.streams = max(1, ns.streams)
     params.shard_transform = ns.shard_transform
     params.frames_per_step = ns.frames_per_step
@@ -576,7 +589,12 @@ def parse_args(argv: List[str], stderr=None) -> Params:
     elif params.time_bandwidth != 4.0:
         print("Warning: --time-bandwidth has no effect without "
               "--multitaper.", file=err)
-    if params.sk_file:
+    if params.sk_excise < 0.0:
+        raise RPFexception(
+            "--sk-excise must be positive (null standard deviations). "
+            "Exiting.", ReturnValue.InvalidArgument)
+    if params.sk_file or params.sk_excise > 0.0:
+        flag = "--sk-file" if params.sk_file else "--sk-excise"
         conflicts = []
         if params.welch_overlap > 0.0:
             # Overlapped frames are correlated; the SK null distribution
@@ -588,13 +606,19 @@ def parse_args(argv: List[str], stderr=None) -> Params:
             conflicts.append("--multitaper")
         if params.shard_transform:
             conflicts.append("--shard-transform")
+        if params.sk_excise > 0.0 and params.streams > 1:
+            # The excised average needs the per-bin kept counts plumbed
+            # through the multistream engine — sidecar-only SK composes
+            # with streams, excision does not (yet).
+            conflicts.append("--streams")
+            flag = "--sk-excise"
         if conflicts:
             raise RPFexception(
-                "--sk-file cannot be combined with "
+                f"{flag} cannot be combined with "
                 + ", ".join(conflicts) + ". Exiting.",
                 ReturnValue.InvalidArgument)
         if params.fft_backend in ("pallas", "hybrid", "fft4"):
-            print("Warning: --sk-file needs per-frame spectra for the "
+            print(f"Warning: {flag} needs per-frame spectra for the "
                   "second moment, which the fused "
                   f"'{params.fft_backend}' path does not expose; using "
                   "the auto per-frame transform instead.", file=err)

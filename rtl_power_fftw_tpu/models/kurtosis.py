@@ -30,7 +30,16 @@ from ..ops.spectral import (FrameSlicer, _power_backend,
 
 
 @functools.lru_cache(maxsize=8)
-def _sk_step(N: int, F: int, windowed: bool, backend: str):
+def _sk_step(N: int, F: int, windowed: bool, backend: str,
+             sigma: float = 0.0):
+    """One fused device step accumulating both spectral moments over the
+    valid frames of an (F, 2N) batch; with ``sigma > 0`` it additionally
+    gates THIS BLOCK's contribution per bin on the block's own SK
+    (real-time SK excision: the block is the M-spectra estimation window
+    of Nita & Gary 2010, and a bin whose |SK−1| exceeds
+    ``sigma·2/√M`` — the Gaussian null's standard deviation to leading
+    order — is dropped from the clean accumulator for this block
+    only)."""
     power_fn = _power_backend(backend, N)
 
     @jax.jit
@@ -44,7 +53,16 @@ def _sk_step(N: int, F: int, windowed: bool, backend: str):
         g = F // chunk
         s1 = p.reshape(g, chunk, N).sum(1).sum(0)
         s2 = (p * p).reshape(g, chunk, N).sum(1).sum(0)
-        return s1, s2
+        if sigma == 0.0:
+            return s1, s2
+        M = n_valid.astype(jnp.float32)
+        sk = ((M + 1.0) / jnp.maximum(M - 1.0, 1.0)
+              * (M * s2 / jnp.maximum(s1 * s1, 1e-30) - 1.0))
+        # M < 2 carries no SK information: keep everything (the same
+        # guard the sidecar writer applies host-side).
+        keep = ((jnp.abs(sk - 1.0) <= sigma * 2.0 / jnp.sqrt(
+            jnp.maximum(M, 1.0))) | (M < 2.0)).astype(jnp.float32)
+        return s1, s2, s1 * keep, M * keep
 
     return step
 
@@ -72,13 +90,22 @@ class SkSessionStep:
     (pre-accumulated) kernel paths don't apply; the transform follows
     ops.spectral.tapered_batch_mode's band choice (all-matmul four-step
     on the TPU band, platform FFT elsewhere, matmul DFT on explicit
-    request or compile fallback)."""
+    request or compile fallback).
+
+    With ``excise_sigma > 0`` (``--sk-excise``) the step ALSO gates each
+    block's per-bin contribution on the block's own SK, returning the
+    four fields ``(s1, s2, s1_clean, kept)``: the clean accumulator sums
+    only blocks whose |SK−1| stayed within sigma·2/√M, and ``kept``
+    counts the spectra that survived per bin (the per-bin divisor for
+    the excised average). ``s1`` stays the FULL accumulator, so the
+    unexcised spectrum, ``.met`` semantics, and the sidecar are
+    unchanged."""
 
     moments = 2
 
     def __init__(self, N: int, frames_per_step: int,
                  window: Optional[np.ndarray] = None,
-                 backend: str = "auto"):
+                 backend: str = "auto", excise_sigma: float = 0.0):
         from ..ops.spectral import tapered_batch_mode
         self.N = N
         self.F, _ = adapt_batch(frames_per_step)
@@ -88,12 +115,16 @@ class SkSessionStep:
             self._mode = tapered_batch_mode(N)
         self.backend = backend
         self.path = self._mode
+        self._sigma = float(excise_sigma)
+        self.fields = (("s1", "s2", "s1_clean", "kept")
+                       if self._sigma > 0.0 else ("s1", "s2"))
         self._w = ()
         if window is not None:
             import jax.numpy as _jnp
             self._w = (_jnp.asarray(np.asarray(window, np.float32)),)
         self._windowed = window is not None
-        self._step = _sk_step(N, self.F, self._windowed, self._mode)
+        self._step = _sk_step(N, self.F, self._windowed, self._mode,
+                              self._sigma)
 
     @property
     def takes_u16(self) -> bool:
@@ -113,7 +144,8 @@ class SkSessionStep:
               "DFT path.", file=_sys.stderr)
         self._mode = "matmul"
         self.path = "matmul"
-        self._step = _sk_step(self.N, self.F, self._windowed, "matmul")
+        self._step = _sk_step(self.N, self.F, self._windowed, "matmul",
+                              self._sigma)
         return True
 
     def __call__(self, raw: np.ndarray, n_valid: int):

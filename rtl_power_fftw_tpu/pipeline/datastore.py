@@ -37,8 +37,12 @@ from ..ops.spectral import FrameSlicer, PsdStep
 class AcquisitionResult:
     pwr: np.ndarray            # (N,) float64, unshifted bins
     repeats_done: int
-    #: Σ|X|⁴ second moment (only with a moments=2 step, e.g. --sk-file).
+    #: Σ|X|⁴ second moment (only with a two-moment step, e.g. --sk-file).
     pwr2: Optional[np.ndarray] = None
+    #: SK-excised accumulator and per-bin kept-spectra counts (only with
+    #: an excising step, --sk-excise).
+    pwr_clean: Optional[np.ndarray] = None
+    kept: Optional[np.ndarray] = None
 
 
 class _ShardedTransformStep:
@@ -109,14 +113,18 @@ class Datastore:
             self.step = MultitaperSessionStep(
                 params.N, frames_per_step, K=params.multitaper,
                 NW=params.time_bandwidth)
-        elif getattr(params, "sk_file", ""):
-            # Spectral-kurtosis sidecar (--sk-file): the step accumulates
-            # BOTH moments; s1 doubles as the ordinary PSD accumulator so
-            # the averaged spectrum is unchanged by the sidecar.
+        elif (getattr(params, "sk_file", "")
+                or getattr(params, "sk_excise", 0.0) > 0.0):
+            # Spectral-kurtosis paths (--sk-file / --sk-excise): the step
+            # accumulates BOTH moments; s1 doubles as the ordinary PSD
+            # accumulator so the unexcised spectrum is unchanged. With
+            # --sk-excise it also returns the per-block SK-gated clean
+            # accumulator and per-bin kept counts.
             from ..models.kurtosis import SkSessionStep
-            self.step = SkSessionStep(params.N, frames_per_step,
-                                      window=window,
-                                      backend=params.fft_backend)
+            self.step = SkSessionStep(
+                params.N, frames_per_step, window=window,
+                backend=params.fft_backend,
+                excise_sigma=getattr(params, "sk_excise", 0.0))
         elif (getattr(params, "shard_transform", False)
                 and params.streams <= 1):
             # Sequence parallelism: each transform sharded over the device
@@ -149,10 +157,13 @@ class Datastore:
         self._status_change = threading.Condition(self._lock)
         self._acquisition_finished = False
 
-        # Accumulator state (reset per acquisition).
+        # Accumulator state (reset per acquisition). Steps may return a
+        # TUPLE of (N,) partials named by .fields (default the single
+        # first-moment "s1"); each gets its own float64 host accumulator.
+        self.fields = getattr(self.step, "fields", ("s1",))
         self.moments = getattr(self.step, "moments", 1)
-        self.pwr = np.zeros(self.N, dtype=np.float64)
-        self.pwr2 = np.zeros(self.N, dtype=np.float64)  # used iff moments == 2
+        self._acc = {f: np.zeros(self.N, dtype=np.float64)
+                     for f in self.fields}
         self.repeats_done = 0
         self._consumer: Optional[threading.Thread] = None
         self._consumer_error: Optional[BaseException] = None
@@ -186,8 +197,8 @@ class Datastore:
     def begin_acquisition(self) -> None:
         """Reset accumulator and start the consumer thread (the reference
         spawns fftThread per acquisition, acquisition.cxx:256)."""
-        self.pwr = np.zeros(self.N, dtype=np.float64)
-        self.pwr2 = np.zeros(self.N, dtype=np.float64)
+        self._acc = {f: np.zeros(self.N, dtype=np.float64)
+                     for f in self.fields}
         self.repeats_done = 0
         self.slicer.reset()
         reset = getattr(self.step, "reset", None)
@@ -228,8 +239,10 @@ class Datastore:
         if self._consumer_error is not None:
             raise self._consumer_error
         return AcquisitionResult(
-            pwr=self.pwr, repeats_done=self.repeats_done,
-            pwr2=self.pwr2 if self.moments == 2 else None)
+            pwr=self._acc["s1"], repeats_done=self.repeats_done,
+            pwr2=self._acc.get("s2"),
+            pwr_clean=self._acc.get("s1_clean"),
+            kept=self._acc.get("kept"))
 
     # --- consumer (device dispatch) ---
 
@@ -237,18 +250,18 @@ class Datastore:
         try:
             pending: Deque = collections.deque()  # in-flight device partials
 
-            two_moments = self.moments == 2
+            fields = self.fields
+            acc = self._acc
 
             def drain(to_len: int) -> None:
                 while len(pending) > to_len:
                     partial = pending.popleft()
                     # np.asarray blocks until the device step is done.
-                    if two_moments:
-                        s1, s2 = partial
-                        self.pwr += np.asarray(s1, dtype=np.float64)
-                        self.pwr2 += np.asarray(s2, dtype=np.float64)
+                    if len(fields) == 1:
+                        acc["s1"] += np.asarray(partial, dtype=np.float64)
                     else:
-                        self.pwr += np.asarray(partial, dtype=np.float64)
+                        for name, arr in zip(fields, partial):
+                            acc[name] += np.asarray(arr, dtype=np.float64)
 
             F = self.step.F
             frame_bytes = 2 * self.N

@@ -127,6 +127,8 @@ class Acquisition:
         self.repeats_done = 0
         self.pwr: Optional[np.ndarray] = None
         self.pwr2: Optional[np.ndarray] = None  # Σ|X|⁴ (--sk-file)
+        self.pwr_clean: Optional[np.ndarray] = None  # SK-gated (--sk-excise)
+        self.kept: Optional[np.ndarray] = None       # per-bin kept spectra
         self.multistream = multistream
         self.record = record      # open binary file: raw consumed IQ copy
         self.stream_eof = False
@@ -249,6 +251,8 @@ class Acquisition:
         result = self.data.finish_acquisition()
         self.pwr = result.pwr
         self.pwr2 = result.pwr2
+        self.pwr_clean = result.pwr_clean
+        self.kept = result.kept
         self.repeats_done = result.repeats_done
 
     def unique_samples(self) -> int:
@@ -275,14 +279,35 @@ class Acquisition:
         print(f"Actual number of averaged spectra: {self.repeats_done}", file=err)
         eff = float(self.unique_samples()) / self.actual_samplerate
         print(f"Effective integration time: {eff:g} seconds", file=err)
+        if self.kept is not None and self.repeats_done > 0:
+            frac = float(self.kept.sum()) / (self.repeats_done
+                                             * len(self.kept))
+            nfull = int((self.kept == 0).sum())
+            print(f"SK excision ({p.sk_excise:g} sigma): kept "
+                  f"{100.0 * frac:.2f}% of bin-blocks; {nfull} of "
+                  f"{len(self.kept)} bins fully flagged "
+                  "(unexcised fallback)", file=err)
 
     def compute_output(self) -> np.ndarray:
         """Finalize the accumulated spectrum into output values
         (acquisition.cxx:376-399): fftshift + DC interp + normalize +
         dB/linear + baseline."""
         baseline = self.aux.baseline_values if self.params.baseline else None
+        pwr = self.pwr
+        if self.kept is not None and self.repeats_done > 0:
+            # SK excision (--sk-excise): the per-bin mean over surviving
+            # blocks, rescaled to the accumulator convention finalize_psd
+            # expects (÷ repeats_done happens there). A fully-flagged bin
+            # (kept == 0, e.g. a persistent tone present in every block)
+            # cannot be excised and falls back to the unexcised average.
+            with np.errstate(divide="ignore", invalid="ignore"):
+                pwr = np.where(
+                    self.kept > 0,
+                    self.pwr_clean / np.maximum(self.kept, 1.0)
+                    * self.repeats_done,
+                    self.pwr)
         with np.errstate(divide="ignore", invalid="ignore"):
-            return finalize_psd(self.pwr, self.repeats_done,
+            return finalize_psd(pwr, self.repeats_done,
                                 self.actual_samplerate,
                                 linear=self.params.linear,
                                 baseline=baseline)

@@ -185,6 +185,137 @@ def test_sk_session_single_spectrum_writes_no_block(tmp_path):
     assert "spectral kurtosis" not in sk_path.read_text()
 
 
+def test_sk_excise_step_matches_direct():
+    """With excise_sigma the step returns (s1, s2, s1_clean, kept);
+    the gate reproduces the host-side formula exactly."""
+    N, F, sigma = 64, 8, 3.0
+    step = SkSessionStep(N, F, excise_sigma=sigma)
+    assert step.fields == ("s1", "s2", "s1_clean", "kept")
+    rng = np.random.default_rng(31)
+    raw = rng.integers(0, 256, size=(F, 2 * N), dtype=np.uint8)
+    s1, s2, s1c, kept = (np.asarray(a, np.float64) for a in step(raw, F))
+    w1, w2 = _direct_moments(raw, N)
+    np.testing.assert_allclose(s1, w1, rtol=1e-5)
+    sk = compute_sk(w1, w2, F)
+    keep = np.abs(sk - 1.0) <= sigma * 2.0 / np.sqrt(F)
+    np.testing.assert_array_equal(kept, np.where(keep, float(F), 0.0))
+    np.testing.assert_allclose(s1c, np.where(keep, w1, 0.0), rtol=1e-5)
+    # M < 2 carries no SK information: everything is kept.
+    s1b, _, s1cb, keptb = (np.asarray(a, np.float64)
+                           for a in step(raw, 1))
+    np.testing.assert_array_equal(keptb, np.ones(N))
+    np.testing.assert_allclose(s1cb, s1b, rtol=1e-6)
+
+
+def test_sk_excise_cli_validation():
+    with pytest.raises(RPFexception):
+        parse_args(["-f", "100M", "--sk-excise", "-1"],
+                   stderr=io.StringIO())
+    with pytest.raises(RPFexception):
+        parse_args(["-f", "100M", "--sk-excise", "3", "--streams", "2"],
+                   stderr=io.StringIO())
+    err = io.StringIO()
+    p = parse_args(["-f", "100M", "--sk-excise", "3",
+                    "--fft-backend", "fft4"], stderr=err)
+    assert p.sk_excise == 3.0
+    assert "--sk-excise" in err.getvalue()
+
+
+def test_sk_excise_session_e2e_intermittent_rfi(tmp_path):
+    """The headline use case: a strong tone present in ONE of four
+    accumulation blocks is excised from the averaged spectrum (the
+    excised value recovers the clean noise floor), while the unexcised
+    run keeps the contamination. Off-tone bins are untouched."""
+    from test_session_e2e import run
+
+    N, F, blocks = 64, 64, 4
+    repeats = F * blocks
+    rng = np.random.default_rng(41)
+    iq = rng.normal(127.0, 6.0, size=2 * N * repeats)
+    # Tone burst only inside block 1 (frames F..2F-1): bin 9.
+    t = np.arange(N * F)
+    burst = 40.0 * np.exp(2j * np.pi * 9 * t / N)
+    lo = 2 * N * F
+    iq[lo:lo + 2 * N * F:2] += burst.real
+    iq[lo + 1:lo + 2 * N * F:2] += burst.imag
+    path = tmp_path / "rfi.iq"
+    path.write_bytes(np.clip(np.round(iq), 0, 255).astype(np.uint8)
+                     .tobytes())
+
+    from rtl_power_fftw_tpu.sources import FileSource
+    base = ["-f", "100M", "-b", str(N), "-n", str(repeats),
+            "--frames-per-step", str(F), "--source", f"file:{path}"]
+    rv, out, err, _ = run(base + ["--sk-excise", "3"],
+                          FileSource(str(path), use_native=False))
+    assert int(rv) == 0
+    assert "SK excision (3 sigma): kept" in err
+    rv2, out2, _, _ = run(base, FileSource(str(path), use_native=False))
+    assert int(rv2) == 0
+
+    def vals(text):
+        return np.array([float(l.split()[1]) for l in text.split("\n")
+                         if l and not l.startswith("#")])
+    v_ex, v_raw = vals(out), vals(out2)
+    tone_bin = int(np.argmax(v_raw))
+    # Unexcised keeps the burst (>> floor); excised recovers the floor.
+    floor = np.median(v_raw)
+    assert v_raw[tone_bin] > floor + 10.0       # dB
+    assert v_ex[tone_bin] < floor + 1.0
+    # Bins untouched by the burst agree between the two runs.
+    quiet = np.abs(v_raw - floor) < 1.0
+    np.testing.assert_allclose(v_ex[quiet], v_raw[quiet], atol=0.2)
+
+
+def test_sk_excise_persistent_tone_falls_back(tmp_path):
+    """A tone present in EVERY block cannot be excised (kept == 0):
+    the bin falls back to the unexcised average and the summary says
+    so."""
+    from test_session_e2e import run
+    from rtl_power_fftw_tpu.sources import SyntheticSource
+
+    # Block size M=64 puts the tone's SK≈0 well outside the 3-sigma
+    # null band (3·2/√64 = 0.75 < 1).
+    args = ["-f", "100M", "-b", "32", "-n", "256",
+            "--frames-per-step", "64",
+            "--source", "synthetic:tone=100.2M/35,noise=6,seed=5"]
+
+    def mksrc():
+        return SyntheticSource(tones=[(100_200_000, 35.0)], noise=6.0,
+                               seed=5)
+
+    rv, out, err, _ = run(args + ["--sk-excise", "3"], mksrc())
+    rv2, out2, _, _ = run(args, mksrc())
+    assert int(rv) == 0 and int(rv2) == 0
+    import re
+    m = re.search(r"(\d+) of 32 bins fully flagged", err)
+    assert m and int(m.group(1)) >= 1
+
+    def vals(text):
+        return np.array([float(l.split()[1]) for l in text.split("\n")
+                         if l and not l.startswith("#")])
+    v_ex, v_raw = vals(out), vals(out2)
+    tone_bin = int(np.argmax(v_raw))
+    np.testing.assert_allclose(v_ex[tone_bin], v_raw[tone_bin], atol=1e-6)
+
+
+def test_sk_excise_with_sidecar(tmp_path):
+    """--sk-excise and --sk-file together: the sidecar still reports SK
+    from the FULL moments while the spectrum is excised."""
+    from test_session_e2e import run
+    from rtl_power_fftw_tpu.sources import SyntheticSource
+
+    sk_path = tmp_path / "both.txt"
+    src = SyntheticSource(noise=5.0, seed=6)
+    rv, out, err, _ = run(
+        ["-f", "100M", "-b", "32", "-n", "64",
+         "--source", "synthetic:noise=5,seed=6",
+         "--sk-excise", "4", "--sk-file", str(sk_path)], src)
+    assert int(rv) == 0
+    sk_text = sk_path.read_text()
+    assert "# Spectra accumulated: 64\n" in sk_text
+    assert "SK excision (4 sigma)" in err
+
+
 def test_sharded_sk_matches_per_stream_session_steps():
     """--streams + --sk-file: the psum-combined moments equal running
     SkSessionStep per stream and summing (both moments commute with any
