@@ -606,12 +606,6 @@ def parse_args(argv: List[str], stderr=None) -> Params:
             conflicts.append("--multitaper")
         if params.shard_transform:
             conflicts.append("--shard-transform")
-        if params.sk_excise > 0.0 and params.streams > 1:
-            # The excised average needs the per-bin kept counts plumbed
-            # through the multistream engine — sidecar-only SK composes
-            # with streams, excision does not (yet).
-            conflicts.append("--streams")
-            flag = "--sk-excise"
         if conflicts:
             raise RPFexception(
                 f"{flag} cannot be combined with "

@@ -170,12 +170,19 @@ class ShardedSkStep:
     running SkSessionStep per stream and summing — with M = S·repeats
     in the SK estimator (streams are same-distribution acquisitions of
     the same dwell, exactly the reference's accumulation semantics
-    scaled out, datastore.cxx:82-87)."""
+    scaled out, datastore.cxx:82-87).
+
+    With ``excise_sigma > 0`` (``--sk-excise`` + ``--streams``) each
+    STREAM's local block gates its own contribution on its own SK with
+    its own M = n_valid[s] — excision happens before the psum, so one
+    stream's burst never contaminates the others — and the combined
+    output grows to the (4, N) stack (s1, s2, s1_clean, kept)."""
 
     moments = 2
 
     def __init__(self, mesh, N: int, frames_per_step: int, streams: int,
-                 window: Optional[np.ndarray] = None):
+                 window: Optional[np.ndarray] = None,
+                 excise_sigma: float = 0.0):
         from ..ops.spectral import tapered_batch_mode
 
         axis = mesh.axis_names[0]
@@ -188,6 +195,9 @@ class ShardedSkStep:
         self.N = N
         self.S = streams
         self.F, self._chunk = adapt_batch(frames_per_step)
+        self._sigma = float(excise_sigma)
+        self.fields = (("s1", "s2", "s1_clean", "kept")
+                       if self._sigma > 0.0 else ("s1", "s2"))
         self._w = ()
         if window is not None:
             self._w = (jnp.asarray(np.asarray(window, np.float32)),)
@@ -204,6 +214,7 @@ class ShardedSkStep:
 
         axis = self.axis
         N_, F_, chunk = self.N, self.F, self._chunk
+        sigma = self._sigma
         power_fn = _power_backend(mode, N_)
 
         def local_step(raw, n_valid, *w):
@@ -218,8 +229,21 @@ class ShardedSkStep:
             g = F_ // chunk
             s1 = p.reshape(S_l, g, chunk, N_).sum(2).sum(1)       # (S_l, N)
             s2 = (p * p).reshape(S_l, g, chunk, N_).sum(2).sum(1)
+            if sigma == 0.0:
+                combined = jax.lax.psum(
+                    jnp.stack([s1.sum(0), s2.sum(0)]), axis)      # (2, N)
+                return s1, combined
+            # Per-stream-block SK gate (each stream judges its own block
+            # with its own M) BEFORE the cross-stream reduction.
+            M = n_valid.astype(jnp.float32)[:, None]              # (S_l, 1)
+            sk = ((M + 1.0) / jnp.maximum(M - 1.0, 1.0)
+                  * (M * s2 / jnp.maximum(s1 * s1, 1e-30) - 1.0))
+            keep = ((jnp.abs(sk - 1.0) <= sigma * 2.0 / jnp.sqrt(
+                jnp.maximum(M, 1.0))) | (M < 2.0)).astype(jnp.float32)
             combined = jax.lax.psum(
-                jnp.stack([s1.sum(0), s2.sum(0)]), axis)          # (2, N)
+                jnp.stack([s1.sum(0), s2.sum(0),
+                           (s1 * keep).sum(0), (M * keep).sum(0)]),
+                axis)                                             # (4, N)
             return s1, combined
 
         w_specs = (Pspec(),) * len(self._w)

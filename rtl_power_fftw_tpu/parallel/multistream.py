@@ -48,8 +48,11 @@ class MultiStreamResult:
     device_readouts: int = 0    # summed over streams
     successful_readouts: int = 0
     stream_eof: bool = False    # any stream's recording ran dry
-    #: Σ|X|⁴ combined over streams (only with a moments=2 step, --sk-file).
+    #: Σ|X|⁴ combined over streams (only with a two-moment step, --sk-file).
     pwr2: Optional[np.ndarray] = None
+    #: SK-excised accumulator and per-bin kept counts (--sk-excise).
+    pwr_clean: Optional[np.ndarray] = None
+    kept: Optional[np.ndarray] = None
 
 
 class MultiStreamAcquisition:
@@ -117,13 +120,16 @@ class MultiStreamAcquisition:
             self.step = ShardedMultitaperStep(
                 mesh, params.N, frames_per_step, streams=S,
                 K=params.multitaper, NW=params.time_bandwidth)
-        elif getattr(params, "sk_file", ""):
-            # --streams S --sk-file: both spectral moments psum-combined
-            # over the stream mesh (moments=2 consumer contract; M in the
-            # SK estimator becomes S·repeats).
+        elif (getattr(params, "sk_file", "")
+                or getattr(params, "sk_excise", 0.0) > 0.0):
+            # --streams S --sk-file / --sk-excise: both spectral moments
+            # psum-combined over the stream mesh (M in the sidecar's SK
+            # estimator becomes S·repeats); with excision each stream's
+            # local block gates itself before the psum.
             from ..models.kurtosis import ShardedSkStep
-            self.step = ShardedSkStep(mesh, params.N, frames_per_step,
-                                      streams=S, window=window)
+            self.step = ShardedSkStep(
+                mesh, params.N, frames_per_step, streams=S, window=window,
+                excise_sigma=getattr(params, "sk_excise", 0.0))
         elif getattr(params, "shard_transform", False):
             # --streams S --shard-transform: the 2-D composition — one
             # mesh row per stream, each row's transforms sequence-sharded
@@ -341,24 +347,26 @@ class MultiStreamAcquisition:
         # finished early contribute zero-valid batches. A small in-flight
         # window overlaps device compute with the producers.
         staging_all = np.zeros((S, F, fb), dtype=np.uint8)
-        pwr = np.zeros(N, dtype=np.float64)
         per_stream = np.zeros((S, N), dtype=np.float64)
         done = np.zeros(S, dtype=np.int64)
         pending = collections.deque()
         max_in_flight = 2
-        two_moments = getattr(self.step, "moments", 1) == 2
-        pwr2 = np.zeros(N, dtype=np.float64) if two_moments else None
+        # Steps may return a STACKED (len(fields), N) combined output
+        # named by .fields (default the single first-moment "s1").
+        fields = getattr(self.step, "fields", ("s1",))
+        acc = {f: np.zeros(N, dtype=np.float64) for f in fields}
+        pwr = acc["s1"]
 
         def drain(to_len: int) -> None:
             while len(pending) > to_len:
                 ps, combined, nv = pending.popleft()
                 per_stream[:] += np.asarray(ps, dtype=np.float64)
-                if two_moments:
-                    c = np.asarray(combined, dtype=np.float64)  # (2, N)
-                    pwr[:] += c[0]
-                    pwr2[:] += c[1]
+                if len(fields) == 1:
+                    acc["s1"] += np.asarray(combined, dtype=np.float64)
                 else:
-                    pwr[:] += np.asarray(combined, dtype=np.float64)
+                    c = np.asarray(combined, dtype=np.float64)
+                    for i, name in enumerate(fields):
+                        acc[name] += c[i]
                 done[:] += nv
 
         try:
@@ -466,4 +474,5 @@ class MultiStreamAcquisition:
             pwr=pwr, per_stream_pwr=per_stream, repeats_done=done,
             device_readouts=int(counters[:, 0].sum()),
             successful_readouts=int(counters[:, 1].sum()),
-            stream_eof=any(eof_flags), pwr2=pwr2)
+            stream_eof=any(eof_flags), pwr2=acc.get("s2"),
+            pwr_clean=acc.get("s1_clean"), kept=acc.get("kept"))

@@ -173,6 +173,8 @@ class Acquisition:
                       file=self.err)
             self.pwr = result.pwr
             self.pwr2 = result.pwr2
+            self.pwr_clean = result.pwr_clean
+            self.kept = result.kept
             self.repeats_done = int(result.repeats_done.sum())
             self.multistream_repeats = result.repeats_done
             self.deviceReadouts = result.device_readouts
@@ -409,7 +411,8 @@ def run_session(params: Params, source: IQSource, aux: AuxData,
             print("Warning: --precision high does not apply to the "
                   "multi-stream sharded path.", file=err)
         multistream = MultiStreamAcquisition(
-            params, all_sources, window=aux.window_values)
+            params, all_sources, window=aux.window_values,
+            frames_per_step=params.frames_per_step)
         print(f"Parallel streams: {params.streams} "
               f"(mesh size {multistream.step.mesh.devices.size})", file=err)
 

@@ -211,9 +211,6 @@ def test_sk_excise_cli_validation():
     with pytest.raises(RPFexception):
         parse_args(["-f", "100M", "--sk-excise", "-1"],
                    stderr=io.StringIO())
-    with pytest.raises(RPFexception):
-        parse_args(["-f", "100M", "--sk-excise", "3", "--streams", "2"],
-                   stderr=io.StringIO())
     err = io.StringIO()
     p = parse_args(["-f", "100M", "--sk-excise", "3",
                     "--fft-backend", "fft4"], stderr=err)
@@ -371,6 +368,78 @@ def test_multistream_sk_session_e2e(tmp_path):
     tone_bin = int(np.argmax(vals))
     assert skv[tone_bin] < 0.5
     assert abs(np.median(np.delete(skv, tone_bin)) - 1.0) < 0.25
+
+
+def test_sharded_sk_excise_matches_per_stream_session_steps():
+    """--streams + --sk-excise: each stream's block gates itself with
+    its own M before the psum — the combined (4, N) stack equals the
+    per-stream SkSessionStep(excise) fields summed."""
+    from rtl_power_fftw_tpu.models.kurtosis import ShardedSkStep
+    from rtl_power_fftw_tpu.parallel import make_mesh
+
+    S, N, F, sigma = 8, 64, 8, 3.0
+    mesh = make_mesh(8)
+    step = ShardedSkStep(mesh, N, F, streams=S, excise_sigma=sigma)
+    assert step.fields == ("s1", "s2", "s1_clean", "kept")
+    single = SkSessionStep(N, F, excise_sigma=sigma)
+    rng = np.random.default_rng(51)
+    nvals = np.array([F, 3, 0, 5, F, F, 1, 7], np.int32)
+    raw = np.zeros((S, F, 2 * N), np.uint8)
+    for s in range(S):
+        raw[s, :nvals[s]] = rng.integers(
+            0, 256, (nvals[s], 2 * N), dtype=np.uint8)
+    ps, comb = step(raw, nvals)
+    comb = np.asarray(comb, np.float64)
+    assert comb.shape == (4, N)
+    want = np.zeros((4, N))
+    for s in range(S):
+        for i, a in enumerate(single(raw[s], int(nvals[s]))):
+            want[i] += np.asarray(a, np.float64)
+    np.testing.assert_allclose(comb[0], want[0], rtol=1e-6)
+    np.testing.assert_allclose(comb[1], want[1], rtol=1e-6)
+    np.testing.assert_allclose(comb[2], want[2], rtol=1e-6)
+    np.testing.assert_array_equal(comb[3], want[3])
+
+
+def test_multistream_sk_excise_session_e2e(tmp_path):
+    """--streams 8 --sk-excise over a recording with a burst: every
+    stream replays the same file, each excises its own contaminated
+    blocks, and the combined spectrum recovers the clean floor."""
+    from test_session_e2e import run
+    from rtl_power_fftw_tpu.sources import FileSource
+
+    N, F, blocks = 64, 64, 4
+    repeats = F * blocks
+    rng = np.random.default_rng(61)
+    iq = rng.normal(127.0, 6.0, size=2 * N * repeats)
+    t = np.arange(N * F)
+    burst = 40.0 * np.exp(2j * np.pi * 13 * t / N)
+    lo = 2 * N * F * 2  # block 2 only
+    iq[lo:lo + 2 * N * F:2] += burst.real
+    iq[lo + 1:lo + 2 * N * F:2] += burst.imag
+    path = tmp_path / "msrfi.iq"
+    path.write_bytes(np.clip(np.round(iq), 0, 255).astype(np.uint8)
+                     .tobytes())
+
+    base = ["-f", "100M", "-b", str(N), "-n", str(repeats),
+            "--streams", "8", "--frames-per-step", str(F),
+            "--source", f"file:{path}"]
+    rv, out, err, _ = run(base + ["--sk-excise", "3"],
+                          FileSource(str(path), use_native=False))
+    assert int(rv) == 0
+    assert "Parallel streams: 8 (mesh size 8)" in err
+    assert "SK excision (3 sigma): kept" in err
+    rv2, out2, _, _ = run(base, FileSource(str(path), use_native=False))
+    assert int(rv2) == 0
+
+    def vals(text):
+        return np.array([float(l.split()[1]) for l in text.split("\n")
+                         if l and not l.startswith("#")])
+    v_ex, v_raw = vals(out), vals(out2)
+    tone_bin = int(np.argmax(v_raw))
+    floor = np.median(v_raw)
+    assert v_raw[tone_bin] > floor + 10.0
+    assert v_ex[tone_bin] < floor + 1.0
 
 
 def test_sk_session_multi_hop(tmp_path):
