@@ -597,6 +597,15 @@ def _session_loop(params, aux, source, data, multistream, record, plan,
                         "effective_integration_s":
                             float(acquisition.unique_samples())
                             / actual_samplerate,
+                        # SK excision stats (--sk-excise only).
+                        **({"sk_kept_fraction":
+                                float(acquisition.kept.sum())
+                                / (acquisition.repeats_done
+                                   * len(acquisition.kept)),
+                            "sk_bins_fully_flagged":
+                                int((acquisition.kept == 0).sum())}
+                           if (acquisition.kept is not None
+                               and acquisition.repeats_done > 0) else {}),
                         # Per-scan delta (the histogram is cumulative
                         # across the session).
                         "queue_histogram": [a - b for a, b in

@@ -240,12 +240,18 @@ def test_sk_excise_session_e2e_intermittent_rfi(tmp_path):
                      .tobytes())
 
     from rtl_power_fftw_tpu.sources import FileSource
+    stats_path = tmp_path / "stats.jsonl"
     base = ["-f", "100M", "-b", str(N), "-n", str(repeats),
             "--frames-per-step", str(F), "--source", f"file:{path}"]
-    rv, out, err, _ = run(base + ["--sk-excise", "3"],
+    rv, out, err, _ = run(base + ["--sk-excise", "3",
+                                  "--stats-json", str(stats_path)],
                           FileSource(str(path), use_native=False))
     assert int(rv) == 0
     assert "SK excision (3 sigma): kept" in err
+    import json
+    rec = json.loads(stats_path.read_text().splitlines()[0])
+    assert 0.0 < rec["sk_kept_fraction"] < 1.0
+    assert rec["sk_bins_fully_flagged"] == 0
     rv2, out2, _, _ = run(base, FileSource(str(path), use_native=False))
     assert int(rv2) == 0
 
