@@ -616,6 +616,10 @@ def parse_args(argv: List[str], stderr=None) -> Params:
                   "second moment, which the fused "
                   f"'{params.fft_backend}' path does not expose; using "
                   "the auto per-frame transform instead.", file=err)
+        if params.precision != "highest":
+            print(f"Warning: {flag}: --precision is ignored (the SK "
+                  "step runs the per-frame transform at its default "
+                  "precision).", file=err)
     if params.shard_transform and params.N & (params.N - 1):
         raise RPFexception(
             "--shard-transform requires a power-of-two number of bins. "

@@ -79,7 +79,8 @@ def compute_sk(s1: np.ndarray, s2: np.ndarray, M: int) -> np.ndarray:
 class SkSessionStep:
     """PsdStep-compatible session step that accumulates BOTH spectral
     moments (``--sk-file``): same contract as ops.spectral.PsdStep except
-    ``moments = 2`` — ``__call__`` returns the pair ``(s1, s2)`` of (N,)
+    the tuple-of-named-``fields`` output — ``__call__`` returns the pair
+    ``(s1, s2)`` of (N,)
     f32 async partials (Σ|X|², Σ|X|⁴ over valid frames), which
     pipeline.Datastore accumulates separately. ``s1`` is bit-identical in
     role to the plain PSD accumulator, so the averaged spectrum written
@@ -100,8 +101,6 @@ class SkSessionStep:
     the excised average). ``s1`` stays the FULL accumulator, so the
     unexcised spectrum, ``.met`` semantics, and the sidecar are
     unchanged."""
-
-    moments = 2
 
     def __init__(self, N: int, frames_per_step: int,
                  window: Optional[np.ndarray] = None,
@@ -133,15 +132,10 @@ class SkSessionStep:
     def _fallback_to_matmul(self, e: Exception) -> bool:
         """Same compile-failure resilience as PsdStep: only the "xla"
         mode touches the monolithic-FFT lowering."""
-        from ..ops.spectral import FFT_FALLBACK_MAX_N, is_fft_compile_refusal
-        if self._mode != "xla" or self.N > FFT_FALLBACK_MAX_N:
+        from ..ops.spectral import warn_fft_compile_fallback
+        if self._mode != "xla" or not warn_fft_compile_fallback(
+                self.N, e, "the SK step"):
             return False
-        if not is_fft_compile_refusal(e):
-            return False
-        import sys as _sys
-        print(f"Warning: the platform FFT failed to compile for N={self.N} "
-              f"({type(e).__name__}); the SK step falls back to the matmul "
-              "DFT path.", file=_sys.stderr)
         self._mode = "matmul"
         self.path = "matmul"
         self._step = _sk_step(self.N, self.F, self._windowed, "matmul",
@@ -161,8 +155,9 @@ class SkSessionStep:
 class ShardedSkStep:
     """The spectral-kurtosis sidecar over the stream mesh (``--streams``
     + ``--sk-file``): same call contract as parallel.sharded.
-    ShardedPsdStep — (S, F, 2N) u8 + (S,) n_valid — but ``moments = 2``:
-    the combined output is a (2, N) stack of the psum-reduced moments
+    ShardedPsdStep — (S, F, 2N) u8 + (S,) n_valid — but with the
+    named-``fields`` combined output: a (2, N) stack of the psum-reduced
+    moments
     (Σ|X|², Σ|X|⁴ over all streams), while ``per_stream`` stays the
     (S, N) first-moment partials so the per-stream diagnostics and the
     averaged spectrum are unchanged. Stateless: both moment sums commute
@@ -178,11 +173,9 @@ class ShardedSkStep:
     stream's burst never contaminates the others — and the combined
     output grows to the (4, N) stack (s1, s2, s1_clean, kept)."""
 
-    moments = 2
-
     def __init__(self, mesh, N: int, frames_per_step: int, streams: int,
                  window: Optional[np.ndarray] = None,
-                 excise_sigma: float = 0.0):
+                 excise_sigma: float = 0.0, backend: str = "auto"):
         from ..ops.spectral import tapered_batch_mode
 
         axis = mesh.axis_names[0]
@@ -201,7 +194,13 @@ class ShardedSkStep:
         self._w = ()
         if window is not None:
             self._w = (jnp.asarray(np.asarray(window, np.float32)),)
-        self._mode = tapered_batch_mode(N)
+        # Honor an explicit per-frame backend request like SkSessionStep
+        # (fused backends were already warned about at parse time).
+        if backend in ("matmul", "fourstep", "xla"):
+            self._mode = backend
+        else:
+            self._mode = tapered_batch_mode(N)
+        self.backend = backend
         self.path = self._mode
         self._build(self._mode)
 
@@ -260,15 +259,10 @@ class ShardedSkStep:
     def _fallback_to_matmul(self, e: Exception) -> bool:
         """Same compile-failure resilience as ShardedPsdStep: only the
         "xla" mode touches the monolithic-FFT lowering."""
-        from ..ops.spectral import FFT_FALLBACK_MAX_N, is_fft_compile_refusal
-        if self._mode != "xla" or self.N > FFT_FALLBACK_MAX_N:
+        from ..ops.spectral import warn_fft_compile_fallback
+        if self._mode != "xla" or not warn_fft_compile_fallback(
+                self.N, e, "the sharded SK step", " on each shard"):
             return False
-        if not is_fft_compile_refusal(e):
-            return False
-        import sys as _sys
-        print(f"Warning: the platform FFT failed to compile for N={self.N} "
-              f"({type(e).__name__}); the sharded SK step falls back to "
-              "the matmul DFT path on each shard.", file=_sys.stderr)
         self._mode = "matmul"
         self.path = "matmul"
         self._build("matmul")

@@ -157,15 +157,10 @@ class MultitaperSessionStep:
         only the "xla" mode touches the platform's monolithic FFT
         lowering; if the backend refuses it, rebuild on the direct
         matmul DFT and retry."""
-        from ..ops.spectral import FFT_FALLBACK_MAX_N, is_fft_compile_refusal
-        if self._mode != "xla" or self.N > FFT_FALLBACK_MAX_N:
+        from ..ops.spectral import warn_fft_compile_fallback
+        if self._mode != "xla" or not warn_fft_compile_fallback(
+                self.N, e, "the multitaper step"):
             return False
-        if not is_fft_compile_refusal(e):
-            return False
-        import sys as _sys
-        print(f"Warning: the platform FFT failed to compile for N={self.N} "
-              f"({type(e).__name__}); the multitaper step falls back to "
-              "the matmul DFT path.", file=_sys.stderr)
         self._mode = "matmul"
         self._step = _mt_partial_step(self.N, self.F, self.K, self._chunk,
                                       "matmul")
@@ -261,15 +256,10 @@ class ShardedMultitaperStep:
         """Same compile-failure resilience as ShardedPsdStep: only the
         "xla" mode touches the monolithic-FFT lowering; on refusal
         rebuild each shard's transform on the direct matmul DFT."""
-        from ..ops.spectral import FFT_FALLBACK_MAX_N, is_fft_compile_refusal
-        if self._mode != "xla" or self.N > FFT_FALLBACK_MAX_N:
+        from ..ops.spectral import warn_fft_compile_fallback
+        if self._mode != "xla" or not warn_fft_compile_fallback(
+                self.N, e, "the sharded multitaper step", " on each shard"):
             return False
-        if not is_fft_compile_refusal(e):
-            return False
-        import sys as _sys
-        print(f"Warning: the platform FFT failed to compile for N={self.N} "
-              f"({type(e).__name__}); the sharded multitaper step falls "
-              "back to the matmul DFT path on each shard.", file=_sys.stderr)
         self._mode = "matmul"
         self._build("matmul")
         return True

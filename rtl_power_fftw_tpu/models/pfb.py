@@ -225,15 +225,10 @@ class PfbSessionStep:
         only the "xla" mode touches the platform's monolithic-FFT
         lowering; on refusal rebuild the jitted step on the direct
         matmul DFT (filter history is untouched) and retry."""
-        from ..ops.spectral import FFT_FALLBACK_MAX_N, is_fft_compile_refusal
-        if self._mode != "xla" or self.N > FFT_FALLBACK_MAX_N:
+        from ..ops.spectral import warn_fft_compile_fallback
+        if self._mode != "xla" or not warn_fft_compile_fallback(
+                self.N, e, "the PFB step"):
             return False
-        if not is_fft_compile_refusal(e):
-            return False
-        import sys as _sys
-        print(f"Warning: the platform FFT failed to compile for N={self.N} "
-              f"({type(e).__name__}); the PFB step falls back to the "
-              "matmul DFT path.", file=_sys.stderr)
         self._mode = "matmul"
         self._step = _pfb_session_step(self.N, self.P, self.F, self._chunk,
                                        "matmul")
@@ -378,15 +373,10 @@ class ShardedPfbStep:
         "xla" mode touches the monolithic-FFT lowering; on refusal
         rebuild each shard's transform on the direct matmul DFT (filter
         history is untouched) and retry."""
-        from ..ops.spectral import FFT_FALLBACK_MAX_N, is_fft_compile_refusal
-        if self._mode != "xla" or self.N > FFT_FALLBACK_MAX_N:
+        from ..ops.spectral import warn_fft_compile_fallback
+        if self._mode != "xla" or not warn_fft_compile_fallback(
+                self.N, e, "the sharded PFB step", " on each shard"):
             return False
-        if not is_fft_compile_refusal(e):
-            return False
-        import sys as _sys
-        print(f"Warning: the platform FFT failed to compile for N={self.N} "
-              f"({type(e).__name__}); the sharded PFB step falls back to "
-              "the matmul DFT path on each shard.", file=_sys.stderr)
         self._mode = "matmul"
         self._build("matmul")
         return True

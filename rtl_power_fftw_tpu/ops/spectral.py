@@ -136,6 +136,26 @@ def is_fft_compile_refusal(e: Exception) -> bool:
 FFT_FALLBACK_MAX_N = 8192
 
 
+def warn_fft_compile_fallback(N: int, e: Exception, what: str,
+                              suffix: str = "") -> bool:
+    """The shared guard for every step's last-resort monolithic-FFT
+    compile fallback: True iff ``e`` is a backend compile REFUSAL (not a
+    runtime/user error) at a size the matmul-DFT rebuild can absorb, in
+    which case the standard warning naming ``what`` is printed and the
+    caller rebuilds its step on the matmul DFT and retries. Callers gate
+    on their own mode bookkeeping first (only the "xla" mode touches the
+    monolithic lowering); keeping the refusal classifier, the size cap,
+    and the message in ONE place keeps the eight fallback sites from
+    diverging."""
+    if N > FFT_FALLBACK_MAX_N or not is_fft_compile_refusal(e):
+        return False
+    import sys
+    print(f"Warning: the platform FFT failed to compile for N={N} "
+          f"({type(e).__name__}); {what} falls back to the matmul DFT "
+          f"path{suffix}.", file=sys.stderr)
+    return True
+
+
 def tapered_batch_mode(N: int) -> str:
     """Transform choice for estimator steps whose input planes are
     already windowed-class (multitaper's tapered batch, the PFB's
@@ -541,15 +561,10 @@ class PsdStep:
         (the reference never aborts on a plannable size either: FFTW
         plans ANY N, datastore.cxx:30-33). Returns True if the step was
         rebuilt and the dispatch should be retried."""
-        if not (self.backend == "auto" and self.path == "xla"
-                and self.N <= FFT_FALLBACK_MAX_N):
+        if not (self.backend == "auto" and self.path == "xla"):
             return False
-        if not is_fft_compile_refusal(e):
+        if not warn_fft_compile_fallback(self.N, e, "the step"):
             return False  # runtime/user errors propagate untouched
-        import sys as _sys
-        print(f"Warning: the platform FFT failed to compile for N={self.N} "
-              f"({type(e).__name__}); falling back to the matmul DFT path.",
-              file=_sys.stderr)
         self._power = _power_backend("matmul", self.N)
         self.backend = "matmul"
         try:

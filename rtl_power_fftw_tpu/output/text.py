@@ -37,6 +37,22 @@ def freq_precision(tuned_freq: int, actual_samplerate: int, N: int) -> int:
 POWER_PRECISION = 6  # significantPlacesPwr (acquisition.cxx:383)
 
 
+def _write_block(out: IO[str], freqs, values, fprec: int) -> None:
+    """The per-bin data lines + the spectrum-separator blank line +
+    flush, under C++ ``setprecision`` semantics — shared by the main
+    writer and the SK sidecar so the two line formats cannot diverge."""
+    lines = []
+    for f, v in zip(np.asarray(freqs, dtype=np.float64),
+                    np.asarray(values, dtype=np.float64)):
+        lines.append(f"{cxx_float(f, fprec)} "
+                     f"{cxx_float(v, POWER_PRECISION)}\n")
+    out.write("".join(lines))
+    # Consecutive spectra are separated by an empty line
+    # (acquisition.cxx:428-432).
+    out.write("\n")
+    out.flush()
+
+
 class TextWriter:
     """Writes spectra in the reference's text format."""
 
@@ -54,16 +70,8 @@ class TextWriter:
         out.write("#\n")
         out.write("# frequency [Hz] power spectral density [dB/Hz]\n")
 
-        fprec = freq_precision(tuned_freq, actual_samplerate, N)
-        lines = []
-        for f, v in zip(np.asarray(freqs, dtype=np.float64),
-                        np.asarray(values, dtype=np.float64)):
-            lines.append(f"{cxx_float(f, fprec)} {cxx_float(v, POWER_PRECISION)}\n")
-        out.write("".join(lines))
-        # Consecutive spectra are separated by an empty line
-        # (acquisition.cxx:428-432).
-        out.write("\n")
-        out.flush()
+        _write_block(out, freqs, values,
+                     freq_precision(tuned_freq, actual_samplerate, N))
 
     def end_measurement_set(self) -> None:
         """Additional empty line after a full measurement set
@@ -93,15 +101,8 @@ class SkWriter:
         out.write("#\n")
         out.write("# frequency [Hz] spectral kurtosis "
                   "(Gaussian expectation 1)\n")
-        fprec = freq_precision(tuned_freq, actual_samplerate, N)
-        lines = []
-        for f, v in zip(np.asarray(freqs, dtype=np.float64),
-                        np.asarray(sk, dtype=np.float64)):
-            lines.append(f"{cxx_float(f, fprec)} "
-                         f"{cxx_float(v, POWER_PRECISION)}\n")
-        out.write("".join(lines))
-        out.write("\n")
-        out.flush()
+        _write_block(out, freqs, sk,
+                     freq_precision(tuned_freq, actual_samplerate, N))
 
     def end_measurement_set(self) -> None:
         self.stream.write("\n")

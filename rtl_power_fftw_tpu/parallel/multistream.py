@@ -129,7 +129,8 @@ class MultiStreamAcquisition:
             from ..models.kurtosis import ShardedSkStep
             self.step = ShardedSkStep(
                 mesh, params.N, frames_per_step, streams=S, window=window,
-                excise_sigma=getattr(params, "sk_excise", 0.0))
+                excise_sigma=getattr(params, "sk_excise", 0.0),
+                backend=params.fft_backend)
         elif getattr(params, "shard_transform", False):
             # --streams S --shard-transform: the 2-D composition — one
             # mesh row per stream, each row's transforms sequence-sharded

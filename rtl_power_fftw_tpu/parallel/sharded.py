@@ -259,16 +259,12 @@ class ShardedPsdStep:
         N) is the only one whose lowering the framework doesn't control;
         if the backend refuses it, rebuild on the matmul DFT locally
         (dot-generals always lower; same u8 convention) and retry."""
-        from ..ops.spectral import FFT_FALLBACK_MAX_N, is_fft_compile_refusal
-        if not (self.backend == "auto" and self.path == "xla"
-                and self.N <= FFT_FALLBACK_MAX_N):
+        from ..ops.spectral import warn_fft_compile_fallback
+        if not (self.backend == "auto" and self.path == "xla"):
             return False
-        if not is_fft_compile_refusal(e):
+        if not warn_fft_compile_fallback(self.N, e, "the sharded step",
+                                         " on each shard"):
             return False
-        import sys as _sys
-        print(f"Warning: the platform FFT failed to compile for N={self.N} "
-              f"({type(e).__name__}); falling back to the matmul DFT path "
-              "on each shard.", file=_sys.stderr)
         window_np = (None if self._window is None
                      else np.asarray(self._window))
         self.__init__(self.mesh, self.N, self.F, streams=self.S,

@@ -161,7 +161,6 @@ class Datastore:
         # TUPLE of (N,) partials named by .fields (default the single
         # first-moment "s1"); each gets its own float64 host accumulator.
         self.fields = getattr(self.step, "fields", ("s1",))
-        self.moments = getattr(self.step, "moments", 1)
         self._acc = {f: np.zeros(self.N, dtype=np.float64)
                      for f in self.fields}
         self.repeats_done = 0

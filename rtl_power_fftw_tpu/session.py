@@ -257,6 +257,16 @@ class Acquisition:
         self.kept = result.kept
         self.repeats_done = result.repeats_done
 
+    def sk_stats(self) -> Optional[tuple]:
+        """``(kept_fraction, bins_fully_flagged)`` under ``--sk-excise``
+        (None otherwise) — the ONE definition behind both the stderr
+        summary and the --stats-json record."""
+        if self.kept is None or self.repeats_done <= 0:
+            return None
+        frac = float(self.kept.sum()) / (self.repeats_done
+                                         * len(self.kept))
+        return frac, int((self.kept == 0).sum())
+
     def unique_samples(self) -> int:
         """Unique (complex) samples consumed — N·repeats_done, except in
         Welch-overlap mode where frames share samples."""
@@ -281,10 +291,9 @@ class Acquisition:
         print(f"Actual number of averaged spectra: {self.repeats_done}", file=err)
         eff = float(self.unique_samples()) / self.actual_samplerate
         print(f"Effective integration time: {eff:g} seconds", file=err)
-        if self.kept is not None and self.repeats_done > 0:
-            frac = float(self.kept.sum()) / (self.repeats_done
-                                             * len(self.kept))
-            nfull = int((self.kept == 0).sum())
+        sk = self.sk_stats()
+        if sk is not None:
+            frac, nfull = sk
             print(f"SK excision ({p.sk_excise:g} sigma): kept "
                   f"{100.0 * frac:.2f}% of bin-blocks; {nfull} of "
                   f"{len(self.kept)} bins fully flagged "
@@ -468,9 +477,17 @@ def run_session(params: Params, source: IQSource, aux: AuxData,
             # scan because the directory doesn't exist helps nobody.
             with open(params.stitch_file, "a"):
                 pass
-    except OSError as e:
-        raise RPFexception(f"Could not open output file: {e}. Exiting.",
-                           ReturnValue.InvalidInput)
+    except BaseException as e:
+        # A later open failing must not leak the fds already opened in
+        # this block (library callers; also the sidecar was truncated).
+        if record is not None:
+            record.close()
+        if sk_stream is not None:
+            sk_stream.close()
+        if isinstance(e, OSError):
+            raise RPFexception(f"Could not open output file: {e}. Exiting.",
+                               ReturnValue.InvalidInput)
+        raise
 
     try:
         return _session_loop(params, aux, source, data, multistream, record,
@@ -598,14 +615,10 @@ def _session_loop(params, aux, source, data, multistream, record, plan,
                             float(acquisition.unique_samples())
                             / actual_samplerate,
                         # SK excision stats (--sk-excise only).
-                        **({"sk_kept_fraction":
-                                float(acquisition.kept.sum())
-                                / (acquisition.repeats_done
-                                   * len(acquisition.kept)),
-                            "sk_bins_fully_flagged":
-                                int((acquisition.kept == 0).sum())}
-                           if (acquisition.kept is not None
-                               and acquisition.repeats_done > 0) else {}),
+                        **({"sk_kept_fraction": sk_rec[0],
+                            "sk_bins_fully_flagged": sk_rec[1]}
+                           if (sk_rec := acquisition.sk_stats())
+                           is not None else {}),
                         # Per-scan delta (the histogram is cumulative
                         # across the session).
                         "queue_histogram": [a - b for a, b in

@@ -46,7 +46,7 @@ def test_unimplemented_fft_falls_back_to_matmul(capsys):
     np.testing.assert_allclose(got, want, rtol=1e-5)
     assert step.path == "matmul"
     assert step.backend == "auto"  # the user's request stays introspectable
-    assert "falling back to the matmul DFT" in capsys.readouterr().err
+    assert "falls back to the matmul DFT" in capsys.readouterr().err
     # Subsequent dispatches use the rebuilt step directly.
     got2 = np.asarray(step(raw, 8), dtype=np.float64)
     np.testing.assert_allclose(got2, want, rtol=1e-5)

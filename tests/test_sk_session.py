@@ -30,7 +30,7 @@ def _direct_moments(raw_frames, N, window=None):
 def test_sk_step_matches_direct_float64():
     N, F = 64, 8
     step = SkSessionStep(N, F)
-    assert step.moments == 2 and not step.takes_u16
+    assert step.fields == ("s1", "s2") and not step.takes_u16
     rng = np.random.default_rng(11)
     frames = rng.integers(0, 256, size=(2 * F + 5, 2 * N), dtype=np.uint8)
     s1 = np.zeros(N)
@@ -329,7 +329,7 @@ def test_sharded_sk_matches_per_stream_session_steps():
     S, N, F = 8, 64, 8
     mesh = make_mesh(8)
     step = ShardedSkStep(mesh, N, F, streams=S)
-    assert step.moments == 2 and not step.takes_u16
+    assert step.fields == ("s1", "s2") and not step.takes_u16
     single = SkSessionStep(N, F)
     rng = np.random.default_rng(21)
     nvals = np.array([F, 3, 0, 5, F, F, 1, 7], np.int32)
@@ -446,6 +446,40 @@ def test_multistream_sk_excise_session_e2e(tmp_path):
     floor = np.median(v_raw)
     assert v_raw[tone_bin] > floor + 10.0
     assert v_ex[tone_bin] < floor + 1.0
+
+
+def test_sharded_sk_honors_explicit_backend():
+    from rtl_power_fftw_tpu.models.kurtosis import ShardedSkStep
+    from rtl_power_fftw_tpu.parallel import make_mesh
+    step = ShardedSkStep(make_mesh(8), 64, 8, streams=8, backend="matmul")
+    assert step.path == "matmul"
+
+
+def test_sk_stream_closed_on_setup_failure(tmp_path):
+    """--sk-file + a later open failing in session setup must not leak
+    the sidecar fd (library callers)."""
+    import io
+    import os
+    from rtl_power_fftw_tpu.auxdata import AuxData
+    from rtl_power_fftw_tpu.config import parse_args
+    from rtl_power_fftw_tpu.session import run_session
+    from rtl_power_fftw_tpu.sources import SyntheticSource
+
+    sk_path = tmp_path / "leak.sk"
+    params = parse_args(
+        ["-f", "100M", "-b", "32", "-n", "4",
+         "--source", "synthetic:noise=5,seed=7",
+         "--sk-file", str(sk_path),
+         "--record", str(tmp_path / "no" / "such" / "dir" / "x.bin")],
+        stderr=io.StringIO())
+    aux = AuxData(params, stderr=io.StringIO())
+    fds_before = len(os.listdir("/proc/self/fd"))
+    with pytest.raises(RPFexception):
+        run_session(params, SyntheticSource(noise=5.0, seed=7), aux,
+                    stdout=io.StringIO(), stderr=io.StringIO(),
+                    install_sigint=False)
+    assert len(os.listdir("/proc/self/fd")) == fds_before
+    assert sk_path.exists()  # truncated, but not leaked
 
 
 def test_sk_session_multi_hop(tmp_path):
