@@ -11,6 +11,7 @@ from __future__ import annotations
 import enum
 import signal
 import sys
+import threading
 
 
 class InterruptState(enum.IntEnum):
@@ -19,13 +20,18 @@ class InterruptState(enum.IntEnum):
     FinishNow = 2
 
 
-# Lock-free on purpose, mirroring the reference's std::atomic counter
-# (interrupts.cxx:25): CPython delivers signal handlers on the main thread
-# between bytecodes, so a handler that took a lock also held by main-thread
-# code would deadlock the process. The handler is the only writer (single
-# increment); readers see a plain int.
+# The LEVEL counter is lock-free on purpose, mirroring the reference's
+# std::atomic counter (interrupts.cxx:25): CPython delivers signal
+# handlers on the main thread between bytecodes, so a handler that took a
+# lock also held by main-thread code would deadlock the process. The
+# handler is the only writer (single increment); readers see a plain int.
+# The REPORTING bookkeeping, however, is polled concurrently from every
+# producer thread (multistream) — its read-modify-write takes a lock the
+# handler never touches, so each level prints exactly once
+# (interrupts.cxx:45-60) without any deadlock risk.
 _interrupts = 0
 _reported = 0
+_report_lock = threading.Lock()
 
 
 def _handler(signum, frame):
@@ -71,10 +77,13 @@ def check_interrupt(check_level: InterruptState, stderr=None) -> bool:
     global _reported
     err = stderr if stderr is not None else sys.stderr
     current = _interrupts
-    while _reported < current:
-        _reported += 1
-        if _reported == int(InterruptState.FinishPass):
-            print("Interrupted, will try to finish this pass.", file=err)
-        elif _reported == int(InterruptState.FinishNow):
-            print("Interrupted, finishing now.", file=err)
+    if _reported < current:  # cheap racy pre-check; settled under lock
+        with _report_lock:
+            while _reported < current:
+                _reported += 1
+                if _reported == int(InterruptState.FinishPass):
+                    print("Interrupted, will try to finish this pass.",
+                          file=err)
+                elif _reported == int(InterruptState.FinishNow):
+                    print("Interrupted, finishing now.", file=err)
     return current >= int(check_level)

@@ -165,11 +165,9 @@ class MultiStreamAcquisition:
                 else "auto")
         self.S = S
         # Welch overlap applies per stream, same as the single-stream
-        # Datastore (pipeline/datastore.py).
-        self._hop = None
-        if params.welch_overlap > 0.0:
-            self._hop = max(1, int(round(
-                params.N * (1.0 - params.welch_overlap / 100.0))))
+        # Datastore (shared formula).
+        from ..pipeline.datastore import welch_hop
+        self._hop = welch_hop(params.N, params.welch_overlap)
         # Queue-pressure histogram over free slots, summed across streams
         # (the multi-stream analogue of datastore.h:45's per-grab count).
         self.queue_histogram: List[int] = [0] * (self.QUEUE_DEPTH + 1)
@@ -201,20 +199,25 @@ class MultiStreamAcquisition:
     def print_queue_histogram(self, stderr=None) -> None:
         """Free-slot histogram summed over stream queues (the multistream
         analogue of datastore.cxx:98-103)."""
-        import sys
-        err = stderr if stderr is not None else sys.stderr
-        print("Buffer queue histogram: "
-              + " ".join(str(v) for v in self.queue_histogram) + " ", file=err)
+        from ..pipeline.datastore import print_queue_histogram
+        print_queue_histogram(self.queue_histogram, stderr)
 
     def _bytes_needed(self) -> int:
-        """Unique stream bytes per acquisition (Welch-aware, cf.
-        Datastore.bytes_needed)."""
-        r = self.params.repeats
-        if self._hop is None or r <= 0:
-            return 2 * self.params.N * r
-        return 2 * (self._hop * (r - 1) + self.params.N)
+        """Unique stream bytes per acquisition (Welch-aware; shared
+        formula with Datastore.bytes_needed)."""
+        from ..pipeline.datastore import stream_bytes_needed
+        return stream_bytes_needed(self.params.N, self._hop,
+                                   self.params.repeats)
 
-    def _tune_all(self, freq: int) -> None:
+    def unique_samples(self, repeats_done) -> int:
+        """Unique (complex) samples summed over the per-stream repeat
+        counts (shared per-stream formula with Datastore)."""
+        from ..pipeline.datastore import unique_complex_samples
+        return int(sum(unique_complex_samples(self.params.N, self._hop,
+                                              int(r))
+                       for r in np.asarray(repeats_done).ravel()))
+
+    def tune_all(self, freq: int) -> None:
         """Tune every stream with the reference's 3-try persuasion
         (acquisition.cxx:229-249); any persistently dead stream raises
         TuneError so the session drops the frequency, not the session."""
@@ -236,7 +239,7 @@ class MultiStreamAcquisition:
         N, F, S = params.N, self.step.F, self.S
         fb = 2 * N
 
-        self._tune_all(freq)
+        self.tune_all(freq)  # idempotent if the session pre-tuned
         reset = getattr(self.step, "reset", None)
         if reset is not None:
             reset()  # stateful steps (PFB history) must not leak across retunes

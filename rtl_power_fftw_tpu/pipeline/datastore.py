@@ -45,6 +45,47 @@ class AcquisitionResult:
     kept: Optional[np.ndarray] = None
 
 
+def welch_hop(N: int, overlap_percent: float) -> Optional[int]:
+    """Frame hop for Welch-overlap mode (None = back-to-back frames) —
+    the ONE definition shared by the single-stream Datastore and the
+    multistream engine."""
+    if overlap_percent <= 0.0:
+        return None
+    return max(1, int(round(N * (1.0 - overlap_percent / 100.0))))
+
+
+def stream_bytes_needed(N: int, hop: Optional[int], repeats: int) -> int:
+    """Stream bytes one acquisition must read for ``repeats`` frames:
+    the reference's 2·N·repeats (acquisition.cxx:273) without overlap;
+    with a hop < N overlapping frames reuse samples, so only
+    2·(hop·(repeats−1) + N) unique bytes are needed."""
+    if hop is None or repeats <= 0:
+        return 2 * N * repeats
+    return 2 * (hop * (repeats - 1) + N)
+
+
+def unique_complex_samples(N: int, hop: Optional[int],
+                           repeats_done: int) -> int:
+    """Unique (complex) input samples consumed by ``repeats_done``
+    frames: N·repeats_done normally, hop·(repeats_done−1)+N with Welch
+    overlap — the honest basis for effective integration time
+    (acquisition.cxx:356-357 divides samples by the sample rate)."""
+    if repeats_done <= 0:
+        return 0
+    if hop is None:
+        return N * repeats_done
+    return hop * (repeats_done - 1) + N
+
+
+def print_queue_histogram(histogram, stderr=None) -> None:
+    """datastore.cxx:98-103 — shared by both pipeline engines so the
+    documented diagnostic format cannot drift."""
+    import sys
+    err = stderr if stderr is not None else sys.stderr
+    print("Buffer queue histogram: "
+          + " ".join(str(v) for v in histogram) + " ", file=err)
+
+
 class _ShardedTransformStep:
     """Adapter giving parallel.bigfft the PsdStep calling convention
     (.F + __call__(frames_u8, n_valid) -> async (N,) device partial)."""
@@ -83,9 +124,7 @@ class Datastore:
                  max_in_flight: int = 4):
         self.params = params
         self.N = params.N
-        hop = None
-        if params.welch_overlap > 0.0:
-            hop = max(1, int(round(params.N * (1.0 - params.welch_overlap / 100.0))))
+        hop = welch_hop(params.N, params.welch_overlap)
         self._hop = hop
 
         frames_per_step = params.frames_per_step
@@ -142,10 +181,6 @@ class Datastore:
                                 precision=params.precision)
         self.slicer = FrameSlicer(params.N, hop=hop)
         self.max_in_flight = max_in_flight
-        #: which ladder rung the device step runs ("pallas" | "hybrid" |
-        #: "fourstep" | "fft4" | "bigfft" | "xla") — surfaced in the
-        #: verbose banner and --stats-json records.
-        self.transform_path = getattr(self.step, "path", "xla")
 
         # Buffer pool bookkeeping (datastore.h:40-47). Buffers here are just
         # numpy arrays owned by the queue; the pool bound provides the
@@ -169,33 +204,45 @@ class Datastore:
 
     # --- producer interface (called by Acquisition) ---
 
+    @property
+    def transform_path(self) -> str:
+        """Which ladder rung the device step runs ("pallas" | "hybrid" |
+        "fourstep" | "fft4" | "bigfft" | "xla" | estimator names) —
+        surfaced in the verbose banner and --stats-json records. A LIVE
+        view: a mid-run compile fallback that rebuilds the step on the
+        matmul DFT updates it."""
+        return getattr(self.step, "path", "xla")
+
     def bytes_needed(self) -> int:
-        """How many stream bytes one acquisition must read to produce
-        ``repeats`` frames.  Without overlap this is the reference's
-        ``2·N·repeats`` (acquisition.cxx:273); in Welch mode (hop < N)
-        overlapping frames reuse samples, so only
-        ``2·(hop·(repeats−1) + N)`` unique bytes are needed — reading the
-        full non-overlapped amount would leave the tail accumulating in
-        the slicer carry (quadratic copying on long runs)."""
-        r = self.params.repeats
-        if self._hop is None or r <= 0:
-            return 2 * self.N * r
-        return 2 * (self._hop * (r - 1) + self.N)
+        """Stream bytes one acquisition must read for ``repeats`` frames
+        (shared formula: stream_bytes_needed). Reading the full
+        non-overlapped amount in Welch mode would leave the tail
+        accumulating in the slicer carry (quadratic copying)."""
+        return stream_bytes_needed(self.N, self._hop, self.params.repeats)
 
     def unique_samples(self, repeats_done: int) -> int:
         """Unique (complex) input samples consumed by ``repeats_done``
-        frames: N·repeats_done normally, hop·(repeats_done−1)+N with
-        Welch overlap — the honest basis for effective integration time
-        (acquisition.cxx:356-357 divides samples by the sample rate)."""
-        if repeats_done <= 0:
-            return 0
-        if self._hop is None:
-            return self.N * repeats_done
-        return self._hop * (repeats_done - 1) + self.N
+        frames (shared formula: unique_complex_samples)."""
+        return unique_complex_samples(self.N, self._hop, repeats_done)
 
     def begin_acquisition(self) -> None:
         """Reset accumulator and start the consumer thread (the reference
-        spawns fftThread per acquisition, acquisition.cxx:256)."""
+        spawns fftThread per acquisition, acquisition.cxx:256).
+
+        Sanitizes state an ABORTED acquisition may have left behind (a
+        producer-side error path that never reached finish_acquisition):
+        a still-alive previous consumer is signalled and joined, and
+        stale un-consumed buffers are dropped — otherwise a library
+        caller reusing the Datastore would race two consumers on the
+        shared accumulators and leak the failed hop's IQ into the next
+        spectrum."""
+        if self._consumer is not None and self._consumer.is_alive():
+            with self._status_change:
+                self._acquisition_finished = True
+                self._occupied.clear()
+                self._status_change.notify_all()
+            self._consumer.join()
+        self._occupied.clear()
         self._acc = {f: np.zeros(self.N, dtype=np.float64)
                      for f in self.fields}
         self.repeats_done = 0
@@ -322,8 +369,4 @@ class Datastore:
     # --- diagnostics ---
 
     def print_queue_histogram(self, stderr=None) -> None:
-        """datastore.cxx:98-103."""
-        import sys
-        err = stderr if stderr is not None else sys.stderr
-        print("Buffer queue histogram: "
-              + " ".join(str(v) for v in self.queue_histogram) + " ", file=err)
+        print_queue_histogram(self.queue_histogram, stderr)

@@ -160,6 +160,12 @@ class Acquisition:
         if self.multistream is not None:
             # Parallel streams sharded over the device mesh: the engine
             # drives its own per-stream producers and psum reduction.
+            # Tune EVERY stream before the scan-start bookkeeping — a
+            # dead extra stream must drop the hop BEFORE begin_scan, or
+            # the failed attempt's timestamp poisons the .met metadata
+            # (the reference tunes before recording scan time,
+            # acquisition.cxx:229-249 vs 259-264).
+            self.multistream.tune_all(self.freq)
             self.startAcqTimestamp = current_datetime()
             self.stats.begin_scan(self.startAcqTimestamp)
             if _chatty(params):
@@ -271,14 +277,8 @@ class Acquisition:
         """Unique (complex) samples consumed — N·repeats_done, except in
         Welch-overlap mode where frames share samples."""
         if self.multistream is not None:
-            hop = self.multistream._hop
-            if hop is None or self.repeats_done <= 0:
-                return self.params.N * self.repeats_done
             # Per-stream overlap: sum hop·(r_s−1)+N over streams.
-            import numpy as _np
-            r = _np.asarray(self.multistream_repeats, dtype=_np.int64)
-            return int((hop * _np.maximum(r - 1, 0)
-                        + _np.where(r > 0, self.params.N, 0)).sum())
+            return self.multistream.unique_samples(self.multistream_repeats)
         return self.data.unique_samples(self.repeats_done)
 
     def print_summary(self) -> None:
@@ -394,9 +394,6 @@ def run_session(params: Params, source: IQSource, aux: AuxData,
     # init error to the hardware-error exit (7).
     _backend_ready()
 
-    data = datastore if datastore is not None else Datastore(
-        params, window=aux.window_values)
-
     # Parallel IQ streams over the device mesh (extension; BASELINE
     # config 5). Stream 0 is the primary source (keeps tune/retry
     # semantics); extra streams come from the same --source spec.
@@ -424,6 +421,14 @@ def run_session(params: Params, source: IQSource, aux: AuxData,
             frames_per_step=params.frames_per_step)
         print(f"Parallel streams: {params.streams} "
               f"(mesh size {multistream.step.mesh.devices.size})", file=err)
+
+    # With --streams the sharded engine owns the whole compute path; a
+    # single-stream Datastore would only duplicate expensive estimator
+    # setup (DPSS tapers, PFB prototypes, jit closures) for a consumer
+    # loop that never runs.
+    data = datastore
+    if data is None and multistream is None:
+        data = Datastore(params, window=aux.window_values)
 
     if _chatty(params):
         # Which auto-ladder rung the ACTIVE compute core selected for

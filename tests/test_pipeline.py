@@ -42,6 +42,32 @@ def test_awkward_buffer_sizes_accumulate_exactly():
     np.testing.assert_allclose(res.pwr, np.fft.ifftshift(want), rtol=1e-5)
 
 
+def test_reuse_after_aborted_acquisition():
+    """A producer-side abort (no finish_acquisition) must not leak the
+    failed hop's buffers or its consumer thread into the next
+    acquisition: begin_acquisition sanitizes stale state, so the retried
+    acquisition's spectrum matches a clean single-pass golden."""
+    N, repeats = 64, 8
+    params = parse(["-b", str(N), "-n", str(repeats)])
+    rng = np.random.default_rng(9)
+    data = Datastore(params)
+
+    # Aborted acquisition: push garbage, never finish.
+    data.begin_acquisition()
+    data.acquire_slot()
+    data.push_buffer(rng.integers(0, 256, 2 * N * 3, dtype=np.uint8))
+
+    # Retried acquisition on the same Datastore.
+    stream = rng.integers(0, 256, 2 * N * repeats, dtype=np.uint8)
+    data.begin_acquisition()
+    data.acquire_slot()
+    data.push_buffer(stream.copy())
+    res = data.finish_acquisition()
+    assert res.repeats_done == repeats
+    want, _ = golden_accumulate(stream, N, repeats)
+    np.testing.assert_allclose(res.pwr, np.fft.ifftshift(want), rtol=1e-5)
+
+
 def test_reuse_across_acquisitions():
     N, repeats = 64, 10
     params = parse(["-b", str(N), "-n", str(repeats)])
