@@ -75,6 +75,64 @@ def column_twiddle(N: int, N1: int, cols: int, d):
             * jax.lax.complex(jnp.cos(ang_r), jnp.sin(ang_r)))
 
 
+def tree_sum_frames(pwr):
+    """Two-stage f32 tree sum over the frame axis (axis 0) — the
+    framework's accumulation invariant (CLAUDE.md: error ≈ √chunk·ε
+    instead of F·ε), applied to the distributed steps too rather than
+    relying on whatever order the backend's plain reduce emitter picks.
+    Chunk = the largest power-of-two divisor of F up to 64
+    (ops.spectral._SUM_CHUNK)."""
+    F = pwr.shape[0]
+    chunk = 1
+    while chunk * 2 <= min(F, 64) and F % (chunk * 2) == 0:
+        chunk *= 2
+    return pwr.reshape(F // chunk, chunk, *pwr.shape[1:]).sum(1).sum(0)
+
+
+def u16_frames(frames_u8: np.ndarray, F: int, N: int) -> np.ndarray:
+    """View (..., F', 2N) u8 host frames as (..., F, N) u16 IQ pairs,
+    zero-padded to F frames — the ONE host-assembly used by every
+    distributed-transform entry point. Welch-overlap slicers can hand
+    out strided frame views; the u16 view needs contiguous rows
+    (ascontiguousarray is a no-op copy otherwise)."""
+    a = np.ascontiguousarray(frames_u8)
+    lead, Fp = a.shape[:-2], a.shape[-2]
+    u16 = a.reshape(*lead, Fp, -1).view(np.uint16)
+    if Fp < F:
+        u16 = np.concatenate(
+            [u16, np.zeros((*lead, F - Fp, N), np.uint16)], axis=-2)
+    return u16
+
+
+def fourstep_local_core(x_u16, n_valid, *, axis: str, N: int, N1: int,
+                        N2: int, D: int, F: int, wargs=()):
+    """The per-device body of the distributed four-step FFT PSD — local
+    length-N1 FFT, split-angle column twiddle, all_to_all transpose over
+    ``axis``, local length-N2 FFT, frame masking, two-stage frame sum.
+    Shared by the 1-D mesh (ShardedLargeFFTPsd) and the per-row 2-D mesh
+    (parallel/grid.py) so the transform pipeline exists once.
+
+    x_u16: (F, N1, N2/D) — this device's n2-columns; returns the
+    (N1/D, N2) masked power partial."""
+    d = jax.lax.axis_index(axis)
+    cols = N2 // D
+    re, im = dequant_iq_u16(x_u16)
+    x = jax.lax.complex(re, im)
+    if wargs:
+        wloc = jax.lax.dynamic_slice(wargs[0], (0, d * cols), (N1, cols))
+        x = x * wloc[None]
+    y = jnp.fft.fft(x, axis=1)                    # over n1 → k1
+    z = y * column_twiddle(N, N1, cols, d)[None]
+    # Distributed transpose: split k1 into D blocks, gather n2.
+    z = jax.lax.all_to_all(z, axis, split_axis=1, concat_axis=2,
+                           tiled=True)            # (F, N1/D, N2)
+    X = jnp.fft.fft(z, axis=2)                    # over n2 → k2
+    pwr = X.real * X.real + X.imag * X.imag
+    fidx = jax.lax.broadcasted_iota(jnp.int32, (F, 1, 1), 0)
+    pwr = jnp.where(fidx < n_valid, pwr, 0.0)
+    return tree_sum_frames(pwr)                   # (N1/D, N2)
+
+
 class ShardedLargeFFTPsd:
     """PSD accumulator whose FFT is sharded WITHIN each transform.
 
@@ -108,26 +166,8 @@ class ShardedLargeFFTPsd:
 
         def local_step(x_u16, n_valid, *wargs):
             # x_u16: (F, N1, N2/D) local columns; u16 lane = (re, im) bytes.
-            d = jax.lax.axis_index(axis)
-            cols = N2 // D
-            re, im = dequant_iq_u16(x_u16)
-            x = jax.lax.complex(re, im)
-            if wargs:
-                wloc = jax.lax.dynamic_slice(
-                    wargs[0], (0, d * cols), (N1, cols))
-                x = x * wloc[None]
-            y = jnp.fft.fft(x, axis=1)                    # over n1 → k1
-            # Twiddle W_N^(k1·n2) — see column_twiddle for the split-
-            # angle precision scheme past N = 2^24.
-            z = y * column_twiddle(N, N1, cols, d)[None]
-            # Distributed transpose: split k1 into D blocks, gather n2.
-            z = jax.lax.all_to_all(z, axis, split_axis=1, concat_axis=2,
-                                   tiled=True)            # (F, N1/D, N2)
-            X = jnp.fft.fft(z, axis=2)                    # over n2 → k2
-            pwr = X.real * X.real + X.imag * X.imag
-            fidx = jax.lax.broadcasted_iota(jnp.int32, (F, 1, 1), 0)
-            pwr = jnp.where(fidx < n_valid, pwr, 0.0)
-            return jnp.sum(pwr, axis=0)                   # (N1/D, N2)
+            return fourstep_local_core(x_u16, n_valid, axis=axis, N=N,
+                                       N1=N1, N2=N2, D=D, F=F, wargs=wargs)
 
         in_specs = [P(None, None, axis), P()]
         wextra = []
@@ -160,13 +200,8 @@ class ShardedLargeFFTPsd:
         Fp = len(frames_u8)
         if Fp > self.F:
             raise ValueError(f"got {Fp} frames, step built for {self.F}")
-        # Welch-overlap slicers can hand out strided frame views; the u16
-        # view needs contiguous rows (no-op copy otherwise).
-        u16 = np.ascontiguousarray(frames_u8).reshape(Fp, -1).view(np.uint16)
-        if Fp < self.F:
-            u16 = np.concatenate(
-                [u16, np.zeros((self.F - Fp, self.N), np.uint16)])
-        x = u16.reshape(self.F, self.N1, self.N2)
+        x = u16_frames(frames_u8, self.F, self.N) \
+            .reshape(self.F, self.N1, self.N2)
         return jax.device_put(x, self._x_sharding), Fp
 
     def device_step(self, frames_u8: np.ndarray, n_valid: int):
@@ -190,20 +225,22 @@ class ShardedLargeFFTPsd:
         global Array is assembled from single-device pieces (the same
         shape as MultiHostPsdStep._globalize). The all_to_all between the
         transform stages then rides ICI within a host and DCN across."""
-        import jax
         Fp = len(frames_u8)
         if Fp > self.F:
             raise ValueError(f"got {Fp} frames, step built for {self.F}")
-        u16 = np.ascontiguousarray(frames_u8).reshape(Fp, -1).view(np.uint16)
-        if Fp < self.F:
-            u16 = np.concatenate(
-                [u16, np.zeros((self.F - Fp, self.N), np.uint16)])
-        x = u16.reshape(self.F, self.N1, self.N2)
+        x = u16_frames(frames_u8, self.F, self.N) \
+            .reshape(self.F, self.N1, self.N2)
         dev_list = list(self.mesh.devices.flat)
         cols = self.N2 // len(dev_list)
+        # Iterate the MESH's devices, not jax.local_devices(): a subset
+        # mesh (make_mesh(n) < all devices) must only shard onto its own
+        # members — this process supplies the shards for the mesh devices
+        # it can address.
+        local = set(jax.local_devices())
         shards = []
-        for d in jax.local_devices():
-            gi = dev_list.index(d)
+        for gi, d in enumerate(dev_list):
+            if d not in local:
+                continue
             shards.append(jax.device_put(
                 np.ascontiguousarray(x[:, :, gi * cols:(gi + 1) * cols]), d))
         arr = jax.make_array_from_single_device_arrays(

@@ -41,8 +41,7 @@ except ImportError:                     # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.spectral import dequant_iq_u16
-from .bigfft import _split, column_twiddle
+from .bigfft import _split, fourstep_local_core, u16_frames
 
 
 def make_grid_mesh(streams_axis: int, seq_axis: int,
@@ -98,27 +97,13 @@ class GridPsdStep:
 
         def local_step(x_u16, n_valid, *wargs):
             # x_u16: (1, F, N1, N2/Dq) — this device's columns of its
-            # row's stream group; n_valid: (1,) i32.
-            q = jax.lax.axis_index("seq")
-            cols = N2 // Dq
-            re, im = dequant_iq_u16(x_u16[0])
-            x = jax.lax.complex(re, im)                   # (F, N1, cols)
-            if wargs:
-                wloc = jax.lax.dynamic_slice(
-                    wargs[0], (0, q * cols), (N1, cols))
-                x = x * wloc[None]
-            y = jnp.fft.fft(x, axis=1)                    # over n1 → k1
-            z = y * column_twiddle(N, N1, cols, q)[None]
-            # Distributed transpose WITHIN the row: the all_to_all names
-            # only the seq axis, so each stream group transposes over
-            # its own row's ICI without touching other rows.
-            z = jax.lax.all_to_all(z, "seq", split_axis=1, concat_axis=2,
-                                   tiled=True)            # (F, N1/Dq, N2)
-            X = jnp.fft.fft(z, axis=2)                    # over n2 → k2
-            pwr = X.real * X.real + X.imag * X.imag
-            fidx = jax.lax.broadcasted_iota(jnp.int32, (F, 1, 1), 0)
-            pwr = jnp.where(fidx < n_valid[0], pwr, 0.0)
-            part = jnp.sum(pwr, axis=0)                   # (N1/Dq, N2)
+            # row's stream group; n_valid: (1,) i32. The transform
+            # pipeline is the shared distributed four-step core; naming
+            # only the seq axis keeps each row's all_to_all on its own
+            # ICI links, untouched by other rows.
+            part = fourstep_local_core(x_u16[0], n_valid[0], axis="seq",
+                                       N=N, N1=N1, N2=N2, D=Dq, F=F,
+                                       wargs=wargs)       # (N1/Dq, N2)
             # Combine the stream groups: one psum over the other axis.
             return part[None], jax.lax.psum(part, "stream")
 
@@ -154,13 +139,8 @@ class GridPsdStep:
             raise ValueError(
                 f"batch {frames_u8.shape[:2]} vs step (S={self.S}, "
                 f"F<={self.F})")
-        u16 = np.ascontiguousarray(frames_u8).reshape(S, Fp, -1) \
-            .view(np.uint16)
-        if Fp < self.F:
-            u16 = np.concatenate(
-                [u16, np.zeros((S, self.F - Fp, self.N), np.uint16)],
-                axis=1)
-        x = u16.reshape(S, self.F, self.N1, self.N2)
+        x = u16_frames(frames_u8, self.F, self.N) \
+            .reshape(S, self.F, self.N1, self.N2)
         return jax.device_put(x, self._x_sharding)
 
     def __call__(self, frames_u8: np.ndarray, n_valid):

@@ -125,3 +125,15 @@ def test_split_twiddle_beats_single_angle_past_2_24():
         e_split = np.abs(split - ref).max()
         assert e_split < e_single, (lg, e_split, e_single)
         assert e_split < 6e-7, (lg, e_split)
+
+
+def test_call_global_subset_mesh():
+    """prepare_global/call_global on a mesh that is a SUBSET of the
+    visible devices (regression: iterating jax.local_devices() instead
+    of the mesh's members crashed with 'device is not in list')."""
+    N, F = 256, 4
+    big = ShardedLargeFFTPsd(make_mesh(4), N, F)  # 8 devices visible
+    frames = make_frames(F, N, seed=11)
+    got, used = big.call_global(frames)
+    assert used == F
+    np.testing.assert_allclose(got, golden(frames, N), rtol=1e-4)
