@@ -19,6 +19,7 @@
 // Build: g++ -O3 -std=c++17 -shared -fPIC loader.cpp -o librpf_loader.so -lpthread
 
 #include <atomic>
+#include <cerrno>
 #include <chrono>
 #include <condition_variable>
 #include <cstdint>
@@ -153,6 +154,8 @@ struct Loader {
         if (static_cast<long long>(len) > static_cast<long long>(span - pos))
           len = static_cast<size_t>(span - pos);
         ssize_t n = ::pread(fd, slot.data.data() + got, len, file_start + pos);
+        if (n < 0 && errno == EINTR) continue;  // signal (e.g. Ctrl+C
+        // delivered to a reader thread) must not truncate the stream
         if (n <= 0) { err = true; break; }
         got += static_cast<size_t>(n);
         if (stop_flag.load()) break;
@@ -197,6 +200,7 @@ struct Loader {
       bool ended = false;
       while (got < want) {
         ssize_t n = ::read(fd, slot.data.data() + got, want - got);
+        if (n < 0 && errno == EINTR) continue;  // interrupted, not ended
         if (n > 0) {
           got += static_cast<size_t>(n);
         } else if (n == 0) {

@@ -81,5 +81,8 @@ def read_matrix(bin_file: str, meta_file: Optional[str] = None):
                 meta[key] = val
         cols = int(meta["cols"])
         if cols > 0:
-            data = data.reshape(-1, cols)
+            # A session killed mid-write can leave a partial trailing row
+            # (append_row is not atomic); completed rows must stay
+            # readable — that recovery is this loader's whole point.
+            data = data[:len(data) // cols * cols].reshape(-1, cols)
     return data, meta

@@ -24,6 +24,13 @@ import numpy as np
 
 from ..exceptions import ReturnValue, RPFexception
 
+#: The R820T tuner's gain steps in tenths of dB (librtlsdr's table) —
+#: the ONE copy shared by the synthetic and rtl_tcp backends so
+#: nearest_gain behaves identically across them.
+R820T_GAINS = [0, 9, 14, 27, 37, 77, 87, 125, 144, 157, 166, 197, 207,
+               229, 254, 280, 297, 328, 338, 364, 372, 386, 402, 421,
+               434, 439, 445, 480, 496]
+
 
 class IQSource(abc.ABC):
     """Abstract IQ sample source with RTL-SDR-like control surface."""

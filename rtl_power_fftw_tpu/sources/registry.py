@@ -16,17 +16,20 @@ from .file import FileSource
 from .synthetic import parse_synthetic_spec
 
 
-def make_source(spec: str, sample_rate: int = 2_048_000) -> IQSource:
+def make_source(spec: str, sample_rate: int = 2_048_000,
+                seed_offset: int = 0) -> IQSource:
     """Build an IQSource from a CLI spec string.
 
     Specs: ``synthetic[:opts]`` | ``file:<path>[:loop]`` |
     ``rtl_tcp:<host>[:<port>]`` | ``rtlsdr[:<index>]``.
+    ``seed_offset`` shifts a synthetic source's noise seed (used by
+    --streams so every extra stream gets independent noise).
     """
     kind, _, rest = spec.partition(":")
     kind = kind.strip().lower()
     if kind == "synthetic":
         try:
-            src = parse_synthetic_spec(rest)
+            src = parse_synthetic_spec(rest, seed_offset=seed_offset)
         except ValueError as e:
             raise RPFexception(f"Bad --source synthetic spec: {e}",
                                ReturnValue.InvalidArgument)
@@ -44,7 +47,12 @@ def make_source(spec: str, sample_rate: int = 2_048_000) -> IQSource:
     if kind == "rtl_tcp":
         host, _, port = rest.partition(":")
         from .rtl_tcp import RtlTcpSource
-        return RtlTcpSource(host or "127.0.0.1", int(port) if port else 1234)
+        try:
+            port_no = int(port) if port else 1234
+        except ValueError:
+            raise RPFexception(f"Bad rtl_tcp port: {port!r}. Exiting.",
+                               ReturnValue.InvalidArgument)
+        return RtlTcpSource(host or "127.0.0.1", port_no)
     if kind == "rtlsdr":
         try:
             from .rtlsdr import RtlSdrSource  # optional dependency
@@ -52,7 +60,12 @@ def make_source(spec: str, sample_rate: int = 2_048_000) -> IQSource:
             raise RPFexception(
                 "rtlsdr source requires the pyrtlsdr package, which is not "
                 "installed.", ReturnValue.NoDeviceFound)
-        return RtlSdrSource(int(rest) if rest else 0)
+        try:
+            index = int(rest) if rest else 0
+        except ValueError:
+            raise RPFexception(f"Bad rtlsdr device index: {rest!r}. "
+                               "Exiting.", ReturnValue.InvalidArgument)
+        return RtlSdrSource(index)
     raise RPFexception(f"Unknown --source kind: {kind!r}.",
                        ReturnValue.InvalidArgument)
 
@@ -65,21 +78,13 @@ def make_sources(spec: str, n: int, sample_rate: int = 2_048_000) -> List[IQSour
     rtl_tcp streams are separate connections (requires a server per
     stream in practice).
     """
-    sources: List[IQSource] = []
-    kind = spec.partition(":")[0].strip().lower()
-    for i in range(n):
-        if kind == "synthetic":
-            rest = spec.partition(":")[2]
-            try:
-                # Extras are streams 1..n relative to the primary (stream 0),
-                # so every one gets a distinct seed offset.
-                sources.append(parse_synthetic_spec(rest, seed_offset=i + 1))
-            except ValueError as e:
-                raise RPFexception(f"Bad --source synthetic spec: {e}",
-                                   ReturnValue.InvalidArgument)
-        else:
-            sources.append(make_source(spec, sample_rate))
-    return sources
+    # Extras are streams 1..n relative to the primary (stream 0), so
+    # every synthetic one gets a distinct seed offset. Routing through
+    # make_source keeps the parse/error-wrapping AND the
+    # set_sample_rate honor in ONE place (library callers must not
+    # silently get the default rate).
+    return [make_source(spec, sample_rate, seed_offset=i + 1)
+            for i in range(n)]
 
 
 def open_device(params: Params,

@@ -30,7 +30,7 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 from ..exceptions import ReturnValue, RPFexception
-from .base import IQSource, hardware_error
+from .base import IQSource, R820T_GAINS, hardware_error
 
 _SET_FREQ = 0x01
 _SET_SAMPLE_RATE = 0x02
@@ -38,10 +38,8 @@ _SET_GAIN_MODE = 0x03
 _SET_GAIN = 0x04
 _SET_FREQ_CORRECTION = 0x05
 
-# Gain tables per tuner type index in the rtl_tcp header.
-_R820T_GAINS = [0, 9, 14, 27, 37, 77, 87, 125, 144, 157, 166, 197, 207,
-                229, 254, 280, 297, 328, 338, 364, 372, 386, 402, 421,
-                434, 439, 445, 480, 496]
+# Gain tables per tuner type index in the rtl_tcp header (shared table).
+_R820T_GAINS = R820T_GAINS
 
 
 class RtlTcpSource(IQSource):
@@ -129,11 +127,16 @@ class RtlTcpSource(IQSource):
 
     def _send_cmd(self, opcode: int, arg: int,
                   no_reconnect: bool = False) -> None:
-        try:
-            self._sock.sendall(struct.pack(">BI", opcode, arg & 0xFFFFFFFF))
-            return
-        except OSError:
-            pass
+        # A previous failed reconnect leaves _sock = None; later calls
+        # (e.g. the session's 3-try tune loop) must get the typed
+        # hardware error / a fresh reconnect attempt, not AttributeError.
+        if self._sock is not None:
+            try:
+                self._sock.sendall(
+                    struct.pack(">BI", opcode, arg & 0xFFFFFFFF))
+                return
+            except OSError:
+                pass
         if no_reconnect or not self._reconnect():
             raise hardware_error("rtl_tcp: connection lost while sending "
                                  "command.")
@@ -192,6 +195,8 @@ class RtlTcpSource(IQSource):
         # reconnect (fresh stream, pending discarded) and likewise
         # reports dropped samples so the producer retries.
         try:
+            if self._sock is None:  # a previous reconnect failed
+                raise OSError("no connection")
             while len(self._pending) < nbytes:
                 chunk = self._sock.recv(nbytes - len(self._pending))
                 if not chunk:

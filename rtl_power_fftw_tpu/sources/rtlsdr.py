@@ -78,9 +78,19 @@ class RtlSdrSource(IQSource):  # pragma: no cover - needs hardware
 
     def read(self, nbytes: int) -> Tuple[np.ndarray, bool]:
         """Blocking read; success iff the full buffer arrived
-        (device.cxx:92-97 returns n_read == buffer.size())."""
+        (device.cxx:92-97 returns n_read == buffer.size()).
+
+        pyrtlsdr RAISES (LibUSBError/IOError) where librtlsdr returns a
+        short count — map a transient USB error onto the reference's
+        dropped-samples retry path instead of crashing the producer."""
         self._reset_buffer()
-        raw = self._sdr.read_bytes(nbytes)
+        try:
+            raw = self._sdr.read_bytes(nbytes)
+        except Exception as e:  # noqa: BLE001 - library-specific errors
+            import sys
+            print(f"rtlsdr: read failed ({e}); treating as dropped "
+                  "samples.", file=sys.stderr)
+            return np.zeros(nbytes, dtype=np.uint8), False
         data = np.frombuffer(raw, dtype=np.uint8)
         return data, len(data) == nbytes
 

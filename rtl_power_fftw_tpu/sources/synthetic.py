@@ -23,13 +23,11 @@ from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
-from .base import IQSource, hardware_error
+from .base import IQSource, R820T_GAINS, hardware_error
 
 
 class SyntheticSource(IQSource):
-    DEFAULT_GAINS = [0, 9, 14, 27, 37, 77, 87, 125, 144, 157, 166, 197,
-                     207, 229, 254, 280, 297, 328, 338, 364, 372, 386,
-                     402, 421, 434, 439, 445, 480, 496]
+    DEFAULT_GAINS = R820T_GAINS
 
     def __init__(self,
                  tones: Sequence[Tuple[float, float]] = (),

@@ -107,3 +107,24 @@ def test_matrix_values_are_float32():
         mw.append_row(np.array([1.23456789012345e-7], dtype=np.float64), 1, 1)
         data = np.fromfile(binf, dtype=np.float32)
         assert data[0] == np.float32(1.23456789012345e-7)
+
+
+def test_read_matrix_tolerates_partial_trailing_row(tmp_path):
+    """A session killed mid append_row leaves a partial final row; the
+    loader must return the completed rows (the documented recovery
+    case), not crash on the reshape."""
+    stats = SessionStats()
+    binf, metf = str(tmp_path / "x.bin"), str(tmp_path / "x.met")
+    mw = MatrixWriter(binf, metf, stats)
+    mw.truncate()
+    N = 4
+    mw.append_row(np.arange(N) + 0.5, tuned_freq=100, finalfreq=100)
+    mw.append_row(np.arange(N) + 1.5, tuned_freq=100, finalfreq=100)
+    stats.firstAcqTimestamp = "2026-01-01 00:00:00 UTC"
+    stats.lastAcqTimestamp = "2026-01-01 00:05:00 UTC"
+    mw.write_meta(N=N, repeats_done=10, actual_samplerate=2_000_000)
+    with open(binf, "ab") as f:   # simulate a kill mid-write
+        f.write(b"\x00" * 6)      # 1.5 floats of a third row
+    data, meta = read_matrix(binf, metf)
+    assert data.shape == (2, N)
+    np.testing.assert_allclose(data[1], np.arange(N) + 1.5, rtol=1e-6)

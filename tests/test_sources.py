@@ -246,3 +246,27 @@ def test_make_source_applies_sample_rate_to_synthetic():
     from rtl_power_fftw_tpu.sources.registry import make_source
     src = make_source("synthetic:noise=5,seed=1", 2_400_000)
     assert src.sample_rate() == 2_400_000
+
+
+def test_registry_bad_numeric_specs_are_typed_errors():
+    """Non-numeric rtl_tcp port / rtlsdr index must exit InvalidArgument
+    (3), not crash with a ValueError traceback."""
+    for spec in ("rtl_tcp:host:abc",):
+        with pytest.raises(RPFexception) as e:
+            make_source(spec)
+        assert e.value.retval == ReturnValue.InvalidArgument
+    pytest.importorskip("rtlsdr", reason="pyrtlsdr not installed")
+    with pytest.raises(RPFexception) as e:
+        make_source("rtlsdr:x")
+    assert e.value.retval == ReturnValue.InvalidArgument
+
+
+def test_make_sources_applies_sample_rate_and_seeds():
+    """--streams extras must honor the requested rate (library callers
+    must not silently get the default) and carry distinct seeds."""
+    from rtl_power_fftw_tpu.sources import make_sources
+    extras = make_sources("synthetic:noise=5,seed=3", 3,
+                          sample_rate=1_000_000)
+    assert all(s.sample_rate() == 1_000_000 for s in extras)
+    reads = [s.read(64)[0].tobytes() for s in extras]
+    assert len(set(reads)) == 3  # distinct noise seeds
