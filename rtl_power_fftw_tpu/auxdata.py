@@ -20,6 +20,7 @@ reference can only read windows from files).
 
 from __future__ import annotations
 
+import re as _re
 import sys
 from typing import IO, List, Optional
 
@@ -29,24 +30,42 @@ from .config import Params
 from .exceptions import ReturnValue, RPFexception
 
 
+_CXX_HEXFLOAT = _re.compile(
+    r"[+-]?0[xX][0-9a-fA-F]+(?:\.[0-9a-fA-F]*)?(?:[pP][+-]?\d+)?")
+_CXX_FLOAT = _re.compile(r"[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?")
+
+
 def read_inputfile(stream: IO[str]) -> List[float]:
     """Parse aux input line by line (reference: acquisition.cxx:32-59).
 
     Takes the last parseable float on each line; skips ``#`` comments and
-    lines with no numbers at all.
-    """
+    lines with no numbers at all. ``lineStream >> value`` is a CHARACTER
+    stream extraction, not a whitespace-token parse: it consumes the
+    longest valid numeric PREFIX and stops at the first character that
+    cannot continue a number — so ``1420e6 -95.3dB`` yields -95.3 (the
+    'dB' suffix ends extraction AFTER a successful parse) and ``3,5``
+    yields 3, exactly like the C++. num_get rejects ``nan``/``inf`` and
+    Python's ``1_000`` separators; hexfloats (``0x1p-3``) parse like
+    strtod's."""
     values: List[float] = []
     for line in stream:
         if line.lstrip()[:1] == "#":
             continue
         last = None
-        # C++ `lineStream >> value` reads as many doubles as possible and
-        # stops at the first token that does not parse as one.
-        for token in line.split():
+        pos, end = 0, len(line)
+        while True:
+            while pos < end and line[pos].isspace():  # >> skips leading ws
+                pos += 1
+            m = _CXX_HEXFLOAT.match(line, pos) or _CXX_FLOAT.match(line, pos)
+            if m is None:
+                break  # extraction failed: the rest of the line is ignored
+            tok = m.group(0)
             try:
-                last = float(token)
-            except ValueError:
+                last = (float.fromhex(tok) if "x" in tok or "X" in tok
+                        else float(tok))
+            except ValueError:  # pragma: no cover - regex guarantees parse
                 break
+            pos = m.end()
         if last is not None:
             values.append(last)
     return values

@@ -37,14 +37,13 @@ def main(argv: Optional[List[str]] = None) -> int:
         params = parse_args(argv)
         aux = AuxData(params)
         source = open_device(params)
+        import contextlib
         if params.profile_dir:
             # Tracing hook (the reference's only perf instrument is the
             # queue histogram; this adds full device/host timelines).
-            import contextlib
             import jax
             profile_cm = jax.profiler.trace(params.profile_dir)
         else:
-            import contextlib
             profile_cm = contextlib.nullcontext()
         with profile_cm:
             final_retval = run_session(params, source, aux)

@@ -496,7 +496,11 @@ def parse_args(argv: List[str], stderr=None) -> Params:
     params.time_bandwidth = ns.time_bandwidth
     params.sk_file = ns.sk_file
     params.sk_excise = ns.sk_excise
-    params.streams = max(1, ns.streams)
+    if ns.streams < 1:
+        raise RPFexception(
+            f"--streams must be at least 1 (got {ns.streams}). Exiting.",
+            ReturnValue.InvalidArgument)
+    params.streams = ns.streams
     params.shard_transform = ns.shard_transform
     params.frames_per_step = ns.frames_per_step
     params.fft_backend = ns.fft_backend
@@ -554,6 +558,13 @@ def parse_args(argv: List[str], stderr=None) -> Params:
         if not (1.0 <= params.time_bandwidth <= 64.0):
             raise RPFexception(
                 "--time-bandwidth must be in [1, 64]. Exiting.",
+                ReturnValue.InvalidArgument)
+        if params.time_bandwidth >= params.N / 2.0:
+            # scipy's DPSS solver requires NW < N/2 (it would raise an
+            # untyped ValueError deep in the session otherwise).
+            raise RPFexception(
+                f"--time-bandwidth ({params.time_bandwidth:g}) must be "
+                f"below half the number of bins ({params.N}/2). Exiting.",
                 ReturnValue.InvalidArgument)
         conflicts = []
         if params.window:

@@ -29,6 +29,19 @@ from ..ops.spectral import (FrameSlicer, _power_backend,
                             pad_frames)
 
 
+def _sk_keep(s1, s2, M, sigma: float):
+    """The Nita-Gary excision gate — ONE definition for the session and
+    sharded steps (the documented invariant that the sharded result
+    equals per-stream SkSessionStep summed depends on it): keep (1.0)
+    iff the block's |SK−1| is within sigma·2/√M of the Gaussian null,
+    or M < 2 (no SK information). ``M`` is a float scalar or an (S, 1)
+    per-stream column; s1/s2 broadcast accordingly."""
+    sk = ((M + 1.0) / jnp.maximum(M - 1.0, 1.0)
+          * (M * s2 / jnp.maximum(s1 * s1, 1e-30) - 1.0))
+    return ((jnp.abs(sk - 1.0) <= sigma * 2.0 / jnp.sqrt(
+        jnp.maximum(M, 1.0))) | (M < 2.0)).astype(jnp.float32)
+
+
 @functools.lru_cache(maxsize=8)
 def _sk_step(N: int, F: int, windowed: bool, backend: str,
              sigma: float = 0.0):
@@ -56,12 +69,7 @@ def _sk_step(N: int, F: int, windowed: bool, backend: str,
         if sigma == 0.0:
             return s1, s2
         M = n_valid.astype(jnp.float32)
-        sk = ((M + 1.0) / jnp.maximum(M - 1.0, 1.0)
-              * (M * s2 / jnp.maximum(s1 * s1, 1e-30) - 1.0))
-        # M < 2 carries no SK information: keep everything (the same
-        # guard the sidecar writer applies host-side).
-        keep = ((jnp.abs(sk - 1.0) <= sigma * 2.0 / jnp.sqrt(
-            jnp.maximum(M, 1.0))) | (M < 2.0)).astype(jnp.float32)
+        keep = _sk_keep(s1, s2, M, sigma)
         return s1, s2, s1 * keep, M * keep
 
     return step
@@ -235,10 +243,7 @@ class ShardedSkStep:
             # Per-stream-block SK gate (each stream judges its own block
             # with its own M) BEFORE the cross-stream reduction.
             M = n_valid.astype(jnp.float32)[:, None]              # (S_l, 1)
-            sk = ((M + 1.0) / jnp.maximum(M - 1.0, 1.0)
-                  * (M * s2 / jnp.maximum(s1 * s1, 1e-30) - 1.0))
-            keep = ((jnp.abs(sk - 1.0) <= sigma * 2.0 / jnp.sqrt(
-                jnp.maximum(M, 1.0))) | (M < 2.0)).astype(jnp.float32)
+            keep = _sk_keep(s1, s2, M, sigma)
             combined = jax.lax.psum(
                 jnp.stack([s1.sum(0), s2.sum(0),
                            (s1 * keep).sum(0), (M * keep).sum(0)]),

@@ -57,12 +57,16 @@ def _mt_step(N: int, F: int, K: int, backend: str):
     return step
 
 
-@functools.lru_cache(maxsize=8)
-def _mt_partial_step(N: int, F: int, K: int, chunk: int, mode: str):
-    """Session device step: (F, 2N) u8 + scalar n_valid + (K, N) tapers →
-    (N,) f32 partial (Σ_frames mean_tapers |FFT|²), unshifted bins.
+def _mt_core(re, im, fmask, tapers, *, N: int, F: int, K: int,
+             chunk: int, mode: str):
+    """The multitaper estimator body — ONE definition shared by the
+    session step and the sharded per-stream step (the parity tests pin
+    the two paths against each other; keeping the math in one place is
+    what makes that invariant structural): per frame, the mean over the
+    K DPSS eigenspectra, summed over valid frames.
 
-    mode selects the transform for the (F·K, N) tapered batch:
+    re/im: (F, N) dequantized planes; fmask: (F,) validity; tapers:
+    (K, N). mode selects the transform for the (F·K, N) tapered batch:
     "fourstep" — the all-matmul four-step partial (the windowed-band
     choice on TPU: tapered input is windowed-class, and it never touches
     the platform's monolithic FFT lowering); "xla" — the platform FFT
@@ -71,30 +75,37 @@ def _mt_partial_step(N: int, F: int, K: int, chunk: int, mode: str):
     from ..ops.dft import best_fourstep_split, fourstep_psd_partial
     from ..ops.spectral import dft_power_matmul
 
+    re_t = (re[:, None, :] * tapers[None]).reshape(F * K, N)
+    im_t = (im[:, None, :] * tapers[None]).reshape(F * K, N)
+    fmask_t = jnp.repeat(fmask, K)
     if mode == "fourstep":
         n1, n2 = best_fourstep_split(N)
+        total = fourstep_psd_partial(re_t, im_t, fmask_t, n1, n2,
+                                     chunk=chunk)
+    else:
+        if mode == "matmul":
+            p = dft_power_matmul(re_t, im_t)
+        else:
+            X = jnp.fft.fft(jax.lax.complex(re_t, im_t), axis=1)
+            p = jnp.real(X) ** 2 + jnp.imag(X) ** 2
+        p = p * fmask_t[:, None]
+        g = (F * K) // chunk
+        total = p.reshape(g, chunk, N).sum(1).sum(0)
+    return total / np.float32(K)
+
+
+@functools.lru_cache(maxsize=8)
+def _mt_partial_step(N: int, F: int, K: int, chunk: int, mode: str):
+    """Session device step: (F, 2N) u8 + scalar n_valid + (K, N) tapers →
+    (N,) f32 partial (Σ_frames mean_tapers |FFT|²), unshifted bins."""
 
     @jax.jit
     def step(raw, n_valid, tapers):
         re, im = dequant_iq(raw, F, N)
-        re_t = (re[:, None, :] * tapers[None]).reshape(F * K, N)
-        im_t = (im[:, None, :] * tapers[None]).reshape(F * K, N)
         fmask = (jax.lax.broadcasted_iota(jnp.int32, (F,), 0)
                  < n_valid).astype(jnp.float32)
-        fmask_t = jnp.repeat(fmask, K)
-        if mode == "fourstep":
-            total = fourstep_psd_partial(re_t, im_t, fmask_t, n1, n2,
-                                         chunk=chunk)
-        else:
-            if mode == "matmul":
-                p = dft_power_matmul(re_t, im_t)
-            else:
-                X = jnp.fft.fft(jax.lax.complex(re_t, im_t), axis=1)
-                p = jnp.real(X) ** 2 + jnp.imag(X) ** 2
-            p = p * fmask_t[:, None]
-            g = (F * K) // chunk
-            total = p.reshape(g, chunk, N).sum(1).sum(0)
-        return total / np.float32(K)
+        return _mt_core(re, im, fmask, tapers, N=N, F=F, K=K,
+                        chunk=chunk, mode=mode)
 
     return step
 
@@ -112,7 +123,9 @@ def _session_tapers(N: int, NW: float, K: int):
     from ..exceptions import ReturnValue, RPFexception
     try:
         t = dpss_tapers(N, NW, K)
-    except RuntimeError as e:
+    except (RuntimeError, ValueError) as e:
+        # scipy raises ValueError for parameter-domain problems (e.g.
+        # NW >= N/2); both map to the typed InvalidArgument exit.
         raise RPFexception(f"{e}. Exiting.",
                            ReturnValue.InvalidArgument) from e
     return t * np.sqrt(np.float32(N))
@@ -204,31 +217,14 @@ class ShardedMultitaperStep:
             from jax import shard_map
         except ImportError:  # pragma: no cover
             from jax.experimental.shard_map import shard_map
-        from ..ops.dft import best_fourstep_split, fourstep_psd_partial
-        from ..ops.spectral import dft_power_matmul
-
         axis = self.axis
         N_, F_, K_, chunk = self.N, self.F, self.K, self._chunk
-        if mode == "fourstep":
-            n1, n2 = best_fourstep_split(N_)
 
         def one_stream(re, im, fmask, tapers):
-            re_t = (re[:, None, :] * tapers[None]).reshape(F_ * K_, N_)
-            im_t = (im[:, None, :] * tapers[None]).reshape(F_ * K_, N_)
-            fmask_t = jnp.repeat(fmask, K_)
-            if mode == "fourstep":
-                total = fourstep_psd_partial(re_t, im_t, fmask_t, n1, n2,
-                                             chunk=chunk)
-            else:
-                if mode == "matmul":
-                    p = dft_power_matmul(re_t, im_t)
-                else:
-                    X = jnp.fft.fft(jax.lax.complex(re_t, im_t), axis=1)
-                    p = jnp.real(X) ** 2 + jnp.imag(X) ** 2
-                p = p * fmask_t[:, None]
-                g = (F_ * K_) // chunk
-                total = p.reshape(g, chunk, N_).sum(1).sum(0)
-            return total / np.float32(K_)
+            # The estimator body is the SHARED _mt_core — the sharded
+            # and single-stream paths cannot drift apart.
+            return _mt_core(re, im, fmask, tapers, N=N_, F=F_, K=K_,
+                            chunk=chunk, mode=mode)
 
         def local_step(raw, n_valid, tapers):
             # raw: (S_local, F, 2N) u8; n_valid: (S_local,) i32.

@@ -97,10 +97,14 @@ def _split(N: int) -> Tuple[int, int]:
 
 
 def _const_bytes(N: int, N1: int, N2: int, windowed: bool) -> int:
-    s1_terms = 2 if windowed else 3
-    return (3 * s1_terms * N1 * N1 * 2      # stage-1 bf16 splits (r, i, sum)
-            + 3 * 2 * N2 * N2 * 2           # stage-2 bf16 splits
-            + 2 * N2 * N1 * 4               # twiddle f32
+    """Bytes of the _constants tuple as the kernel holds it in VMEM —
+    keep in lockstep with _constants: the K-stacked stage-1 weights are
+    (6·N1, N1) unwindowed / (12·N1, N1) windowed bf16 for EACH of WR/WI,
+    and stage 2 always materializes three 3-term bf16 stacks."""
+    k_stack = 12 if windowed else 6
+    return (2 * k_stack * N1 * N1 * 2       # stage-1 WR + WI bf16
+            + 3 * 3 * N2 * N2 * 2           # stage-2 bf16 3-term stacks ×3
+            + 2 * N2 * N1 * 4               # twiddle f32 (twr + twi)
             + (N * 4 if windowed else 0)    # window
             + 2 * N * 4)                    # output accumulator (+ copy)
 

@@ -107,3 +107,16 @@ def test_builtin_windows():
 def test_unknown_window_rejected():
     with pytest.raises(RPFexception):
         make_window("gaussian-nope", 16)
+
+
+def test_read_inputfile_cxx_prefix_extraction():
+    """`lineStream >> value` is a CHARACTER-stream extraction: it parses
+    the numeric PREFIX of a token and stops after a successful parse —
+    '1420e6 -95.3dB' yields -95.3 (not 1.42e9), '3,5' yields 3, and
+    nan/inf/underscore tokens are rejected like C++ num_get."""
+    assert read_inputfile(io.StringIO("1420e6 -95.3dB\n")) == [-95.3]
+    assert read_inputfile(io.StringIO("3,5\n")) == [3.0]
+    assert read_inputfile(io.StringIO("1_000\n")) == [1.0]
+    assert read_inputfile(io.StringIO("nan\n")) == []
+    assert read_inputfile(io.StringIO("inf 2\n")) == []
+    assert read_inputfile(io.StringIO("5 garbage 7\n")) == [5.0]

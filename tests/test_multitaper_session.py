@@ -147,3 +147,13 @@ def test_multistream_multitaper_session_e2e():
     freqs = np.array([float(l.split()[0]) for l in out.split("\n")
                       if l and not l.startswith("#")])
     assert abs(freqs[vals.argmax()] - 100_100_000) < 2_048_000 / 64
+
+
+def test_multitaper_nw_bound_is_typed_error():
+    """NW >= N/2 (scipy's DPSS domain) must exit InvalidArgument, not
+    crash with a raw ValueError deep in the session."""
+    for argv in (["-f", "100M", "-b", "16", "--multitaper", "2",
+                  "--time-bandwidth", "10"],
+                 ["-f", "100M", "-b", "4", "--multitaper", "2"]):
+        with pytest.raises(RPFexception):
+            parse_args(argv, stderr=io.StringIO())
