@@ -156,6 +156,103 @@ def warn_fft_compile_fallback(N: int, e: Exception, what: str,
     return True
 
 
+def select_transform_rung(N: int, F: int, windowed: bool, backend: str,
+                          tpu: bool):
+    """The auto-ladder band selection — ONE definition shared by PsdStep
+    and ShardedPsdStep (the selection diverged once when it lived in two
+    copies). Returns ``(path, split)`` with path in {"pallas", "hybrid",
+    "fourstep", "fft4", "xla", "matmul"} and split the (n1, n2)
+    factorization for the four-step family (None otherwise). Raises
+    ValueError for explicit requests that cannot be satisfied.
+
+    Measured bands (probes/, BENCHMARKS.md; v5e unless noted):
+
+    * pallas — the fused VMEM kernel, power-of-two 4096–65536 on real
+      TPUs (N=4096 13.4 GS/s vs four-step 9.4; N=8192 13.8 vs 8.3;
+      N=65536 10.5 vs 7.0; below 4096 the stage-1 matmuls are too
+      narrow, and at 2^17 the large-N hybrid matches its speed at ~3×
+      better tone accuracy). WINDOWED band 8192–32768: the in-kernel
+      window multiply costs 40% at 4096 where the direct four-step wins
+      both axes, and at 65536 the four-step wins both axes again
+      (probes/windowed_pow2_direct.py).
+    * hybrid — FFT stage 1 + split twiddle + HIGHEST-matmul stage 2,
+      lane-matched split (N2 ≈ 128, stage-1 length ≥ 8). Unwindowed
+      512–3072 everywhere (fastest at ≤1.3× the FFTW-f32 class error)
+      and TPU composite N > 8192 (beats the reference's own f32 class
+      at ~2× fft4's throughput; probes/hybrid_large.py). Windowed it
+      loses its accuracy class below 2^17 (the time-domain multiply
+      takes stage 1 off its exact integer inputs — windowed medians
+      2.8–6.4× class, probes/windowed_fold.py) so windowed auto admits
+      it only above 65536. On CPU the lane-matched K=128 split doubles
+      the BLAS accumulation tail, so CPU auto uses the near-square
+      split and only 512–3072 unwindowed.
+    * fourstep — the transpose-free all-matmul partial: composite
+      N < 512 everywhere, the TPU 3072 < N ≤ 8192 band (12.5–15.5 GS/s
+      at a 1.58×-class tail vs the hybrid's 2.7×), and WINDOWED TPU
+      512–65536 wherever the kernel doesn't take it (the matmul stages
+      are indifferent to non-integer inputs).
+    * fft4 — the two-level FFT four-step for the remaining very-large
+      composite N (the monolithic XLA FFT lowers poorly there,
+      probes/fftfourstep_sweep.py); non-TPU auto keeps it above 8192.
+    * xla — the platform FFT: prime/degenerate N, and all CPU windowed
+      sizes above the matmul band (CPU XLA FFT IS the FFTW class).
+    """
+    if backend == "matmul":
+        return "matmul", None
+    if backend in ("pallas", "auto"):
+        from .kernels.fused_psd import fused_psd_available
+        eligible = fused_psd_available(N, F, windowed=windowed)
+        if backend == "pallas":
+            if not eligible:
+                raise ValueError(
+                    f"pallas backend unavailable for N={N}, F={F} (needs "
+                    "a power of two >= 256 whose working set fits VMEM); "
+                    "use backend='auto'")
+            return "pallas", None
+        lo = 8192 if windowed else 4096
+        hi = 32768 if windowed else 65536
+        if eligible and lo <= N <= hi and tpu:
+            return "pallas", None
+    windowed_cpu = windowed and not tpu
+    if backend in ("hybrid", "auto"):
+        from .dft import best_fourstep_split, best_hybrid_split
+        if backend == "hybrid" or tpu:
+            n1, n2 = best_hybrid_split(N, min_n1=8)
+        else:
+            n1, n2 = best_fourstep_split(N)
+        if backend == "hybrid":
+            ok = n1 > 1
+        else:
+            ok = (n1 >= 8 and not windowed_cpu
+                  and ((512 <= N <= 3072 and not windowed)
+                       or (tpu and N > 8192 and 64 <= n2 <= 512
+                           and (not windowed or N > 65536))))
+        if ok:
+            return "hybrid", (n1, n2)
+    if backend in ("fourstep", "auto"):
+        from .dft import best_fourstep_split
+        n1, n2 = best_fourstep_split(N)
+        if backend == "fourstep":
+            ok = n1 > 1  # honor an explicit request for any composite N
+        else:
+            ok = (n1 >= 8 and not windowed_cpu
+                  and (N < 512
+                       or (tpu and (N <= 8192
+                                    or (windowed and N <= 65536)))))
+        if ok:
+            return "fourstep", (n1, n2)
+    if backend in ("fft4", "auto") and (N > 8192 or backend == "fft4"):
+        from .dft import best_fourstep_split
+        n1, n2 = best_fourstep_split(N)
+        if n1 >= 8 or (backend == "fft4" and n1 > 1):
+            return "fft4", (n1, n2)
+        if backend == "fft4":
+            raise ValueError(
+                f"backend='fft4' needs composite N (N={N} is prime); "
+                "use backend='auto'")
+    return "xla", None
+
+
 def tapered_batch_mode(N: int) -> str:
     """Transform choice for estimator steps whose input planes are
     already windowed-class (multitaper's tapered batch, the PFB's
@@ -248,242 +345,76 @@ class PsdStep:
 
                 return fast_step
 
-        if self.backend in ("pallas", "auto"):
-            from .kernels.fused_psd import fused_psd_available, make_fused_psd_fn
-            windowed = window is not None
-            eligible = fused_psd_available(N, F, windowed=windowed)
-            if self.backend == "pallas" and not eligible:
-                raise ValueError(
-                    f"pallas backend unavailable for N={N}, F={F} (needs a "
-                    "power of two >= 256 whose working set fits VMEM); "
-                    "use backend='auto'")
-            # auto: the fused kernel wins on real TPUs for large power-of-2
-            # N (measured v5e, GS/s pallas vs four-step/XLA: N=2048 10.4 vs
-            # 9.4 unwindowed but a loss windowed; N=4096 13.4 vs 9.4; N=8192
-            # 13.8 vs 8.3; N=65536 10.5 vs 7.0). Below 4096 the stage-1
-            # matmuls are too narrow; on the CPU test harness the kernel
-            # only interprets. precision='high' selects the kernel's FAST
-            # stage-2 variant (3 passes/product, ~2e-6 uniform error but
-            # ~4e-5 under strong tones — opt-in relaxed parity).
-            # Round-2 ladder change: the hybrid four-step below took over
-            # N = 2048 (faster at equal-or-better tone robustness), so the
-            # kernel's auto band starts at 4096 either way. Round 3: the
-            # band's top is 65536 — at 2^17 the large-N hybrid matches the
-            # kernel's speed (7.7 vs 7.5 GS/s, probes/pow2_head2head.py)
-            # at ~3x better tone accuracy (8.2e-5 vs 2.3e-4; 100-seed
-            # p50 ratio-to-class 1.10 vs 1.39).
-            # WINDOWED band is 8192-32768: the in-kernel window multiply
-            # costs the kernel 40% at 4096 (9.0 vs 15.1 GS/s unwindowed)
-            # where the direct-multiply four-step reads 10.3 GS/s at a
-            # BETTER adversarial tail (30-seed max 1.13x vs 1.82x the
-            # scipy-f32 class; probes/windowed_fold.py). The kernel wins
-            # windowed at 8192 (12.5 vs 10.5), 16384 (13.0 vs 12.5) and
-            # 32768 (8.7 vs 7.3) but LOSES at 65536 to the all-matmul
-            # four-step on BOTH axes (3 isolated runs: 5.5-7.3 GS/s max
-            # 4.29x class vs 6.9-8.2 max 3.23x —
-            # probes/windowed_pow2_direct.py), so the windowed top is
-            # 32768.
-            lo = 8192 if windowed else 4096
-            hi = 32768 if windowed else 65536
-            auto_pallas = (eligible and lo <= N <= hi
-                           and jax.default_backend() == "tpu")
-            if self.backend == "pallas" or auto_pallas:
-                fused = make_fused_psd_fn(
-                    N, F, windowed=windowed,
-                    fast=self._precision != jax.lax.Precision.HIGHEST)
-                # The interleaved (re, im) u8 pair is one little-endian u16
-                # lane. The reinterpretation is FREE on the host
-                # (ndarray.view) but a real relayout pass if done on device
-                # (measured 29% of the whole step) — so the pallas step
-                # takes (F, N) u16 and __call__ views the host buffer.
-                self._u16_in = True
-                self.path = "pallas"
+        # Band selection lives ONCE in select_transform_rung (shared
+        # with ShardedPsdStep); this builder only constructs the chosen
+        # rung's step closure.
+        tpu = jax.default_backend() == "tpu"
+        windowed = window is not None
+        path, split = select_transform_rung(N, F, windowed, self.backend,
+                                            tpu)
 
-                def pallas_step(raw16: jax.Array, n_valid: jax.Array) -> jax.Array:
-                    if window is not None:
-                        return fused(raw16, n_valid, window)
-                    return fused(raw16, n_valid)
+        if path == "pallas":
+            from .kernels.fused_psd import make_fused_psd_fn
+            fused = make_fused_psd_fn(
+                N, F, windowed=windowed,
+                fast=self._precision != jax.lax.Precision.HIGHEST)
+            # The interleaved (re, im) u8 pair is one little-endian u16
+            # lane. The reinterpretation is FREE on the host
+            # (ndarray.view) but a real relayout pass if done on device
+            # (measured 29% of the whole step) — so the pallas step
+            # takes (F, N) u16 and __call__ views the host buffer.
+            self._u16_in = True
+            self.path = "pallas"
 
-                return pallas_step
+            def pallas_step(raw16: jax.Array, n_valid: jax.Array) -> jax.Array:
+                if window is not None:
+                    return fused(raw16, n_valid, window)
+                return fused(raw16, n_valid)
+
+            return pallas_step
 
         fused_partial = None
-        if self.backend in ("hybrid", "auto"):
-            # The tone-robust default for 512 ≤ composite N ≤ 3072: FFT
-            # stage 1 + split twiddle + HIGHEST-matmul stage 2. Measured
-            # v5e (tone error ≤ 8e-6, better than the fused kernel's
-            # 9e-6): N=512 ~12.9 GS/s (old default 8.3), N=1024
-            # ~11.6-13.2 (8.3), N=2048 ~10.8-12.0 (pallas 9.4-9.8).
-            # See fourstep_hybrid_psd_partial's docstring for the error
-            # decomposition that motivates the structure.
-            from .dft import best_hybrid_split, fourstep_hybrid_psd_partial
-            precision_cfg = self._precision
-            # The lane-matched split (N2 ≈ 128, min stage-1 FFT length 8)
-            # serves the WHOLE hybrid band (round 3):
-            # * 512-3072: (8×64)/(8×128)/(16×128)/(24×128) beat the old
-            #   near-square splits by 2-32% at equal-or-better tone error
-            #   (probes/hybrid2048_splits.py: 2048 13.4 vs 11.1 GS/s,
-            #   3072 13.7 vs 10.4, 1024 14.9 vs 11.2, 512 12.0 vs 11.8).
-            # * N > 8192 (the round-3 large-N default, replacing fft4):
-            #   measured under a 35 dB tone vs the FFTW-f32 class error
-            #   (scipy f32) at the same N — tone error grows ~√N for
-            #   EVERY f32 path including FFTW, so the budget is
-            #   class-relative:
-            #     N=2^17: hybrid(1024×128) 8.2e-5, CLASS 1.38e-4,
-            #             fft4 3.5e-4; 8.05 GS/s vs fft4's 4.68.
-            #     N=2^20: hybrid 7.5e-4-1.1e-3, CLASS 1.26e-3,
-            #             fft4 2.0e-3; ~2× fft4's throughput.
-            #   The hybrid BEATS the reference's own precision class
-            #   while outrunning the two-level FFT (probes/hybrid_large).
-            #   TPU-only: on CPU, XLA's FFT is already FFTW-class
-            #   (measured 8.3e-5 mono vs 3.3e-5 scipy at 2^17) and the
-            #   hybrid's twiddle/matmul rounding makes it ~4x WORSE
-            #   there (3.8e-4) — so non-TPU auto keeps the fft4 path.
-            # The lane-matched K=128 is a TPU split: CPU BLAS matmuls
-            # accumulate sequentially in f32, so doubling K doubles the
-            # adversarial tail there (measured 4.1x class vs the MXU's
-            # 1.5x) — non-TPU auto keeps the near-square split. An
-            # explicit backend="hybrid" request uses the lane-matched
-            # chooser everywhere so tests can pin the shipping config's
-            # numerics on the CPU harness.
-            if (self.backend == "hybrid"
-                    or jax.default_backend() == "tpu"):
-                n1, n2 = best_hybrid_split(N, min_n1=8)
-            else:
-                from .dft import best_fourstep_split
-                n1, n2 = best_fourstep_split(N)
-            if self.backend == "hybrid":
-                ok = n1 > 1
-            else:
-                # auto bands (tone-accuracy distributions measured over
-                # >=30 adversarial 35 dB-tone realizations/band,
-                # probes/tone_distribution.py):
-                # * 512-3072 everywhere: hybrid max <= 1.3x the FFTW-f32
-                #   class max (8.3e-5 vs 6.3e-5 TPU, 5.7e-5 vs 6.3e-5
-                #   CPU) and fastest;
-                # * N > 8192 TPU-only (the large-N asymmetric split).
-                # At 3072 < N <= 8192 the hybrid LOSES on TPU on both
-                # axes (probes/midband_hybrid.py: 10.1-13.5 GS/s vs the
-                # matmul four-step's 12.5-15.5; 30-seed tail 1.93e-4 vs
-                # 1.13e-4 at 8192) — that band stays with the four-step
-                # below (TPU) / the XLA FFT (CPU, where it is
-                # FFTW-class while BLAS-matmul paths leak ~5x).
-                # WINDOWED the hybrid loses its accuracy edge everywhere
-                # (probes/windowed_fold.py, 30 seeds vs the scipy-f32
-                # class): the time-domain multiply takes stage 1's FFT
-                # off its exactly-representable integer inputs — TPU
-                # medians 2.80x (2048) / 3.12x (4096) vs the documented
-                # 1.5x budget, while the all-matmul four-step stays
-                # class-faithful (1.1-2.0x max) at 10.4-13.3 GS/s — so
-                # windowed auto skips the hybrid at 512-3072 (the
-                # four-step band below takes it). On CPU windowed auto
-                # skips every matmul-stage path: the CPU XLA FFT is the
-                # class yardstick itself (measured p50 ratio 1.00 vs the
-                # hybrid's 1.6-1.8 — the CPU tail is BLAS stage-2
-                # accumulation).
-                tpu = jax.default_backend() == "tpu"
-                windowed = window is not None
-                windowed_cpu = windowed and not tpu
-                # WINDOWED large-N: the hybrid band starts above 65536 —
-                # at 16384-65536 its windowed medians are 3.8-6.4x class
-                # while the all-matmul four-step holds 1.7-1.9x at equal
-                # or better speed (probes/windowed_pow2_direct.py:
-                # 20480 fourstep 6.9 GS/s p50 1.85 vs hybrid 5.4 p50
-                # 6.38, fft4 4.5 p50 5.05); at 2^17 the hybrid is back
-                # in budget (1.84x/2.12x, 7.5 GS/s vs fft4 5.0).
-                ok = (n1 >= 8 and not windowed_cpu
-                      and ((512 <= N <= 3072 and not windowed)
-                           or (tpu and N > 8192 and 64 <= n2 <= 512
-                               and (not windowed or N > 65536))))
-            if ok:
-                fused_partial = (fourstep_hybrid_psd_partial, n1, n2)
-                self._u16_in = True   # host-side u16 view input
-                self.path = "hybrid"
-                if (N > 8192
-                        and precision_cfg != jax.lax.Precision.HIGHEST):
-                    # Measured PURE LOSS on the large-N band (v5e,
-                    # probes/large_n_fast.py at 2²⁰): Precision.HIGH
-                    # stage-2 runs SLOWER than HIGHEST (1094 vs 620
-                    # µs/step — the conv emitters XLA picks for these
-                    # shapes have no fast 3-pass path) at ~100× worse
-                    # tone error. Honoring the relaxed tier here would
-                    # give strictly worse service on both axes, so the
-                    # step keeps HIGHEST and says so.
-                    import sys as _sys
-                    print("Note: --precision high is slower AND less "
-                          f"accurate on the large-N hybrid (N={N}) — "
-                          "measured pure loss; using highest.",
-                          file=_sys.stderr)
-                    precision_cfg = jax.lax.Precision.HIGHEST
-        if fused_partial is None and self.backend in ("fourstep", "auto"):
-            # The transpose-free fused-reduction formulation halves HBM
-            # traffic; it is the default ("auto") path for factorable N.
-            # Degenerate splits (e.g. N = 2·prime → N1 = 2) would make
-            # stage 2 an O(N²/4) dense DFT — "auto" falls back to the XLA
-            # FFT (Bluestein) there, while an explicit "fourstep" request
-            # is honored (it is still exact, just slower).
-            from .dft import best_fourstep_split, fourstep_psd_partial
-            precision_cfg = self._precision
-            n1, n2 = best_fourstep_split(N)
-            if self.backend == "fourstep":
-                ok = n1 > 1  # honor an explicit request for any composite N
-            else:
-                # auto: composite N < 512 everywhere, plus the TPU
-                # 3072 < N <= 8192 band (measured best there on both
-                # axes: 12.5-15.5 GS/s and a 1.58x-class 30-seed tail vs
-                # the hybrid's 2.7x — the MXU's f32-HIGHEST accumulation
-                # is well-behaved; it is CPU BLAS matmuls that leak ~5x
-                # class, so non-TPU auto uses the FFTW-class XLA FFT
-                # above 3072 instead).
-                tpu = jax.default_backend() == "tpu"
-                # Windowed CPU: XLA FFT (see the hybrid band note).
-                # Windowed TPU additionally owns (8192, 65536] wherever
-                # the pallas kernel doesn't (non-pow-2, and 65536 where
-                # the kernel loses both axes) — the all-matmul stages
-                # are indifferent to non-integer inputs, measured
-                # 1.7-1.9x class at 6.9-8.2 GS/s vs the hybrid's
-                # 3.8-6.4x / fft4's 2.9-5.1x
-                # (probes/windowed_pow2_direct.py).
-                windowed = window is not None
-                windowed_cpu = windowed and not tpu
-                ok = (n1 >= 8 and not windowed_cpu
-                      and (N < 512
-                           or (tpu and (N <= 8192
-                                        or (windowed and N <= 65536)))))
-            if ok:
-                fused_partial = (fourstep_psd_partial, n1, n2)
-                self.path = "fourstep"
-                # Host-side u16 view like every other fused path — the
-                # device-side u8→u16 bitcast is a real relayout pass
-                # (measured: the u8-input four-step at 8192 read 9.9
-                # GS/s vs 15.5 with the view, probes/pow2_head2head.py
-                # vs probes/midband_hybrid.py).
-                self._u16_in = True
-        if (fused_partial is None and self.backend in ("fft4", "auto")
-                and (N > 8192 or self.backend == "fft4")):
-            # Very-large-N: the two-level FFT four-step. XLA lowers a
-            # MONOLITHIC huge FFT poorly (measured at N=2²⁰ on a v5e:
-            # ~1.2-1.3 GS/s, stable across many runs) while two batched
-            # factor-length FFT stages with a twiddle hit the HBM bound
-            # (2-8 GS/s depending on chip contention; never observed
-            # below the monolithic path from 2¹⁹ up, ties at 2¹⁷-2¹⁸ —
-            # probes/fftfourstep_sweep.py).
-            from .dft import best_fourstep_split, fourstep_fft_psd_partial
-            precision_cfg = None
-            n1, n2 = best_fourstep_split(N)
-            # auto needs n1 >= 8 (a degenerate 2·prime split gains nothing
-            # over the monolithic FFT); an EXPLICIT fft4 request is honored
-            # for any composite N — it is still exact, just not faster.
-            if n1 >= 8 or (self.backend == "fft4" and n1 > 1):
-                fused_partial = (fourstep_fft_psd_partial, n1, n2)
-                self.path = "fft4"
-                # Take the IQ pairs as u16 lanes (host-side view): the
-                # device-side (F, 2N)u8 → u16 bitcast is a real relayout
-                # pass that costs ~3.5 ms at N=2²⁰ (over half the step).
-                self._u16_in = True
-            elif self.backend == "fft4":
-                raise ValueError(
-                    f"backend='fft4' needs composite N (N={N} is prime); "
-                    "use backend='auto'")
+        precision_cfg = self._precision
+        if path == "hybrid":
+            from .dft import fourstep_hybrid_psd_partial
+            fused_partial = (fourstep_hybrid_psd_partial, *split)
+            self._u16_in = True   # host-side u16 view input
+            self.path = "hybrid"
+            if (N > 8192
+                    and precision_cfg != jax.lax.Precision.HIGHEST):
+                # Measured PURE LOSS on the large-N band (v5e,
+                # probes/large_n_fast.py at 2^20): Precision.HIGH
+                # stage-2 runs SLOWER than HIGHEST (1094 vs 620
+                # us/step — the conv emitters XLA picks for these
+                # shapes have no fast 3-pass path) at ~100x worse
+                # tone error. Honoring the relaxed tier here would
+                # give strictly worse service on both axes, so the
+                # step keeps HIGHEST and says so.
+                import sys as _sys
+                print("Note: --precision high is slower AND less "
+                      f"accurate on the large-N hybrid (N={N}) — "
+                      "measured pure loss; using highest.",
+                      file=_sys.stderr)
+                precision_cfg = jax.lax.Precision.HIGHEST
+        elif path == "fourstep":
+            from .dft import fourstep_psd_partial
+            fused_partial = (fourstep_psd_partial, *split)
+            self.path = "fourstep"
+            # Host-side u16 view like every other fused path — the
+            # device-side u8→u16 bitcast is a real relayout pass
+            # (measured: the u8-input four-step at 8192 read 9.9
+            # GS/s vs 15.5 with the view, probes/pow2_head2head.py
+            # vs probes/midband_hybrid.py).
+            self._u16_in = True
+        elif path == "fft4":
+            from .dft import fourstep_fft_psd_partial
+            precision_cfg = None  # FFT stages have no matmul knob
+            fused_partial = (fourstep_fft_psd_partial, *split)
+            self.path = "fft4"
+            # Take the IQ pairs as u16 lanes (host-side view): the
+            # device-side (F, 2N)u8 → u16 bitcast is a real relayout
+            # pass that costs ~3.5 ms at N=2^20 (over half the step).
+            self._u16_in = True
         if self._precision != jax.lax.Precision.HIGHEST:
             fp_name = fused_partial[0].__name__ if fused_partial else None
             if fused_partial is None:

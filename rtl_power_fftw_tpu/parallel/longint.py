@@ -18,6 +18,24 @@ from ..ops.spectral import pad_frames
 from .mesh import make_mesh
 from .sharded import ShardedPsdStep
 
+# Step cache: jax.jit caches per function OBJECT, so rebuilding the
+# ShardedPsdStep every call would retrace + recompile identical shapes
+# (20-150 s per shape on the real TPU). Windowed steps key on the window
+# BYTES so a different window array correctly rebuilds.
+_step_cache: dict = {}
+
+
+def _cached_step(mesh, N: int, per_dev: int, window, backend: str):
+    wkey = None if window is None else np.asarray(window).tobytes()
+    key = (id(mesh), N, per_dev, wkey, backend)
+    step = _step_cache.get(key)
+    if step is None:
+        step = ShardedPsdStep(mesh, N, per_dev, streams=mesh.devices.size,
+                              window=window, backend=backend)
+        _step_cache.clear()  # keep at most one live step's constants
+        _step_cache[key] = step
+    return step
+
 
 def sharded_accumulate(frames: np.ndarray, N: int,
                        window: Optional[np.ndarray] = None,
@@ -37,8 +55,7 @@ def sharded_accumulate(frames: np.ndarray, N: int,
         raise ValueError("no frames to accumulate")
     # Rows per device, padded so the (D, F, 2N) batch is rectangular.
     per_dev = -(-M // D)
-    step = ShardedPsdStep(mesh, N, per_dev, streams=D, window=window,
-                          backend=backend)
+    step = _cached_step(mesh, N, per_dev, window, backend)
     batch = np.zeros((D, step.F, 2 * N), dtype=np.uint8)
     n_valid = np.zeros(D, dtype=np.int32)
     for d in range(D):

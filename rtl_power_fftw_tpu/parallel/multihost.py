@@ -83,8 +83,16 @@ class MultiHostPsdStep:
         """local_raw: (S_local, F, 2N) u8; local_n_valid: (S_local,) i32.
         Returns (per_stream_local (S_local, N) f64, combined (N,) f64)."""
         import jax
-        assert local_raw.shape[0] == self.streams_local, (
-            local_raw.shape, self.streams_local)
+        # Real validation, not assert: under `python -O` a wrong stream
+        # count would silently truncate rows inside _globalize's
+        # per-device split, producing a wrong combined spectrum.
+        if local_raw.shape != (self.streams_local, self.F, 2 * self.N):
+            raise ValueError(
+                f"local_raw shape {local_raw.shape} != expected "
+                f"({self.streams_local}, {self.F}, {2 * self.N})")
+        if np.asarray(local_n_valid).shape != (self.streams_local,):
+            raise ValueError(
+                f"local_n_valid must have shape ({self.streams_local},)")
         local8 = np.ascontiguousarray(local_raw, dtype=np.uint8)
         if self.step.takes_u16:
             # The fused-kernel path takes the IQ pairs as u16 lanes; the

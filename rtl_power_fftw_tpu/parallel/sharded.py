@@ -30,7 +30,7 @@ from ..ops.spectral import (_power_backend, adapt_batch, dequant_iq,
 
 class ShardedPsdStep:
     """Jitted multi-device step: (S, F, 2N) u8 → per-stream (S, N) partials
-    and/or a psum-combined (N,) partial, with streams sharded on the mesh.
+    plus a psum-combined (N,) partial, with streams sharded on the mesh.
 
     ``n_valid`` is (S,) — per-stream valid-frame counts, so streams may
     progress unevenly (e.g. different drop rates) without reshape.
@@ -38,9 +38,14 @@ class ShardedPsdStep:
 
     def __init__(self, mesh: Mesh, N: int, frames_per_step: int,
                  streams: int, window: Optional[np.ndarray] = None,
-                 backend: str = "auto", combine: bool = True):
+                 backend: str = "auto"):
         if N % 2 != 0:
             raise ValueError("N must be even")
+        if window is not None and len(np.asarray(window)) != N:
+            # Same early validation as PsdStep — a wrong-length window
+            # would otherwise broadcast silently (length 1) or fail with
+            # an opaque jit error on the first call.
+            raise ValueError("window must have shape (N,)")
         axis = mesh.axis_names[0]
         n_dev = mesh.devices.size
         if streams % n_dev != 0:
@@ -51,7 +56,6 @@ class ShardedPsdStep:
         self.N = N
         self.S = streams
         self.F, self._chunk = adapt_batch(frames_per_step)
-        self.combine = combine
         #: the REQUESTED backend (same public contract as PsdStep.backend;
         #: ``path`` below is what the ladder actually selected).
         self.backend = backend
@@ -61,114 +65,38 @@ class ShardedPsdStep:
         power_fn = _power_backend(backend, N)
         N_, F_, chunk = self.N, self.F, self._chunk
 
-        # Same path selection as PsdStep's auto: the fused Pallas kernel
-        # (streams variant: per-stream masking + per-stream output tiles)
-        # on real TPUs for large power-of-two N; the transpose-free
-        # four-step with fused per-stream reduction for composite N up to
-        # the measured crossover; XLA FFT otherwise.
+        # Band selection is the SHARED chooser (ops.spectral.
+        # select_transform_rung) — the sharded and single-stream ladders
+        # cannot diverge; this builder only constructs the streams
+        # variants of the chosen rung (per-stream masking/output tiles
+        # for the kernel, vmapped partials + one psum otherwise).
         self._u16_in = False
         #: selected ladder rung ("pallas" | "hybrid" | "fourstep" |
         #: "fft4" | "xla" | "matmul" — the last via explicit request or
         #: the compile fallback) — same introspection contract as
         #: PsdStep.path.
-        self.path = "matmul" if backend == "matmul" else "xla"
+        from ..ops.spectral import select_transform_rung
+        windowed = window_arr is not None
+        tpu = jax.default_backend() == "tpu"
+        self.path, split = select_transform_rung(N, self.F, windowed,
+                                                 backend, tpu)
         pallas_kernel = None
         fused = None
-        if backend in ("pallas", "auto"):
-            from ..ops.kernels.fused_psd import (fused_psd_available,
-                                                 make_fused_psd_fn)
-            windowed = window_arr is not None
-            S_local = streams // n_dev
-            eligible = fused_psd_available(N, self.F, windowed=windowed)
-            # Same band as PsdStep's auto (4096-65536): the u16-view
-            # sharded hybrid wins 512-3072 (the round-2 bitcast
-            # exception no longer applies) and the large-N hybrid takes
-            # 2^17 (equal speed, ~3x better tone accuracy).
-            # Windowed band is 8192-32768 (PsdStep rule: the in-kernel
-            # window multiply costs the kernel 40% at 4096 where the
-            # direct four-step wins on both axes, and at 65536 the
-            # four-step wins both axes again —
-            # probes/windowed_pow2_direct.py).
-            lo = 8192 if windowed else 4096
-            hi = 32768 if windowed else 65536
-            want = (backend == "pallas"
-                    or (eligible and lo <= N <= hi
-                        and jax.default_backend() == "tpu"))
-            if want and eligible:
-                pallas_kernel = make_fused_psd_fn(
-                    N, self.F, windowed=windowed, streams=S_local)
-                self._u16_in = True
-                self.path = "pallas"
-        if pallas_kernel is None and backend in ("hybrid", "auto"):
-            # The hybrid four-step serves the band the streams kernel
-            # can't. Round-3 change: the fused four-step family now takes
-            # the host-side u16 VIEW of the IQ pairs (like PsdStep), so
-            # the device-side u8→u16 bitcast that made the round-2
-            # sharded hybrid lose to the Pallas streams kernel (7.8 vs
-            # 9.2-10.0 GS/s at config-5 shapes) is gone.
-            from ..ops.dft import (best_hybrid_split,
-                                   fourstep_hybrid_psd_partial)
-            # Same bands and split chooser as PsdStep's auto: the
-            # lane-matched split (N2 ≈ 128, stage-1 FFT length ≥ 8 —
-            # measured 2-32% faster at equal-or-better tone error) on
-            # TPU and for explicit requests; near-square on CPU auto
-            # (its BLAS accumulation tail doubles with K —
-            # ops/spectral.py).
-            if backend == "hybrid" or jax.default_backend() == "tpu":
-                n1, n2 = best_hybrid_split(N, min_n1=8)
-            else:
-                from ..ops.dft import best_fourstep_split
-                n1, n2 = best_fourstep_split(N)
-            tpu = jax.default_backend() == "tpu"
-            # Windowed auto skips the hybrid (PsdStep band note: the
-            # multiply takes stage 1 off integer inputs — 2.8-3.1x class
-            # medians); windowed CPU auto skips every matmul-stage path
-            # (the CPU XLA FFT is the class yardstick itself).
-            w_here = window_arr is not None
-            windowed_cpu = w_here and not tpu
-            if (n1 > 1 if backend == "hybrid"
-                    else (n1 >= 8 and not windowed_cpu
-                          and ((512 <= N <= 3072 and not w_here)
-                               or (tpu and N > 8192 and 64 <= n2 <= 512
-                                   and (not w_here or N > 65536))))):
-                fused = (fourstep_hybrid_psd_partial, n1, n2)
-                self.path = "hybrid"
-
-        if (pallas_kernel is None and fused is None
-                and backend in ("fourstep", "auto")):
-            from ..ops.dft import best_fourstep_split, fourstep_psd_partial
-            n1, n2 = best_fourstep_split(N)
-            tpu = jax.default_backend() == "tpu"
-            w_here = window_arr is not None
-            windowed_cpu = w_here and not tpu
-            # Windowed TPU (8192, 65536] goes to the all-matmul
-            # four-step wherever the kernel doesn't take it (PsdStep
-            # band note; probes/windowed_pow2_direct.py).
-            if (n1 > 1 if backend == "fourstep"
-                    else (n1 >= 8 and not windowed_cpu
-                          and (N < 512
-                               or (tpu and (N <= 8192
-                                            or (w_here and N <= 65536)))))):
-                fused = (fourstep_psd_partial, n1, n2)
-                self.path = "fourstep"
-        if (pallas_kernel is None and fused is None
-                and backend in ("fft4", "auto")
-                and (N > 8192 or backend == "fft4")):
-            # Very-large-N (e.g. the frame-sharded 1M mode, longint.py):
-            # the two-level FFT four-step beats the monolithic XLA FFT —
-            # see ops/spectral.py's auto rule and probes/fftfourstep_sweep.
-            from ..ops.dft import best_fourstep_split, fourstep_fft_psd_partial
-            n1, n2 = best_fourstep_split(N)
-            # Same explicit-request semantics as PsdStep (spectral.py):
-            # auto needs n1 >= 8; explicit fft4 is honored for any
-            # composite N and is an error on prime N.
-            if n1 >= 8 or (backend == "fft4" and n1 > 1):
-                fused = (fourstep_fft_psd_partial, n1, n2)
-                self.path = "fft4"
-            elif backend == "fft4":
-                raise ValueError(
-                    f"backend='fft4' needs composite N (N={N} is prime); "
-                    "use backend='auto'")
+        if self.path == "pallas":
+            from ..ops.kernels.fused_psd import make_fused_psd_fn
+            pallas_kernel = make_fused_psd_fn(
+                N, self.F, windowed=windowed, streams=streams // n_dev)
+            self._u16_in = True
+        elif self.path == "hybrid":
+            from ..ops.dft import fourstep_hybrid_psd_partial
+            fused = (fourstep_hybrid_psd_partial, *split)
+        elif self.path == "fourstep":
+            from ..ops.dft import fourstep_psd_partial
+            fused = (fourstep_psd_partial, *split)
+        elif self.path == "fft4":
+            # Very-large-N (e.g. the frame-sharded 1M mode, longint.py).
+            from ..ops.dft import fourstep_fft_psd_partial
+            fused = (fourstep_fft_psd_partial, *split)
 
         def local_step_pallas(raw16, n_valid, *w):
             # raw16: (S_local, F, N) u16 (host-side view of the u8 pairs).
@@ -268,8 +196,7 @@ class ShardedPsdStep:
         window_np = (None if self._window is None
                      else np.asarray(self._window))
         self.__init__(self.mesh, self.N, self.F, streams=self.S,
-                      window=window_np, backend="matmul",
-                      combine=self.combine)
+                      window=window_np, backend="matmul")
         self.backend = "auto"  # the user's request stays introspectable
         self.path = "matmul"
         return True

@@ -39,7 +39,8 @@ def merge_spectra(spectra: Sequence[Spectrum], db: bool = True,
     bins are averaged in linear power; ``db=False`` treats the values as
     already linear (``--linear`` output).
     """
-    spectra = [(np.asarray(f, np.float64), np.asarray(v, np.float64))
+    spectra = [(np.atleast_1d(np.asarray(f, np.float64)),
+                np.atleast_1d(np.asarray(v, np.float64)))
                for f, v in spectra if len(np.atleast_1d(f))]
     if not spectra:
         raise ValueError("no spectra to stitch")

@@ -591,3 +591,26 @@ def test_grid_validation():
         GridPsdStep(make_grid_mesh(1, 8), 16, 4)   # Dq=8 ∤ N1=N2=4
     with pytest.raises(ValueError, match="need 16 devices"):
         make_grid_mesh(4, 4)
+
+
+def test_sharded_and_single_stream_select_the_same_rung():
+    """The auto-ladder selection is single-sourced
+    (ops.spectral.select_transform_rung): for every size and windowing,
+    ShardedPsdStep and PsdStep must land on the same path."""
+    from rtl_power_fftw_tpu.auxdata import make_window
+    from rtl_power_fftw_tpu.ops.spectral import PsdStep
+    mesh = make_mesh(8)
+    for N in (96, 500, 512, 1024, 2048, 3072, 4096, 8192):
+        for windowed in (False, True):
+            w = make_window("hann", N) if windowed else None
+            single = PsdStep(N, 8, window=w)
+            sharded = ShardedPsdStep(mesh, N, 8, streams=8, window=w)
+            assert sharded.path == single.path, (N, windowed)
+    # Explicit ineligible pallas raises on BOTH (was a silent downgrade
+    # on the sharded step).
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="pallas backend unavailable"):
+        ShardedPsdStep(mesh, 3000, 8, streams=8, backend="pallas")
+    with _pytest.raises(ValueError, match="window must have shape"):
+        ShardedPsdStep(mesh, 1024, 8, streams=8,
+                       window=make_window("hann", 512))
