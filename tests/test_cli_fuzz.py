@@ -37,8 +37,16 @@ FLAG_POOL = [
     ["--stitch-out", "/tmp/fuzz_stitch.dat"],
     ["--record", "/nonexistent-dir/x.iq"],
     ["--precision", "high"],
+    ["--pfb-taps", "4"], ["--pfb-taps", "64"], ["--pfb-taps", "-1"],
+    ["--multitaper", "4"], ["--multitaper", "40"],
+    ["--time-bandwidth", "3"], ["--time-bandwidth", "999"],
+    ["--sk-file", "/tmp/fuzz_sk.dat"], ["--sk-file", "/nonexistent-dir/s"],
+    ["--sk-excise", "3"], ["--sk-excise", "-2"],
+    ["--frames-per-step", "64"], ["--frames-per-step", "-8"],
+    ["--stats-json", "/tmp/fuzz_stats.jsonl"],
     ["--source", "synthetic:noise=3"], ["--source", "bogus:"],
     ["--source", "synthetic:tone=zzz"],
+    ["--source", "rtl_tcp:localhost:notaport"], ["--source", "file:"],
     ["--unknown-flag"],
 ]
 
