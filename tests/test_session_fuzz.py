@@ -30,6 +30,9 @@ CASES = [
     (1024, 11, 16384, "", True),          # linear output, partial batch
     (2048, 9, 49152, "blackman", False),
     (130, 33, 16384, "hamming", True),    # N = 2·5·13: degenerate split
+    (122, 17, 16384, "", False),          # N = 2·61: XLA/Bluestein rung
+    (320, 25, 16384, "flattop", False),   # N = 2^6·5: mixed-radix
+    (6144, 5, 49152, "", False),          # 3·2^11: mid-band composite
 ]
 
 
