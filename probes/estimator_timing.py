@@ -84,9 +84,10 @@ def main():
     base = per
     rows.append(("plain auto", per))
 
-    # SK sidecar / excise.
+    # SK sidecar / excise (the steps take the host u16 lane view).
+    raw16 = jax.device_put(np.asarray(raw).view(np.uint16))
     for label, sigma in (("sk (2 moments)", 0.0), ("sk-excise 3", 3.0)):
-        per = slope_time(_sk_step(N, F, False, mode, sigma), raw, (), N,
+        per = slope_time(_sk_step(N, F, False, mode, sigma), raw16, (), N,
                          reduce0=True)
         rows.append((label, per))
 
@@ -94,14 +95,14 @@ def main():
     P = 4
     h = jnp.asarray(pfb_prototype(N, P).reshape(P, N))
     xraw = jax.device_put(
-        rng.integers(0, 256, (F + P - 1, 2 * N), np.uint8))
+        rng.integers(0, 256, (F + P - 1, 2 * N), np.uint8).view(np.uint16))
     per = slope_time(_pfb_session_step(N, P, F, chunk, mode), xraw, (h,), N)
     rows.append((f"pfb {P} taps", per))
 
     # Multitaper K=4.
     K = 4
     tapers = jnp.asarray(_session_tapers(N, 4.0, K))
-    per = slope_time(_mt_partial_step(N, F, K, chunk, mode), raw,
+    per = slope_time(_mt_partial_step(N, F, K, chunk, mode), raw16,
                      (tapers,), N)
     rows.append((f"multitaper K={K}", per))
 

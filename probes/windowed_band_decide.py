@@ -87,6 +87,25 @@ def make_split_win_step(N, F, w, chunk):
     return _SW()
 
 
+def platform_fft_ok(F: int, N: int) -> bool:
+    """Probe the platform's monolithic FFT at this shape in a SUBPROCESS.
+
+    Measured on this toolchain (2026-08-18): a refused FFT compile
+    POISONS the axon client — every subsequent op in the process fails
+    with the same UNIMPLEMENTED — so the yardstick must be pre-flighted
+    out-of-process. The current backend refuses all long monolithic
+    complex FFTs (observed at 2^16..2^20, bare or fused) while embedded
+    batched stage FFTs (the shipping hybrid paths) compile fine."""
+    import subprocess
+    code = (
+        "import numpy as np, jax, jax.numpy as jnp\n"
+        f"z = np.zeros(({F}, {N}), np.complex64)\n"
+        "np.asarray(jax.jit(lambda z: jnp.fft.fft(z, axis=1))(z))\n")
+    r = subprocess.run([sys.executable, "-c", code],
+                       capture_output=True, timeout=600)
+    return r.returncode == 0
+
+
 def main():
     mono = jax.jit(lambda z: jnp.fft.fft(z, axis=1))
     for N in NS:
@@ -113,7 +132,10 @@ def main():
         # ---- accuracy distributions on identical realizations ----
         errs = {b: [] for b in steps}
         cls_d, yard_d = [], []
-        plat_dead = False
+        plat_dead = not platform_fft_ok(F, N)
+        if plat_dead:
+            print(f"N={N}: platform monolithic FFT refused out-of-process "
+                  "probe — scipy-only yard (stricter)", flush=True)
         for s in range(SEEDS):
             raw = realization(N, F, 3000 + s)
             z = (raw[:, 0::2].astype(np.float64) - 127.0) \

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.spectral import (FrameSlicer, _power_backend,
-                            adapt_batch, bin_frequencies, dequant_iq,
+                            adapt_batch, bin_frequencies, dequant_iq_u16,
                             pad_frames)
 
 
@@ -57,7 +57,10 @@ def _sk_step(N: int, F: int, windowed: bool, backend: str,
 
     @jax.jit
     def step(raw, n_valid, *w):
-        re, im = dequant_iq(raw, F, N, w[0] if w else None)
+        # raw: (F, N) uint16 — the free host-side lane view of the
+        # interleaved u8 IQ pairs (same convention as the fused PsdStep
+        # family; skips the on-device bitcast relayout).
+        re, im = dequant_iq_u16(raw, w[0] if w else None)
         p = power_fn(re, im)  # (F, N)
         mask = (jax.lax.broadcasted_iota(jnp.int32, (F, 1), 0)
                 < n_valid).astype(jnp.float32)
@@ -135,7 +138,7 @@ class SkSessionStep:
 
     @property
     def takes_u16(self) -> bool:
-        return False
+        return True
 
     def _fallback_to_matmul(self, e: Exception) -> bool:
         """Same compile-failure resilience as PsdStep: only the "xla"
@@ -152,6 +155,8 @@ class SkSessionStep:
 
     def __call__(self, raw: np.ndarray, n_valid: int):
         import jax.numpy as _jnp
+        if raw.dtype == np.uint8:
+            raw = raw.view(np.uint16)  # free reinterpretation on the host
         try:
             return self._step(raw, _jnp.int32(n_valid), *self._w)
         except Exception as e:  # noqa: BLE001 - filtered in the handler
@@ -225,10 +230,10 @@ class ShardedSkStep:
         power_fn = _power_backend(mode, N_)
 
         def local_step(raw, n_valid, *w):
-            # raw: (S_local, F, 2N) u8; n_valid: (S_local,) i32.
+            # raw: (S_local, F, N) u16 host lane view; n_valid: (S_local,).
             S_l = raw.shape[0]
-            re, im = dequant_iq(raw.reshape(S_l * F_, 2 * N_), S_l * F_,
-                                N_, w[0] if w else None)
+            re, im = dequant_iq_u16(raw.reshape(S_l * F_, N_),
+                                    w[0] if w else None)
             p = power_fn(re, im)  # (S_l·F, N)
             fmask = (jax.lax.broadcasted_iota(jnp.int32, (S_l, F_), 1)
                      < n_valid[:, None]).astype(jnp.float32)
@@ -259,7 +264,7 @@ class ShardedSkStep:
 
     @property
     def takes_u16(self) -> bool:
-        return False
+        return True
 
     def _fallback_to_matmul(self, e: Exception) -> bool:
         """Same compile-failure resilience as ShardedPsdStep: only the
@@ -274,6 +279,8 @@ class ShardedSkStep:
         return True
 
     def __call__(self, raw: np.ndarray, n_valid: np.ndarray):
+        if raw.dtype == np.uint8:
+            raw = raw.view(np.uint16)  # free reinterpretation on the host
         nv = jnp.asarray(np.asarray(n_valid, np.int32))
         try:
             return self._step(raw, nv, *self._w)
@@ -312,7 +319,7 @@ def spectral_kurtosis(iq_u8: np.ndarray, N: int, sample_rate: int,
     for start in range(0, M, F):
         batch = frames[start:start + F]
         nv = len(batch)
-        a, b = step(pad_frames(batch, F), np.int32(nv), *w)
+        a, b = step(pad_frames(batch, F).view(np.uint16), np.int32(nv), *w)
         s1 += np.asarray(a, dtype=np.float64)
         s2 += np.asarray(b, dtype=np.float64)
 

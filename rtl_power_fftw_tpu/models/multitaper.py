@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.spectral import (FrameSlicer, _power_backend,
-                            adapt_batch, bin_frequencies, dequant_iq,
+                            adapt_batch, bin_frequencies, dequant_iq_u16,
                             pad_frames)
 
 
@@ -41,8 +41,8 @@ def _mt_step(N: int, F: int, K: int, backend: str):
 
     @jax.jit
     def step(raw, n_valid, tapers):
-        # raw: (F, 2N) u8; tapers: (K, N) f32.
-        re, im = dequant_iq(raw, F, N)
+        # raw: (F, N) u16 host lane view of the IQ pairs; tapers: (K, N).
+        re, im = dequant_iq_u16(raw)
         # Taper axis → batch axis: (F, K, N) → (F·K, N).
         re_t = (re[:, None, :] * tapers[None]).reshape(F * K, N)
         im_t = (im[:, None, :] * tapers[None]).reshape(F * K, N)
@@ -101,7 +101,9 @@ def _mt_partial_step(N: int, F: int, K: int, chunk: int, mode: str):
 
     @jax.jit
     def step(raw, n_valid, tapers):
-        re, im = dequant_iq(raw, F, N)
+        # raw: (F, N) u16 host lane view (same convention as PsdStep's
+        # fused family — skips the on-device bitcast relayout).
+        re, im = dequant_iq_u16(raw)
         fmask = (jax.lax.broadcasted_iota(jnp.int32, (F,), 0)
                  < n_valid).astype(jnp.float32)
         return _mt_core(re, im, fmask, tapers, N=N, F=F, K=K,
@@ -155,9 +157,11 @@ class MultitaperSessionStep:
 
     @property
     def takes_u16(self) -> bool:
-        return False
+        return True
 
     def __call__(self, raw: np.ndarray, n_valid: int) -> jax.Array:
+        if raw.dtype == np.uint8:
+            raw = raw.view(np.uint16)  # free reinterpretation on the host
         try:
             return self._step(raw, jnp.int32(n_valid), self._tapers)
         except Exception as e:  # noqa: BLE001 - filtered below
@@ -227,9 +231,9 @@ class ShardedMultitaperStep:
                             chunk=chunk, mode=mode)
 
         def local_step(raw, n_valid, tapers):
-            # raw: (S_local, F, 2N) u8; n_valid: (S_local,) i32.
+            # raw: (S_local, F, N) u16 host lane view; n_valid: (S_local,).
             S_l = raw.shape[0]
-            re, im = dequant_iq(raw.reshape(S_l * F_, 2 * N_), S_l * F_, N_)
+            re, im = dequant_iq_u16(raw.reshape(S_l * F_, N_))
             fmask = (jax.lax.broadcasted_iota(jnp.int32, (S_l, F_), 1)
                      < n_valid[:, None]).astype(jnp.float32)
             per_stream = jax.vmap(
@@ -246,7 +250,7 @@ class ShardedMultitaperStep:
 
     @property
     def takes_u16(self) -> bool:
-        return False
+        return True
 
     def _fallback_to_matmul(self, e: Exception) -> bool:
         """Same compile-failure resilience as ShardedPsdStep: only the
@@ -262,6 +266,8 @@ class ShardedMultitaperStep:
 
     def __call__(self, raw, n_valid) -> Tuple[jax.Array, jax.Array]:
         if isinstance(raw, np.ndarray):
+            if raw.dtype == np.uint8:
+                raw = raw.view(np.uint16)  # free host reinterpretation
             raw = jax.device_put(raw, self._raw_sharding)
         nv = np.asarray(n_valid, dtype=np.int32)
         try:
@@ -313,7 +319,8 @@ def multitaper_psd(iq_u8: np.ndarray, N: int, sample_rate: int,
     for start in range(0, M, F):
         batch = frames[start:start + F]
         nv = len(batch)
-        acc += np.asarray(step(pad_frames(batch, F), np.int32(nv), tp),
+        acc += np.asarray(step(pad_frames(batch, F).view(np.uint16),
+                               np.int32(nv), tp),
                           dtype=np.float64)
 
     psd = np.fft.fftshift(acc) / M / N / sample_rate

@@ -165,16 +165,16 @@ def pfb_psd(iq_u8: np.ndarray, M: int, sample_rate: int,
 @functools.lru_cache(maxsize=8)
 def _pfb_session_step(N: int, P: int, F: int, chunk: int,
                       mode: str = "xla"):
-    from ..ops.spectral import dequant_iq
+    from ..ops.spectral import dequant_iq_u16
 
     @jax.jit
-    def step(x_u8: jax.Array, n_valid: jax.Array, h: jax.Array) -> jax.Array:
-        # x_u8: (F + P - 1, 2N) u8 — (P-1) history blocks then F new
-        # frames; h: (P, N). Output j (0..F-1) spans x rows j..j+P-1,
-        # i.e. it ENDS at new frame j and never reads rows past j — so
-        # zero-padded staging rows >= n_valid only feed outputs that the
-        # fmask below removes.
-        re, im = dequant_iq(x_u8, F + P - 1, N)
+    def step(x_u16: jax.Array, n_valid: jax.Array, h: jax.Array) -> jax.Array:
+        # x_u16: (F + P - 1, N) u16 host lane view of the interleaved u8
+        # IQ pairs — (P-1) history blocks then F new frames; h: (P, N).
+        # Output j (0..F-1) spans x rows j..j+P-1, i.e. it ENDS at new
+        # frame j and never reads rows past j — so zero-padded staging
+        # rows >= n_valid only feed outputs that the fmask below removes.
+        re, im = dequant_iq_u16(x_u16)
         fmask = (jax.lax.broadcasted_iota(jnp.int32, (F,), 0)
                  < n_valid).astype(jnp.float32)
         return _pfb_core(re, im, h, F, N, P, chunk, fmask=fmask, mode=mode)
@@ -235,7 +235,9 @@ class PfbSessionStep:
         return True
 
     def __call__(self, raw: np.ndarray, n_valid: int) -> jax.Array:
-        x = np.concatenate([self._tail, raw], axis=0)
+        # raw stays u8 (the host-side history seam below slices it); only
+        # the assembled device input takes the free u16 lane view.
+        x = np.concatenate([self._tail, raw], axis=0).view(np.uint16)
         try:
             out = self._step(x, jnp.int32(n_valid), self._h)
         except Exception as e:  # noqa: BLE001 - filtered in the handler
@@ -304,21 +306,22 @@ class ShardedPfbStep:
             from jax import shard_map
         except ImportError:  # pragma: no cover
             from jax.experimental.shard_map import shard_map
-        from ..ops.spectral import dequant_iq
+        from ..ops.spectral import dequant_iq_u16
 
         axis = self.axis
         N_, F_, P_, chunk = self.N, self.F, self.P, self._chunk
 
-        def local_step(x_u8: jax.Array, n_valid: jax.Array,
+        def local_step(x_u16: jax.Array, n_valid: jax.Array,
                        h: jax.Array):
-            # x_u8: (S_local, F + P − 1, 2N) u8 — per stream, (P−1)
-            # history rows then F new frames; n_valid: (S_local,) i32.
-            # Output j of stream s spans its x rows j..j+P−1, ENDING at
-            # new frame j (see _pfb_session_step), so zero-padded staging
-            # rows ≥ n_valid only feed outputs the fmask removes.
-            S_l = x_u8.shape[0]
+            # x_u16: (S_local, F + P − 1, N) u16 host lane view — per
+            # stream, (P−1) history rows then F new frames; n_valid:
+            # (S_local,) i32. Output j of stream s spans its x rows
+            # j..j+P−1, ENDING at new frame j (see _pfb_session_step), so
+            # zero-padded staging rows ≥ n_valid only feed outputs the
+            # fmask removes.
+            S_l = x_u16.shape[0]
             R = F_ + P_ - 1
-            re, im = dequant_iq(x_u8.reshape(S_l * R, 2 * N_), S_l * R, N_)
+            re, im = dequant_iq_u16(x_u16.reshape(S_l * R, N_))
             re = re.reshape(S_l, R, N_)
             im = im.reshape(S_l, R, N_)
             fmask = (jax.lax.broadcasted_iota(jnp.int32, (S_l, F_), 1)
@@ -349,7 +352,9 @@ class ShardedPfbStep:
         history seam is host state, so fully-addressable input only)."""
         raw_np = raw if isinstance(raw, np.ndarray) else np.asarray(raw)
         nv = np.asarray(n_valid, dtype=np.int32)
-        x = np.concatenate([self._tails, raw_np], axis=1)
+        # raw stays u8 (the per-stream history seams below slice it);
+        # only the assembled device input takes the free u16 lane view.
+        x = np.concatenate([self._tails, raw_np], axis=1).view(np.uint16)
         x_dev = jax.device_put(x, self._raw_sharding)
         try:
             out = self._step(x_dev, nv, self._h)

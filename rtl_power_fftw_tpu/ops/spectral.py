@@ -146,7 +146,20 @@ def warn_fft_compile_fallback(N: int, e: Exception, what: str,
     on their own mode bookkeeping first (only the "xla" mode touches the
     monolithic lowering); keeping the refusal classifier, the size cap,
     and the message in ONE place keeps the eight fallback sites from
-    diverging."""
+    diverging.
+
+    Backend caveat (measured 2026-08-18 on the remote-attached v5e): on
+    that toolchain a refused FFT compile POISONS the whole jax client —
+    every subsequent dispatch in the process, including the rebuilt
+    matmul step, fails with the same UNIMPLEMENTED — so there the retry
+    cannot save the session and it exits with the typed HardwareError
+    (7). The fallback still holds on backends whose refusals are clean
+    (the CPU-pinned tests model those). On that same toolchain the
+    exposure is theoretical anyway: only LONG monolithic complex FFTs
+    refuse (observed 2^16..2^20, bare or fused) while every shipping
+    auto rung compiles — verified live at N=998/1042 (xla rung,
+    Bluestein-class), 2^17 windowed hybrid, and the 2^20 large-N
+    hybrid's batched 8192-point stage-1 FFT."""
     if N > FFT_FALLBACK_MAX_N or not is_fft_compile_refusal(e):
         return False
     import sys

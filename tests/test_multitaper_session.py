@@ -29,7 +29,7 @@ def _direct_mt_pwr(raw_frames, N, K, NW=4.0):
 def test_multitaper_session_step_matches_direct_float64():
     N, K, F = 64, 4, 8
     step = MultitaperSessionStep(N, F, K=K)
-    assert step.path == "multitaper" and not step.takes_u16
+    assert step.path == "multitaper" and step.takes_u16
     rng = np.random.default_rng(3)
     frames = rng.integers(0, 256, size=(2 * F + 3, 2 * N), dtype=np.uint8)
     got = np.zeros(N)
@@ -53,7 +53,8 @@ def test_multitaper_fourstep_mode_matches_direct():
     tapers = jnp.asarray(_session_tapers(N, 4.0, K))
     rng = np.random.default_rng(4)
     raw = rng.integers(0, 256, size=(F, 2 * N), dtype=np.uint8)
-    got = np.asarray(step(raw, jnp.int32(F), tapers), np.float64)
+    got = np.asarray(step(raw.view(np.uint16), jnp.int32(F), tapers),
+                     np.float64)
     want = _direct_mt_pwr(raw, N, K)
     np.testing.assert_allclose(got, want, rtol=2e-5)
 
@@ -110,7 +111,7 @@ def test_sharded_multitaper_matches_per_stream_session_steps():
     S, N, K, F = 8, 64, 3, 8
     mesh = make_mesh(8)
     step = ShardedMultitaperStep(mesh, N, F, streams=S, K=K)
-    assert step.path == "multitaper" and not step.takes_u16
+    assert step.path == "multitaper" and step.takes_u16
     single = MultitaperSessionStep(N, F, K=K)
     rng = np.random.default_rng(7)
     nvals = np.array([F, 3, 0, 5, F, F, 1, 7], np.int32)

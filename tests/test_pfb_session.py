@@ -135,6 +135,7 @@ def test_pfb_fourstep_mode_matches_direct():
     rng = np.random.default_rng(12)
     raw = rng.integers(0, 256, size=(F, 2 * N), dtype=np.uint8)
     x = np.vstack([np.full((P - 1, 2 * N), 127, np.uint8), raw])
-    got = np.asarray(step(x, jnp.int32(F), jnp.asarray(h)), np.float64)
+    got = np.asarray(step(x.view(np.uint16), jnp.int32(F), jnp.asarray(h)),
+                     np.float64)
     want = _direct_pfb_pwr(raw, N, P)
     np.testing.assert_allclose(got, want, rtol=2e-5)

@@ -30,7 +30,7 @@ def _direct_moments(raw_frames, N, window=None):
 def test_sk_step_matches_direct_float64():
     N, F = 64, 8
     step = SkSessionStep(N, F)
-    assert step.fields == ("s1", "s2") and not step.takes_u16
+    assert step.fields == ("s1", "s2") and step.takes_u16
     rng = np.random.default_rng(11)
     frames = rng.integers(0, 256, size=(2 * F + 5, 2 * N), dtype=np.uint8)
     s1 = np.zeros(N)
@@ -84,8 +84,9 @@ def test_sk_fourstep_mode_matches_xla_mode():
     N, F = 64, 8
     rng = np.random.default_rng(14)
     raw = rng.integers(0, 256, size=(F, 2 * N), dtype=np.uint8)
-    a1, b1 = _sk_step(N, F, False, "fourstep")(raw, jnp.int32(F))
-    a2, b2 = _sk_step(N, F, False, "xla")(raw, jnp.int32(F))
+    raw16 = raw.view(np.uint16)  # the steps take the host u16 lane view
+    a1, b1 = _sk_step(N, F, False, "fourstep")(raw16, jnp.int32(F))
+    a2, b2 = _sk_step(N, F, False, "xla")(raw16, jnp.int32(F))
     np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), rtol=2e-5)
     np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), rtol=4e-5)
 
@@ -329,7 +330,7 @@ def test_sharded_sk_matches_per_stream_session_steps():
     S, N, F = 8, 64, 8
     mesh = make_mesh(8)
     step = ShardedSkStep(mesh, N, F, streams=S)
-    assert step.fields == ("s1", "s2") and not step.takes_u16
+    assert step.fields == ("s1", "s2") and step.takes_u16
     single = SkSessionStep(N, F)
     rng = np.random.default_rng(21)
     nvals = np.array([F, 3, 0, 5, F, F, 1, 7], np.int32)
