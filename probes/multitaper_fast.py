@@ -1,0 +1,220 @@
+"""Multitaper device-step restructurings: speed + budget accuracy.
+
+The round-3 estimator timing read `--multitaper 4` at 12.4x the plain
+step (1,738 us at N=2048/F=1024) where op counts predict ~K x the
+tapered-transform cost (~4 x 140 = 560 us-class).  Candidates, all
+computing the SAME estimator (per frame, mean over K DPSS eigenspectra,
+masked frame sum):
+
+  fourstep    shipping: materialize (F*K, N) tapered f32 planes ->
+              all-matmul four-step partial (models/multitaper.py _mt_core)
+  hybrid      plain hybrid on the tapered batch (FFT stage 1 on the
+              TAPERED planes — the accuracy question: stage 1 loses its
+              integer anchor, the reason the windowed ladder routed
+              around the hybrid at 512-8192)
+  split-tap   split-TAPER hybrid: per taper w = w_hi(15-bit mantissa) +
+              w_lo, stage-1 FFT per plane by linearity (x*w_hi exact in
+              f32 for dequant integers — ops/dft.py split_window), shared
+              split twiddle + HIGHEST matmul stage 2; 2*K*F stage-1 FFTs
+
+Accuracy yardstick per realization: float64 direct eigenspectra average
+(truth) and the scipy-f32 FFTW-class multitaper on the same data (the
+class).  Budget semantics match the enforced windowed bands: median <=
+1.5x and max <= 3x the class distribution.
+
+Run on TPU:  python probes/multitaper_fast.py [N [F [K [seeds]]]]
+"""
+import sys
+import time
+from functools import partial
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import scipy.fft
+
+from rtl_power_fftw_tpu.models.multitaper import _session_tapers
+from rtl_power_fftw_tpu.ops.spectral import adapt_batch, dequant_iq_u16
+from rtl_power_fftw_tpu.ops.dft import (
+    _hybrid_constants, best_fourstep_split, best_hybrid_split,
+    fourstep_psd_partial, fourstep_hybrid_psd_partial, split_window)
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+F = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
+K = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+SEEDS = int(sys.argv[4]) if len(sys.argv) > 4 else 30
+ITER_LO, ITER_HI = 16, 48
+
+
+def make_steps():
+    F_, chunk = adapt_batch(F)
+    assert F_ == F
+    tap = _session_tapers(N, 4.0, K)              # (K, N) f32, sqrt(N) scale
+    tap_j = jnp.asarray(tap)
+    n1f, n2f = best_fourstep_split(N)
+    n1h, n2h = best_hybrid_split(N)
+    hi_lo = [split_window(tap[k].astype(np.float64)) for k in range(K)]
+    wh = jnp.asarray(np.stack([h for h, _ in hi_lo]))   # (K, N)
+    wl = jnp.asarray(np.stack([l for _, l in hi_lo]))
+
+    @jax.jit
+    def mt_fourstep(raw16, nv):
+        re, im = dequant_iq_u16(raw16)
+        fmask = (jax.lax.broadcasted_iota(jnp.int32, (F,), 0)
+                 < nv).astype(jnp.float32)
+        re_t = (re[:, None, :] * tap_j[None]).reshape(F * K, N)
+        im_t = (im[:, None, :] * tap_j[None]).reshape(F * K, N)
+        fm = jnp.repeat(fmask, K)
+        return fourstep_psd_partial(re_t, im_t, fm, n1f, n2f,
+                                    chunk=chunk) / np.float32(K)
+
+    @jax.jit
+    def mt_hybrid(raw16, nv):
+        re, im = dequant_iq_u16(raw16)
+        fmask = (jax.lax.broadcasted_iota(jnp.int32, (F,), 0)
+                 < nv).astype(jnp.float32)
+        re_t = (re[:, None, :] * tap_j[None]).reshape(F * K, N)
+        im_t = (im[:, None, :] * tap_j[None]).reshape(F * K, N)
+        fm = jnp.repeat(fmask, K)
+        return fourstep_hybrid_psd_partial(re_t, im_t, fm, n1h, n2h,
+                                           chunk=chunk) / np.float32(K)
+
+    # Per-taper split-window hybrid body (the shipping
+    # fourstep_hybrid_windowed_psd_partial takes ONE shared window; the
+    # taper axis needs per-row hi/lo planes, so inline the same math).
+    thr, thi, tlr, tli, c2h, s2h = (
+        jnp.asarray(a) for a in _hybrid_constants(N, n1h, n2h))
+    wh4 = wh.reshape(1, K, n1h, n2h)
+    wl4 = wl.reshape(1, K, n1h, n2h)
+    _HI = jax.lax.Precision.HIGHEST
+
+    @jax.jit
+    def mt_splittap(raw16, nv):
+        re, im = dequant_iq_u16(raw16)
+        fmask = (jax.lax.broadcasted_iota(jnp.int32, (F,), 0)
+                 < nv).astype(jnp.float32)
+        x = jax.lax.complex(re, im).reshape(F, 1, n1h, n2h)
+        y = (jnp.fft.fft(x * wh4, axis=2)
+             + jnp.fft.fft(x * wl4, axis=2))      # over n1 -> (F,K,k1,n2)
+        y = y.reshape(F * K, n1h, n2h)
+        yr, yi = jnp.real(y), jnp.imag(y)
+        zr = (yr * thr[None] - yi * thi[None]) + (yr * tlr[None]
+                                                  - yi * tli[None])
+        zi = (yr * thi[None] + yi * thr[None]) + (yr * tli[None]
+                                                  + yi * tlr[None])
+        Xr = (jnp.matmul(zr, c2h, precision=_HI)
+              - jnp.matmul(zi, s2h, precision=_HI))
+        Xi = (jnp.matmul(zr, s2h, precision=_HI)
+              + jnp.matmul(zi, c2h, precision=_HI))
+        fm = jnp.repeat(fmask, K)
+        p = (Xr * Xr + Xi * Xi) * fm[:, None, None]
+        g = (F * K) // chunk
+        s = p.reshape(g, chunk, n1h, n2h).sum(axis=1).sum(axis=0)
+        return jnp.swapaxes(s, 0, 1).reshape(N) / np.float32(K)
+
+    @jax.jit
+    def mt_floor(raw16, nv):
+        # SPEED FLOOR, not an estimator: the same (F*K, N) four-step
+        # batch with the taper expansion replaced by a free broadcast —
+        # isolates the cost of materializing the K tapered f32 planes.
+        re, im = dequant_iq_u16(raw16)
+        fmask = (jax.lax.broadcasted_iota(jnp.int32, (F,), 0)
+                 < nv).astype(jnp.float32)
+        re_t = jnp.broadcast_to(re[:, None, :], (F, K, N)).reshape(F * K, N)
+        im_t = jnp.broadcast_to(im[:, None, :], (F, K, N)).reshape(F * K, N)
+        fm = jnp.repeat(fmask, K)
+        return fourstep_psd_partial(re_t, im_t, fm, n1f, n2f,
+                                    chunk=chunk) / np.float32(K)
+
+    return {"fourstep": mt_fourstep, "hybrid": mt_hybrid,
+            "split-tap": mt_splittap, "floor(no-tap)": mt_floor}, tap
+
+
+def realization(seed):
+    rng = np.random.default_rng(seed)
+    f0 = rng.uniform(0.05, 0.45)
+    ph = rng.uniform(0, 2 * np.pi)
+    t = np.arange(F * N)
+    x = 100.0 * np.exp(1j * (2 * np.pi * f0 * t + ph)) + (
+        rng.standard_normal(F * N) + 1j * rng.standard_normal(F * N))
+    re8 = np.clip(np.round(x.real + 127), 0, 255).astype(np.uint8)
+    im8 = np.clip(np.round(x.imag + 127), 0, 255).astype(np.uint8)
+    return np.stack([re8, im8], axis=-1).reshape(F, 2 * N)
+
+
+def rel(got, want):
+    return float((np.abs(np.asarray(got, np.float64) - want)
+                  / np.maximum(np.abs(want), 1e-30)).max())
+
+
+def main():
+    steps, tap = make_steps()
+    tap64 = tap.astype(np.float64)
+
+    errs = {b: [] for b in steps}
+    cls_d = []
+    for s in range(SEEDS):
+        raw = realization(7000 + s)
+        z = (raw[:, 0::2].astype(np.float64) - 127.0) \
+            + 1j * (raw[:, 1::2].astype(np.float64) - 127.0)
+        zt = z[:, None, :] * tap64[None]                     # (F, K, N)
+        X = np.fft.fft(zt, axis=2)
+        want = (X.real ** 2 + X.imag ** 2).mean(1).sum(0)
+        zt32 = zt.astype(np.complex64)
+        Xc = scipy.fft.fft(zt32.reshape(F * K, N), axis=1)
+        got_c = (Xc.real.astype(np.float64) ** 2
+                 + Xc.imag.astype(np.float64) ** 2
+                 ).reshape(F, K, N).mean(1).sum(0)
+        cls_d.append(rel(got_c, want))
+        u16 = raw.view(np.uint16)
+        for b, fn in steps.items():
+            if b.startswith("floor"):
+                continue  # speed floor only — not the estimator
+            errs[b].append(rel(fn(u16, jnp.int32(F)), want))
+    cls_d = np.asarray(cls_d)
+    print(f"N={N} F={F} K={K}: scipy class p50={np.median(cls_d):.2e} "
+          f"max={cls_d.max():.2e}", flush=True)
+
+    for b, fn in steps.items():
+        raw0 = jax.device_put(realization(7000).view(np.uint16))
+
+        @partial(jax.jit, static_argnums=1)
+        def many(r, it, fn=fn):
+            def body(c, i):
+                return c + fn(r + i.astype(jnp.uint16), jnp.int32(F)), ()
+            acc, _ = jax.lax.scan(body, jnp.zeros(N, jnp.float32),
+                                  jnp.arange(it))
+            return acc
+
+        def timed(it, reps=3):
+            np.asarray(many(raw0, it))
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                np.asarray(many(raw0, it))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        t_lo = t_hi = float("inf")
+        for _ in range(3):
+            t_lo = min(t_lo, timed(ITER_LO))
+            t_hi = min(t_hi, timed(ITER_HI))
+        per = (t_hi - t_lo) / (ITER_HI - ITER_LO)
+        gss = F * N / per / 1e9 if per > 0 else 0.0
+        if not errs[b]:
+            print(f"  {b:13s} {per*1e6:7.0f} us/step  {gss:5.2f} GS/s  "
+                  "(speed floor — not the estimator)", flush=True)
+            continue
+        e = np.asarray(errs[b])
+        med_r = np.median(e) / np.median(cls_d)
+        max_r = e.max() / cls_d.max()
+        ok = med_r <= 1.5 and max_r <= 3.0
+        print(f"  {b:13s} {per*1e6:7.0f} us/step  {gss:5.2f} GS/s  "
+              f"vs class p50={med_r:.2f}x max={max_r:.2f}x  "
+              f"{'PASS' if ok else 'FAIL'}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
