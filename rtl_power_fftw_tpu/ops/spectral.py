@@ -193,17 +193,29 @@ def select_transform_rung(N: int, F: int, windowed: bool, backend: str,
       512–3072 everywhere (fastest at ≤1.3× the FFTW-f32 class error)
       and TPU composite N > 8192 (beats the reference's own f32 class
       at ~2× fft4's throughput; probes/hybrid_large.py). Windowed it
-      loses its accuracy class below 2^17 (the time-domain multiply
-      takes stage 1 off its exact integer inputs — windowed medians
-      2.8–6.4× class, probes/windowed_fold.py) so windowed auto admits
-      it only above 65536. On CPU the lane-matched K=128 split doubles
+      loses its accuracy class up through 2^18 (the time-domain
+      multiply takes stage 1 off its exact integer inputs — windowed
+      medians 2.4–6.4× class, probes/windowed_fold.py and
+      probes/windowed_band_decide.py; a split-window stage 1 does NOT
+      recover it — measured identical ratios, so the excess is the
+      transform's internal arithmetic, not input rounding) so windowed
+      auto admits it only above 262144, where the class error itself
+      has grown past the hybrid's excess (2^20: median 1.16× class at
+      15.6 GS/s; at 2^19 no candidate holds the 1.5× median — the
+      hybrid ships as the fastest max-budget-compliant path, median
+      1.88× max 2.06×, vs fourstep 1.94× at half the speed — see
+      BENCHMARKS.md "Windowed very-large-N decision"). On CPU the
+      lane-matched K=128 split doubles
       the BLAS accumulation tail, so CPU auto uses the near-square
       split and only 512–3072 unwindowed.
     * fourstep — the transpose-free all-matmul partial: composite
       N < 512 everywhere, the TPU 3072 < N ≤ 8192 band (12.5–15.5 GS/s
       at a 1.58×-class tail vs the hybrid's 2.7×), and WINDOWED TPU
-      512–65536 wherever the kernel doesn't take it (the matmul stages
-      are indifferent to non-integer inputs).
+      512–262144 wherever the kernel doesn't take it (the matmul
+      stages are indifferent to non-integer inputs; at windowed
+      2^17/2^18 it is the only budget-passing candidate — 1.50×/1.29×
+      median class vs the hybrid's 2.90×/2.42×,
+      probes/windowed_band_decide.py).
     * fft4 — the two-level FFT four-step for the remaining very-large
       composite N (the monolithic XLA FFT lowers poorly there,
       probes/fftfourstep_sweep.py); non-TPU auto keeps it above 8192.
@@ -239,7 +251,7 @@ def select_transform_rung(N: int, F: int, windowed: bool, backend: str,
             ok = (n1 >= 8 and not windowed_cpu
                   and ((512 <= N <= 3072 and not windowed)
                        or (tpu and N > 8192 and 64 <= n2 <= 512
-                           and (not windowed or N > 65536))))
+                           and (not windowed or N > 262144))))
         if ok:
             return "hybrid", (n1, n2)
     if backend in ("fourstep", "auto"):
@@ -251,7 +263,7 @@ def select_transform_rung(N: int, F: int, windowed: bool, backend: str,
             ok = (n1 >= 8 and not windowed_cpu
                   and (N < 512
                        or (tpu and (N <= 8192
-                                    or (windowed and N <= 65536)))))
+                                    or (windowed and N <= 262144)))))
         if ok:
             return "fourstep", (n1, n2)
     if backend in ("fft4", "auto") and (N > 8192 or backend == "fft4"):

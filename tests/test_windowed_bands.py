@@ -144,10 +144,12 @@ def test_windowed_tpu_band_selection(monkeypatch):
     selection is pure Python so it can be asserted on the CPU harness by
     pinning the platform answer).
 
-    Windowed: four-step 512-8192 and (8192, 65536] non-kernel sizes
-    (incl. 65536, where the kernel loses both axes), pallas pow-2
-    8192-32768, hybrid only past 65536, fft4 for composite > 65536 only
-    when the hybrid split is unsuitable."""
+    Windowed: four-step 512-262144 wherever the kernel doesn't take it
+    (incl. 65536, where the kernel loses both axes, and 2^17/2^18 where
+    it is the only budget-passing candidate —
+    probes/windowed_band_decide.py), pallas pow-2 8192-32768, hybrid
+    only past 262144, fft4 for composite very-large N only when the
+    hybrid split is unsuitable."""
     import jax
 
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
@@ -162,7 +164,14 @@ def test_windowed_tpu_band_selection(monkeypatch):
     assert path(32768) == "pallas"
     assert path(65536) == "fourstep"      # the round-3 late band move
     assert path(20480) == "fourstep"      # non-pow-2 mid-band
-    assert path(1 << 17) == "hybrid"      # large-N hybrid keeps 2^17 up
+    # The windowed very-large-N decision (probes/windowed_band_decide):
+    # fourstep is the only budget-passing candidate at 2^17/2^18; the
+    # hybrid takes over above 262144 (2^20 median 1.16x class at
+    # 15.6 GS/s; 2^19 fastest max-compliant when nothing holds 1.5x).
+    assert path(1 << 17) == "fourstep"
+    assert path(1 << 18) == "fourstep"
+    assert path(1 << 19, F=16) == "hybrid"
+    assert path(1 << 20, F=8) == "hybrid"
     # Unwindowed boundaries are unchanged by the windowed move.
     assert path(65536, windowed=False) == "pallas"
     assert path(2048, windowed=False) == "hybrid"
