@@ -49,8 +49,10 @@ ITER_LO, ITER_HI = 16, 48
 
 
 def make_steps():
-    F_, chunk = adapt_batch(F)
-    assert F_ == F
+    global F
+    F, chunk = adapt_batch(F)   # CLI F is rounded like the library does
+    while (F * K) % chunk != 0:  # library partials' guard (ADVICE r3 #3)
+        chunk //= 2
     tap = _session_tapers(N, 4.0, K)              # (K, N) f32, sqrt(N) scale
     tap_j = jnp.asarray(tap)
     n1f, n2f = best_fourstep_split(N)

@@ -183,7 +183,8 @@ class Params:
     shard_transform: bool = False
     # Device-step frame batch (0 = derive from buffer length).
     frames_per_step: int = 0
-    # FFT backend: "auto" | "xla" | "matmul" | "fourstep" | "pallas".
+    # FFT backend: "auto" | "xla" | "matmul" | "fourstep" | "fft4"
+    # | "hybrid" | "pallas" | "bluestein".
     fft_backend: str = "auto"
     # Write a jax.profiler trace of the session to this directory.
     profile_dir: str = ""
@@ -297,12 +298,14 @@ def _build_parser() -> _Parser:
                    help="FFT frames per device step (0 = auto).")
     p.add_argument("--fft-backend", type=str, default="auto",
                    choices=["auto", "xla", "matmul", "fourstep", "fft4",
-                            "hybrid", "pallas"],
+                            "hybrid", "pallas", "bluestein"],
                    help="FFT implementation used on device (hybrid = FFT "
                         "stage 1 + split twiddle + matmul stage 2, the "
                         "tone-robust default for most composite N incl. "
                         "the very-large-N modes on TPU; fft4 = two-level "
-                        "FFT four-step).")
+                        "FFT four-step; bluestein = chirp-Z for awkward "
+                        "N, the TPU default above 8192 bins when N has "
+                        "no factor >= 8).")
     p.add_argument("--precision", type=str, default="highest",
                    choices=["highest", "high"],
                    help="Transform precision: 'highest' holds the "
@@ -622,7 +625,7 @@ def parse_args(argv: List[str], stderr=None) -> Params:
                 f"{flag} cannot be combined with "
                 + ", ".join(conflicts) + ". Exiting.",
                 ReturnValue.InvalidArgument)
-        if params.fft_backend in ("pallas", "hybrid", "fft4"):
+        if params.fft_backend in ("pallas", "hybrid", "fft4", "bluestein"):
             print(f"Warning: {flag} needs per-frame spectra for the "
                   "second moment, which the fused "
                   f"'{params.fft_backend}' path does not expose; using "

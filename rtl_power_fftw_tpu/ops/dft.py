@@ -414,6 +414,104 @@ def fourstep_hybrid_windowed_psd_partial(
     return jnp.swapaxes(s, 0, 1).reshape(N)
 
 
+def next_pow2(n: int) -> int:
+    """Smallest power of two >= n (n >= 1)."""
+    return 1 << max(0, n - 1).bit_length()
+
+
+@functools.lru_cache(maxsize=8)
+def _bluestein_constants(N: int):
+    """Chirp-Z (Bluestein) tables for an N-point DFT computed as ONE
+    pow-2 circular convolution of length M = next_pow2(2N-1).
+
+    The reference plans ANY N through FFTW (datastore.cxx:30-33); this
+    is the framework-owned equivalent for awkward N (2·prime-class
+    factorizations) where neither the matmul-DFT (O(N²), capped at
+    N=8192) nor the four-step family (needs a factor >= 8) applies and
+    the platform's monolithic FFT both lowers poorly at large N and
+    REFUSES to compile at 2^16..2^20 on the current toolchain (see
+    ops.spectral.warn_fft_compile_fallback). Both pow-2 length-M FFTs
+    ride the framework's own two-level four-step (batched short FFT
+    stages only), so the monolithic lowering is never touched.
+
+    All tables are built in float64 with exact integer angle reduction
+    (n² mod 2N stays exact in int64 for any session-sized N) and
+    rounded once to complex64.
+
+    Returns (M, M1, M2,
+             a  (N,)      c64  chirp e^{-iπn²/N},
+             Bp (M1, M2)  c64  FFT_M(v) in the four-step (k1, k2) layout,
+             tw (M1, M2)  c64  forward twiddle W_M^{-k1·n2}).
+    """
+    M = next_pow2(2 * N - 1)
+    M1, M2 = best_fourstep_split(M)
+    n = np.arange(N, dtype=np.int64)
+    ang = -np.pi * ((n * n) % (2 * N)).astype(np.float64) / N
+    a = np.cos(ang) + 1j * np.sin(ang)              # e^{-iπn²/N}
+    v = np.zeros(M, np.complex128)                  # v[m] = e^{+iπm²/N}
+    v[:N] = np.conj(a)                              # m = 0..N-1
+    v[M - N + 1:] = np.conj(a[1:][::-1])            # m = -(N-1)..-1
+    B = np.fft.fft(v)
+    # Four-step freq layout: bin k = k1 + M1·k2 → Bp[k1, k2].
+    Bp = np.ascontiguousarray(B.reshape(M2, M1).T)
+    k1 = np.arange(M1, dtype=np.int64)[:, None]
+    n2 = np.arange(M2, dtype=np.int64)[None, :]
+    angt = -2.0 * np.pi * ((k1 * n2) % M).astype(np.float64) / M
+    tw = np.cos(angt) + 1j * np.sin(angt)
+    return (M, M1, M2, a.astype(np.complex64),
+            Bp.astype(np.complex64), tw.astype(np.complex64))
+
+
+def bluestein_psd_partial(re: jax.Array, im: jax.Array, fmask: jax.Array,
+                          N1: int | None = None, N2: int | None = None,
+                          chunk: int = 64, precision=None) -> jax.Array:
+    """Masked partial PSD for ARBITRARY N via the chirp-Z transform.
+
+    X[k] = a[k] · IFFT_M(FFT_M(x·a) · FFT_M(v))[k] with a the length-N
+    chirp and v its conjugate arranged circularly — one pow-2 circular
+    convolution. Each length-M transform is the two-level four-step
+    (fft over a factor axis → twiddle → fft over the other; the inverse
+    runs the same factorization backwards with conjugate twiddle), so
+    only batched short FFTs ever reach the backend. Bins come out in
+    NATURAL (unshifted) order directly — no reorder pass.
+
+    Accuracy is FFTW-f32 class: two f32 pow-2 FFTs + elementwise c64
+    constants (tables rounded once from exact-angle float64); measured
+    ≪1e-5 relative on realistic inputs (tests/test_bluestein.py) — the
+    ≤1e-5 golden budget holds like the xla rung's.
+
+    re, im: (F, N) float32 (any N >= 2); fmask: (F,) float32.
+    Returns (N,) float32. ``N1``/``N2``/``precision`` are accepted for
+    signature parity with the four-step family and ignored (the M-split
+    is chosen internally; there is no matmul precision knob).
+    """
+    F, N = re.shape
+    M, M1, M2, a, Bp, tw = _bluestein_constants(N)
+    a_j = jnp.asarray(a)
+    Bp_j = jnp.asarray(Bp)
+    tw_j = jnp.asarray(tw)
+    while F % chunk != 0:
+        chunk //= 2
+
+    x = jax.lax.complex(re, im)
+    u = x * a_j[None]
+    u = jnp.pad(u, ((0, 0), (0, M - N))).reshape(F, M1, M2)
+    # Forward four-step: (F, n1, n2) → (F, k1, k2), k = k1 + M1·k2.
+    U = jnp.fft.fft(jnp.fft.fft(u, axis=1) * tw_j[None], axis=2)
+    W = U * Bp_j[None]
+    # Inverse of the SAME factorization: ifft over k2 → n2, conjugate
+    # twiddle (same (k1, n2)-shaped table), ifft over k1 → n1; the
+    # 1/M1·1/M2 scalings of the two iffts compose to the 1/M the
+    # convolution theorem needs.
+    y = jnp.fft.ifft(jnp.fft.ifft(W, axis=2) * jnp.conj(tw_j)[None],
+                     axis=1)
+    X = y.reshape(F, M)[:, :N] * a_j[None]
+    p = (jnp.real(X) * jnp.real(X) + jnp.imag(X) * jnp.imag(X)) \
+        * fmask[:, None]
+    g = F // chunk
+    return p.reshape(g, chunk, N).sum(axis=1).sum(axis=0)
+
+
 def dft_power_fourstep(re: jax.Array, im: jax.Array,
                        N1: int | None = None, N2: int | None = None) -> jax.Array:
     """|DFT(re + i·im)|² via the four-step (Bailey) algorithm on the MXU.

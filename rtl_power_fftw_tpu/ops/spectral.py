@@ -107,7 +107,7 @@ def _power_backend(backend: str, N: int) -> Callable[[jax.Array, jax.Array], jax
         return dft_power_matmul
     if backend == "fourstep":
         return dft_power_fourstep
-    if backend in ("xla", "auto", "pallas", "fft4", "hybrid"):
+    if backend in ("xla", "auto", "pallas", "fft4", "hybrid", "bluestein"):
         # "pallas"/"fft4" route power computation to their fused paths at
         # the PsdStep level; the plain backends (and the fallbacks for
         # ineligible shapes, e.g. prime N) land here.
@@ -169,14 +169,96 @@ def warn_fft_compile_fallback(N: int, e: Exception, what: str,
     return True
 
 
+#: in-process cache of child-process platform-FFT compile probes
+_PREFLIGHT_CACHE: dict = {}
+
+
+def platform_fft_preflight_ok(N: int) -> bool:
+    """Compile-probe the platform's monolithic complex FFT at length N
+    in a CHILD process and report whether it lowered.
+
+    Rationale (measured 2026-08-18 on the remote-attached v5e, recorded
+    in warn_fft_compile_fallback): on that toolchain a refused FFT
+    compile POISONS the whole jax client — the in-process matmul
+    fallback can then never succeed, and a session that commits to the
+    xla rung dies with the typed HardwareError. Probing out-of-process
+    keeps the session's client clean, so it can pre-emptively select a
+    rung that always lowers (matmul below the weight cap, chirp-Z
+    above). The reference never aborts on a plannable size
+    (datastore.cxx:30-33) — neither should a session here.
+
+    ``RPF_FFT_PREFLIGHT_FORCE=ok|fail`` bypasses the subprocess (test
+    hook / operator override). Results are cached per N for the
+    process lifetime; a probe that CRASHES or hangs (>900 s) counts as
+    a refusal — degrading to a slower rung is recoverable, a poisoned
+    session is not.
+    """
+    import os
+    import subprocess
+    import sys
+    force = os.environ.get("RPF_FFT_PREFLIGHT_FORCE", "")
+    if force == "ok":
+        return True
+    if force == "fail":
+        return False
+    if N in _PREFLIGHT_CACHE:
+        return _PREFLIGHT_CACHE[N]
+    code = ("import numpy as np, jax, jax.numpy as jnp\n"
+            f"z = np.zeros((2, {N}), np.complex64)\n"
+            "out = jax.jit(lambda z: jnp.abs(jnp.fft.fft(z, axis=1)))(z)\n"
+            "np.asarray(out)\n")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, timeout=900)
+        ok = r.returncode == 0
+    except Exception:
+        ok = False
+    _PREFLIGHT_CACHE[N] = ok
+    return ok
+
+
+def resolve_xla_rung(N: int, tpu: bool, what: str) -> str:
+    """Final path decision for a selected "xla" rung, shared by PsdStep
+    and ShardedPsdStep: pre-flight the monolithic-FFT compile in a child
+    process when the size is refusal-prone, and pre-emptively downgrade
+    to a rung that always lowers ("matmul" within its weight cap,
+    "bluestein" above) if the platform refuses — BEFORE the session's
+    own client ever touches the lowering (which would poison it on the
+    measured toolchain; see platform_fft_preflight_ok).
+
+    Gate: TPU and N >= RPF_FFT_PREFLIGHT_MIN (default 16384 — the
+    observed refusal band starts at 2^16; with the bluestein rung in
+    the auto ladder this is reachable only via explicit
+    ``--fft-backend xla`` requests). ``RPF_FFT_PREFLIGHT=1`` forces the
+    pre-flight on any platform/size, ``=0`` disables it.
+    """
+    import os
+    import sys
+    mode = os.environ.get("RPF_FFT_PREFLIGHT", "")
+    if mode == "0":
+        return "xla"
+    if mode != "1":
+        min_n = int(os.environ.get("RPF_FFT_PREFLIGHT_MIN", "16384"))
+        if not (tpu and N >= min_n):
+            return "xla"
+    if platform_fft_preflight_ok(N):
+        return "xla"
+    new = "matmul" if N <= FFT_FALLBACK_MAX_N else "bluestein"
+    print(f"Warning: the platform FFT failed the out-of-process compile "
+          f"pre-flight for N={N}; {what} pre-emptively selects the "
+          f"{new} path (a refused compile would poison the session's "
+          "device client).", file=sys.stderr)
+    return new
+
+
 def select_transform_rung(N: int, F: int, windowed: bool, backend: str,
                           tpu: bool):
     """The auto-ladder band selection — ONE definition shared by PsdStep
     and ShardedPsdStep (the selection diverged once when it lived in two
     copies). Returns ``(path, split)`` with path in {"pallas", "hybrid",
-    "fourstep", "fft4", "xla", "matmul"} and split the (n1, n2)
-    factorization for the four-step family (None otherwise). Raises
-    ValueError for explicit requests that cannot be satisfied.
+    "fourstep", "fft4", "bluestein", "xla", "matmul"} and split the
+    (n1, n2) factorization for the four-step family (None otherwise).
+    Raises ValueError for explicit requests that cannot be satisfied.
 
     Measured bands (probes/, BENCHMARKS.md; v5e unless noted):
 
@@ -219,8 +301,15 @@ def select_transform_rung(N: int, F: int, windowed: bool, backend: str,
     * fft4 — the two-level FFT four-step for the remaining very-large
       composite N (the monolithic XLA FFT lowers poorly there,
       probes/fftfourstep_sweep.py); non-TPU auto keeps it above 8192.
-    * xla — the platform FFT: prime/degenerate N, and all CPU windowed
-      sizes above the matmul band (CPU XLA FFT IS the FFTW class).
+    * bluestein — the chirp-Z rung (one pow-2 circular convolution on
+      the framework's batched-short-FFT stages): TPU N > 8192 with no
+      factor >= 8 (the 2·prime class), where matmul is over its weight
+      cap, the four-step family declines, and the monolithic platform
+      FFT is slow at best and compile-refused at 2^16..2^20 on the
+      current toolchain. FFTW-class accuracy (~1e-6..3e-6 measured).
+    * xla — the platform FFT: prime/degenerate N <= 8192 on TPU, and
+      all CPU windowed sizes above the matmul band (CPU XLA FFT IS the
+      FFTW class).
     """
     if backend == "matmul":
         return "matmul", None
@@ -275,6 +364,19 @@ def select_transform_rung(N: int, F: int, windowed: bool, backend: str,
             raise ValueError(
                 f"backend='fft4' needs composite N (N={N} is prime); "
                 "use backend='auto'")
+    if backend == "bluestein" or (backend == "auto" and tpu
+                                  and N > FFT_FALLBACK_MAX_N):
+        # Awkward factorizations (2·prime class: no factor >= 8) above
+        # the matmul-DFT cap. The reference plans ANY N through FFTW
+        # (datastore.cxx:30-33); the TPU-owned equivalent is the chirp-Z
+        # rung — one pow-2 circular convolution riding the framework's
+        # batched-short-FFT stages, so the platform's monolithic FFT
+        # lowering (slow at large N, compile-REFUSED at 2^16..2^20 on
+        # the current toolchain, see warn_fft_compile_fallback) is never
+        # touched. Measured FFTW-class accurate (≪1e-5 on realistic
+        # inputs, ~3e-6 under a 35 dB tone at N=99998). On CPU the
+        # platform FFT IS the class and plans any N — keep xla there.
+        return "bluestein", None
     return "xla", None
 
 
@@ -440,6 +542,20 @@ class PsdStep:
             # device-side (F, 2N)u8 → u16 bitcast is a real relayout
             # pass that costs ~3.5 ms at N=2^20 (over half the step).
             self._u16_in = True
+        elif path == "xla":
+            # The only rung whose lowering the framework doesn't own:
+            # pre-flight refusal-prone sizes out-of-process and
+            # pre-emptively downgrade (see resolve_xla_rung).
+            path = resolve_xla_rung(N, tpu, "the step")
+            if path == "matmul":
+                self._power = power_fn = _power_backend("matmul", N)
+            self.path = path
+        if path == "bluestein":
+            from .dft import bluestein_psd_partial
+            precision_cfg = None  # chirp-Z has no matmul knob
+            fused_partial = (bluestein_psd_partial, None, None)
+            self.path = "bluestein"
+            self._u16_in = True   # host-side u16 view like the others
         if self._precision != jax.lax.Precision.HIGHEST:
             fp_name = fused_partial[0].__name__ if fused_partial else None
             if fused_partial is None:
@@ -450,12 +566,14 @@ class PsdStep:
                       "hybrid/matmul four-step stage-2 matmuls (composite "
                       f"N); this step (backend={self.backend}, N={N}) "
                       "ignores it.", file=_sys.stderr)
-            elif fp_name == "fourstep_fft_psd_partial":
+            elif fp_name in ("fourstep_fft_psd_partial",
+                             "bluestein_psd_partial"):
                 import sys as _sys
-                print("Note: --precision high is a no-op on the FFT "
-                      f"four-step path selected here (backend={self.backend}, "
-                      f"N={N}): FFT stages have no matmul precision knob.",
-                      file=_sys.stderr)
+                print("Note: --precision high is a no-op on the "
+                      f"{'chirp-Z' if 'blue' in fp_name else 'FFT four-step'} "
+                      f"path selected here (backend={self.backend}, "
+                      f"N={N}): its FFT stages have no matmul precision "
+                      "knob.", file=_sys.stderr)
         chunk = self._chunk
         u16_in = self._u16_in
 

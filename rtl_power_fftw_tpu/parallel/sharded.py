@@ -97,6 +97,17 @@ class ShardedPsdStep:
             # Very-large-N (e.g. the frame-sharded 1M mode, longint.py).
             from ..ops.dft import fourstep_fft_psd_partial
             fused = (fourstep_fft_psd_partial, *split)
+        elif self.path == "xla":
+            # Pre-flight refusal-prone monolithic-FFT sizes in a child
+            # process and pre-emptively downgrade — shared decision with
+            # PsdStep (ops.spectral.resolve_xla_rung).
+            from ..ops.spectral import resolve_xla_rung
+            self.path = resolve_xla_rung(N, tpu, "the sharded step")
+            if self.path == "matmul":
+                power_fn = _power_backend("matmul", N)
+        if self.path == "bluestein":
+            from ..ops.dft import bluestein_psd_partial
+            fused = (bluestein_psd_partial, None, None)
 
         def local_step_pallas(raw16, n_valid, *w):
             # raw16: (S_local, F, N) u16 (host-side view of the u8 pairs).

@@ -33,6 +33,7 @@ FLAG_POOL = [
     ["--window-function", "hann"], ["--window-function", "nope"],
     ["--welch-overlap", "50"], ["--welch-overlap", "200"],
     ["--streams", "2"], ["--fft-backend", "matmul"],
+    ["--fft-backend", "bluestein"],
     ["--shard-transform"], ["--record", "/tmp/fuzz_rec.iq"],
     ["--stitch-out", "/tmp/fuzz_stitch.dat"],
     ["--record", "/nonexistent-dir/x.iq"],

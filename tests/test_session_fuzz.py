@@ -24,20 +24,27 @@ from golden import golden_accumulate, golden_finalize
 # backends: 64/500 four-step or XLA (odd factors), 256/1024 four-step,
 # 2048 the pallas-eligible size (interpret mode on this CPU harness).
 CASES = [
-    (64, 37, 16384, "", False),
-    (500, 20, 16384, "", False),          # non-power-of-two (doc example)
-    (256, 64, 32768, "hann", False),
-    (1024, 11, 16384, "", True),          # linear output, partial batch
-    (2048, 9, 49152, "blackman", False),
-    (130, 33, 16384, "hamming", True),    # N = 2·5·13: degenerate split
-    (122, 17, 16384, "", False),          # N = 2·61: XLA/Bluestein rung
-    (320, 25, 16384, "flattop", False),   # N = 2^6·5: mixed-radix
-    (6144, 5, 49152, "", False),          # 3·2^11: mid-band composite
+    (64, 37, 16384, "", False, []),
+    (500, 20, 16384, "", False, []),      # non-power-of-two (doc example)
+    (256, 64, 32768, "hann", False, []),
+    (1024, 11, 16384, "", True, []),      # linear output, partial batch
+    (2048, 9, 49152, "blackman", False, []),
+    (130, 33, 16384, "hamming", True, []),   # N = 2·5·13: degenerate split
+    (122, 17, 16384, "", False, []),      # N = 2·61: XLA rung
+    (320, 25, 16384, "flattop", False, []),  # N = 2^6·5: mixed-radix
+    (6144, 5, 49152, "", False, []),      # 3·2^11: mid-band composite
+    # Round-4 awkward-point pins (VERDICT r3 #8): the large-prime class
+    # on the chirp-Z rung (N = 2·1019 — the TPU auto pick above 8192;
+    # exercised here via the explicit backend since CPU auto keeps the
+    # platform FFT), and a windowed very-large-N shape (the 2^19-class
+    # point where the TPU windowed ladder decision lives).
+    (2038, 7, 16384, "hamming", False, ["--fft-backend", "bluestein"]),
+    (1 << 19, 2, 1 << 21, "hann", False, []),
 ]
 
 
-@pytest.mark.parametrize("N,repeats,buf,window,linear", CASES)
-def test_session_matches_golden(N, repeats, buf, window, linear):
+@pytest.mark.parametrize("N,repeats,buf,window,linear,extra", CASES)
+def test_session_matches_golden(N, repeats, buf, window, linear, extra):
     rate = 2_048_000
     seed = 1000 + N
     argv = ["-f", "100M", "-n", str(repeats), "-b", str(N),
@@ -46,6 +53,7 @@ def test_session_matches_golden(N, repeats, buf, window, linear):
         argv += ["--window-function", window]
     if linear:
         argv += ["-l"]
+    argv += extra
     params = parse_args(argv, stderr=io.StringIO())
     src = SyntheticSource(tones=[(100_150_000, 28.0)], noise=6.0, seed=seed)
     aux = AuxData(params, stderr=io.StringIO())
