@@ -141,8 +141,52 @@ def make_steps():
         s = p.reshape(g, chunk, n1f, n2f).sum(axis=1).sum(axis=0)
         return jnp.swapaxes(s, 0, 1).reshape(N) / np.float32(K)
 
+    @jax.jit
+    def mt_kloop(raw16, nv):
+        # Same estimator, K-LOOPED: one fourstep partial per taper via
+        # lax.scan, keeping the working set at (F, N) instead of
+        # (F·K, N) — tests whether the big-batch fourstep's ~2x GS/s
+        # drop (5.3 vs the windowed band's ~10) is a working-set spill.
+        re, im = dequant_iq_u16(raw16)
+        fmask = (jax.lax.broadcasted_iota(jnp.int32, (F,), 0)
+                 < nv).astype(jnp.float32)
+
+        def body(acc, t):
+            p = fourstep_psd_partial(re * t, im * t, fmask, n1f, n2f,
+                                     chunk=chunk)
+            return acc + p, ()
+
+        acc, _ = jax.lax.scan(body, jnp.zeros(N, jnp.float32), tap_j)
+        return acc / np.float32(K)
+
+    @jax.jit
+    def mt_kloop4tw(raw16, nv):
+        # K-looped COMPENSATED four-step (4-mult + split twiddle) —
+        # accuracy of fs4-tw at kloop's working set.
+        re, im = dequant_iq_u16(raw16)
+        fmask = (jax.lax.broadcasted_iota(jnp.int32, (F,), 0)
+                 < nv).astype(jnp.float32)
+
+        def body(acc, t):
+            re_t = (re * t).reshape(F, n1f, n2f)
+            im_t = (im * t).reshape(F, n1f, n2f)
+            yr = dot(re_t, c1) - dot(im_t, s1m)
+            yi = dot(re_t, s1m) + dot(im_t, c1)
+            zr = (yr * fthr - yi * fthi) + (yr * ftlr - yi * ftli)
+            zi = (yr * fthi + yi * fthr) + (yr * ftli + yi * ftlr)
+            Xr = dot(zr, c2f) - dot(zi, s2f)
+            Xi = dot(zr, s2f) + dot(zi, c2f)
+            p = (Xr * Xr + Xi * Xi) * fmask[:, None, None]
+            g = F // chunk
+            s = p.reshape(g, chunk, n1f, n2f).sum(axis=1).sum(axis=0)
+            return acc + jnp.swapaxes(s, 0, 1).reshape(N), ()
+
+        acc, _ = jax.lax.scan(body, jnp.zeros(N, jnp.float32), tap_j)
+        return acc / np.float32(K)
+
     return {"fourstep": mt_fourstep, "bsplit": mt_bsplit,
-            "fs4-tw": mt_fs4tw}, tap
+            "fs4-tw": mt_fs4tw, "kloop": mt_kloop,
+            "kloop-4tw": mt_kloop4tw}, tap
 
 
 def realization(seed):

@@ -298,7 +298,7 @@ def _build_parser() -> _Parser:
                    help="FFT frames per device step (0 = auto).")
     p.add_argument("--fft-backend", type=str, default="auto",
                    choices=["auto", "xla", "matmul", "fourstep", "fft4",
-                            "hybrid", "pallas", "bluestein"],
+                            "hybrid", "pallas", "bluestein", "fourstep4m"],
                    help="FFT implementation used on device (hybrid = FFT "
                         "stage 1 + split twiddle + matmul stage 2, the "
                         "tone-robust default for most composite N incl. "
@@ -625,7 +625,8 @@ def parse_args(argv: List[str], stderr=None) -> Params:
                 f"{flag} cannot be combined with "
                 + ", ".join(conflicts) + ". Exiting.",
                 ReturnValue.InvalidArgument)
-        if params.fft_backend in ("pallas", "hybrid", "fft4", "bluestein"):
+        if params.fft_backend in ("pallas", "hybrid", "fft4", "bluestein",
+                                  "fourstep4m"):
             print(f"Warning: {flag} needs per-frame spectra for the "
                   "second moment, which the fused "
                   f"'{params.fft_backend}' path does not expose; using "

@@ -107,7 +107,8 @@ def _power_backend(backend: str, N: int) -> Callable[[jax.Array, jax.Array], jax
         return dft_power_matmul
     if backend == "fourstep":
         return dft_power_fourstep
-    if backend in ("xla", "auto", "pallas", "fft4", "hybrid", "bluestein"):
+    if backend in ("xla", "auto", "pallas", "fft4", "hybrid", "bluestein",
+                   "fourstep4m"):
         # "pallas"/"fft4" route power computation to their fused paths at
         # the PsdStep level; the plain backends (and the fallbacks for
         # ineligible shapes, e.g. prime N) land here.
@@ -278,16 +279,14 @@ def select_transform_rung(N: int, F: int, windowed: bool, backend: str,
       loses its accuracy class up through 2^18 (the time-domain
       multiply takes stage 1 off its exact integer inputs — windowed
       medians 2.4–6.4× class, probes/windowed_fold.py and
-      probes/windowed_band_decide.py; a split-window stage 1 does NOT
-      recover it — measured identical ratios, so the excess is the
-      transform's internal arithmetic, not input rounding) so windowed
-      auto admits it only above 262144, where the class error itself
+      probes/windowed_band_decide.py; the round-4 attribution proved
+      the excess is 100% stage-1-INTERNAL: neither a split window, a
+      bf16-boundary input split, nor f64-finishing everything after
+      stage 1 moves it — probes/windowed_attrib.py) so windowed
+      auto admits it only above 524288, where the class error itself
       has grown past the hybrid's excess (2^20: median 1.16× class at
-      15.6 GS/s; at 2^19 no candidate holds the 1.5× median — the
-      hybrid ships as the fastest max-budget-compliant path, median
-      1.88× max 2.06×, vs fourstep 1.94× at half the speed — see
-      BENCHMARKS.md "Windowed very-large-N decision"). On CPU the
-      lane-matched K=128 split doubles
+      15.6 GS/s; 2^19 belongs to the compensated four-step below).
+      On CPU the lane-matched K=128 split doubles
       the BLAS accumulation tail, so CPU auto uses the near-square
       split and only 512–3072 unwindowed.
     * fourstep — the transpose-free all-matmul partial: composite
@@ -295,9 +294,16 @@ def select_transform_rung(N: int, F: int, windowed: bool, backend: str,
       at a 1.58×-class tail vs the hybrid's 2.7×), and WINDOWED TPU
       512–262144 wherever the kernel doesn't take it (the matmul
       stages are indifferent to non-integer inputs; at windowed
-      2^17/2^18 it is the only budget-passing candidate — 1.50×/1.29×
-      median class vs the hybrid's 2.90×/2.42×,
-      probes/windowed_band_decide.py).
+      2^17/2^18 it is the fastest budget-passing candidate —
+      1.50×/1.29× median class vs the hybrid's 2.90×/2.42×,
+      probes/windowed_band_decide.py and probes/windowed_comp.py).
+    * fourstep4m — the COMPENSATED four-step (4-mult stages, hi+lo
+      split twiddle, chunked stage-2 tree accumulation): windowed TPU
+      (262144, 524288] — the band where the plain fourstep fails the
+      1.5× median (1.94×) and the hybrid is stage-1-bound (1.88×);
+      measured p50 0.91× / max 0.71× class at 2.18 GS/s (better than
+      the FFTW class itself — probes/windowed_comp.py), closing the
+      round-3 budget exception.
     * fft4 — the two-level FFT four-step for the remaining very-large
       composite N (the monolithic XLA FFT lowers poorly there,
       probes/fftfourstep_sweep.py); non-TPU auto keeps it above 8192.
@@ -328,6 +334,22 @@ def select_transform_rung(N: int, F: int, windowed: bool, backend: str,
         if eligible and lo <= N <= hi and tpu:
             return "pallas", None
     windowed_cpu = windowed and not tpu
+    if backend in ("fourstep4m", "auto"):
+        from .dft import best_fourstep_split
+        n1, n2 = best_fourstep_split(N)
+        if backend == "fourstep4m":
+            if n1 <= 1:
+                raise ValueError(
+                    f"backend='fourstep4m' needs composite N (N={N} is "
+                    "prime); use backend='auto'")
+            return "fourstep4m", (n1, n2)
+        # Windowed TPU (262144, 524288]: the budget-truth band. The
+        # plain fourstep fails the 1.5x median there (1.94x r3 / 1.80x
+        # r4 attribution) and the hybrid is stage-1-bound at 1.85x;
+        # the compensated form is the only budget-passing candidate
+        # (probes/windowed_comp.py).
+        if tpu and windowed and (1 << 18) < N <= (1 << 19) and n1 >= 8:
+            return "fourstep4m", (n1, n2)
     if backend in ("hybrid", "auto"):
         from .dft import best_fourstep_split, best_hybrid_split
         if backend == "hybrid" or tpu:
@@ -542,6 +564,11 @@ class PsdStep:
             # device-side (F, 2N)u8 → u16 bitcast is a real relayout
             # pass that costs ~3.5 ms at N=2^20 (over half the step).
             self._u16_in = True
+        elif path == "fourstep4m":
+            from .dft import fourstep4m_psd_partial
+            fused_partial = (fourstep4m_psd_partial, *split)
+            self.path = "fourstep4m"
+            self._u16_in = True   # host-side u16 view like the family
         elif path == "xla":
             # The only rung whose lowering the framework doesn't own:
             # pre-flight refusal-prone sizes out-of-process and

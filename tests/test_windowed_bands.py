@@ -164,13 +164,17 @@ def test_windowed_tpu_band_selection(monkeypatch):
     assert path(32768) == "pallas"
     assert path(65536) == "fourstep"      # the round-3 late band move
     assert path(20480) == "fourstep"      # non-pow-2 mid-band
-    # The windowed very-large-N decision (probes/windowed_band_decide):
-    # fourstep is the only budget-passing candidate at 2^17/2^18; the
-    # hybrid takes over above 262144 (2^20 median 1.16x class at
-    # 15.6 GS/s; 2^19 fastest max-compliant when nothing holds 1.5x).
+    # The windowed very-large-N decision (probes/windowed_band_decide,
+    # round-4 update probes/windowed_comp.py): fourstep is the fastest
+    # budget-passing candidate at 2^17/2^18 (1.50x/1.29x median); at
+    # 2^19 - where round 3 shipped the hybrid as a documented budget
+    # EXCEPTION - the compensated four-step (4-mult stages + split
+    # twiddle + chunked stage-2) is now the budget-TRUE path; the
+    # hybrid takes over above 2^19 (2^20 median 1.16x class at
+    # 15.6 GS/s).
     assert path(1 << 17) == "fourstep"
     assert path(1 << 18) == "fourstep"
-    assert path(1 << 19, F=16) == "hybrid"
+    assert path(1 << 19, F=16) == "fourstep4m"
     assert path(1 << 20, F=8) == "hybrid"
     # Unwindowed boundaries are unchanged by the windowed move.
     assert path(65536, windowed=False) == "pallas"
@@ -229,3 +233,75 @@ def test_split_window_exactness_and_parity():
         jnp.asarray(w_hi), jnp.asarray(w_lo), n1, n2), np.float64)
     want = _f64_truth(raw, w)
     assert _rel(got, want) < 1e-5
+
+
+def test_fourstep4m_parity_and_explicit_backend():
+    """The compensated four-step (round-4 budget-truth path for windowed
+    2^19): 4-mult stages + hi/lo split twiddle + chunked stage-2 tree
+    accumulation — parity vs the f64 truth, explicit-backend PsdStep,
+    and the sharded step land on the same partial."""
+    from rtl_power_fftw_tpu.ops.dft import fourstep4m_psd_partial
+    import jax.numpy as jnp
+
+    N, F = 2048, 8
+    w = make_window("hann", N)
+    rng = np.random.default_rng(13)
+    raw = rng.integers(0, 256, (F, 2 * N), dtype=np.uint8)
+    re = (raw[:, 0::2].astype(np.float32) - 127) * w
+    im = (raw[:, 1::2].astype(np.float32) - 127) * w
+    fmask = np.ones(F, np.float32)
+    fmask[-1] = 0
+    got = np.asarray(fourstep4m_psd_partial(
+        jnp.asarray(re), jnp.asarray(im), jnp.asarray(fmask)), np.float64)
+    z = re.astype(np.float64) + 1j * im.astype(np.float64)
+    X = np.fft.fft(z, axis=1)
+    want = ((X.real ** 2 + X.imag ** 2)
+            * fmask[:, None].astype(np.float64)).sum(0)
+    assert _rel(got, want) < 1e-5
+
+    # Explicit backend on the session step (any composite N, windowed or
+    # not), chunked stage-2 exercised via a large-N2 split.
+    step = PsdStep(N, F, window=w, backend="fourstep4m")
+    assert step.path == "fourstep4m" and step.takes_u16
+    got2 = np.asarray(step(raw.view(np.uint16), F - 1), np.float64)
+    assert _rel(got2, want) < 1e-5
+
+    big = np.asarray(fourstep4m_psd_partial(
+        jnp.asarray(re), jnp.asarray(im), jnp.asarray(fmask),
+        2, 1024), np.float64)          # N2=1024 → 4 stage-2 chunks
+    assert _rel(big, want) < 1e-5
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="composite"):
+        from rtl_power_fftw_tpu.ops.spectral import select_transform_rung
+        select_transform_rung(1009, 8, False, "fourstep4m", tpu=False)
+
+
+def test_fourstep4m_sharded_parity():
+    import jax
+    from jax.sharding import Mesh
+    from rtl_power_fftw_tpu.parallel.sharded import ShardedPsdStep
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        import pytest as _pytest
+        _pytest.skip("needs an 8-device mesh (CPU harness)")
+    mesh = Mesh(np.array(devs[:8]), ("stream",))
+    N, F, S = 1024, 8, 8
+    w = make_window("hann", N)
+    sh = ShardedPsdStep(mesh, N, F, streams=S, window=w,
+                        backend="fourstep4m")
+    assert sh.path == "fourstep4m"
+    rng = np.random.default_rng(17)
+    raw = rng.integers(0, 256, (S, sh.F, 2 * N), dtype=np.uint8)
+    per_stream, combined = sh(raw, np.full(S, sh.F, np.int32))
+    total = np.zeros(N)
+    for s in range(S):
+        re = (raw[s, :, 0::2].astype(np.float32) - 127) * w
+        im = (raw[s, :, 1::2].astype(np.float32) - 127) * w
+        z = re.astype(np.float64) + 1j * im.astype(np.float64)
+        X = np.fft.fft(z, axis=1)
+        want = (X.real ** 2 + X.imag ** 2).sum(0)
+        assert _rel(np.asarray(per_stream[s], np.float64), want) < 1e-5, s
+        total += want
+    assert _rel(np.asarray(combined, np.float64), total) < 1e-5
