@@ -66,31 +66,50 @@ def _mt_core(re, im, fmask, tapers, *, N: int, F: int, K: int,
     K DPSS eigenspectra, summed over valid frames.
 
     re/im: (F, N) dequantized planes; fmask: (F,) validity; tapers:
-    (K, N). mode selects the transform for the (F·K, N) tapered batch:
-    "fourstep" — the all-matmul four-step partial (the windowed-band
-    choice on TPU: tapered input is windowed-class, and it never touches
-    the platform's monolithic FFT lowering); "xla" — the platform FFT
-    (the class yardstick on CPU); "matmul" — direct DFT (compile
-    fallback, same role as PsdStep's)."""
-    from ..ops.dft import best_fourstep_split, fourstep_psd_partial
+    (K, N). mode selects the transform: "fourstep" — a K-LOOPED
+    COMPENSATED four-step (one fourstep4m partial per taper via
+    lax.scan) on TPU; "xla" — the platform FFT over the (F·K, N)
+    tapered batch (the class yardstick on CPU); "matmul" — direct DFT
+    (compile fallback, same role as PsdStep's).
+
+    The round-4 "fourstep" redesign (probes/multitaper_fast2.py,
+    BENCHMARKS.md "Estimator-family device steps — round-4 multitaper
+    update"): the round-3 body materialized (F·K, N) tapered planes
+    into ONE big four-step batch, which ran at ~half the four-step's
+    normal rate (working-set spill) and carried the plain fourstep's
+    uncompensated twiddle error — 1,637 µs/step at 5.9×/8.4× the
+    scipy-f32 eigenspectra class at N=2048/F=1024/K=4. Scanning the
+    taper axis keeps the working set at (F, N) (640 µs at identical
+    accuracy), and using the compensated fourstep4m partial per taper
+    (split twiddle + 4-mult stages) lands 823 µs at 3.8×/3.7× class —
+    2× the round-3 speed AND ~1.5× (median) / 2.3× (max) its accuracy.
+    The faster-still hybrid body (681 µs) stays rejected: its tapered
+    (non-integer) stage-1 FFT leaks 15.8× class — the stage-1-internal
+    platform-FFT error the round-4 attribution proved uncompensable."""
+    from ..ops.dft import best_fourstep_split, fourstep4m_psd_partial
     from ..ops.spectral import dft_power_matmul
 
+    if mode == "fourstep":
+        n1, n2 = best_fourstep_split(N)
+
+        def body(acc, t):
+            p = fourstep4m_psd_partial(re * t, im * t, fmask, n1, n2,
+                                       chunk=chunk)
+            return acc + p, ()
+
+        total, _ = jax.lax.scan(body, jnp.zeros(N, jnp.float32), tapers)
+        return total / np.float32(K)
     re_t = (re[:, None, :] * tapers[None]).reshape(F * K, N)
     im_t = (im[:, None, :] * tapers[None]).reshape(F * K, N)
     fmask_t = jnp.repeat(fmask, K)
-    if mode == "fourstep":
-        n1, n2 = best_fourstep_split(N)
-        total = fourstep_psd_partial(re_t, im_t, fmask_t, n1, n2,
-                                     chunk=chunk)
+    if mode == "matmul":
+        p = dft_power_matmul(re_t, im_t)
     else:
-        if mode == "matmul":
-            p = dft_power_matmul(re_t, im_t)
-        else:
-            X = jnp.fft.fft(jax.lax.complex(re_t, im_t), axis=1)
-            p = jnp.real(X) ** 2 + jnp.imag(X) ** 2
-        p = p * fmask_t[:, None]
-        g = (F * K) // chunk
-        total = p.reshape(g, chunk, N).sum(1).sum(0)
+        X = jnp.fft.fft(jax.lax.complex(re_t, im_t), axis=1)
+        p = jnp.real(X) ** 2 + jnp.imag(X) ** 2
+    p = p * fmask_t[:, None]
+    g = (F * K) // chunk
+    total = p.reshape(g, chunk, N).sum(1).sum(0)
     return total / np.float32(K)
 
 
