@@ -590,16 +590,10 @@ def parse_args(argv: List[str], stderr=None) -> Params:
                   f"{int(2 * params.time_bandwidth - 1)} DPSS tapers are "
                   "well concentrated; extra tapers raise leakage. Consider "
                   "a larger --time-bandwidth.", file=err)
-        ignored = []
         if params.fft_backend != "auto":
-            ignored.append("--fft-backend")
-        if params.precision != "highest":
-            ignored.append("--precision")
-        if ignored:
-            verb = "is" if len(ignored) == 1 else "are"
             print("Warning: the multitaper estimator uses its own batched "
-                  f"transform step; {' and '.join(ignored)} {verb} ignored "
-                  "with --multitaper.", file=err)
+                  "transform step; --fft-backend is ignored with "
+                  "--multitaper.", file=err)
     elif params.time_bandwidth != 4.0:
         print("Warning: --time-bandwidth has no effect without "
               "--multitaper.", file=err)

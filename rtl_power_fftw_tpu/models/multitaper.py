@@ -86,15 +86,22 @@ def _mt_core(re, im, fmask, tapers, *, N: int, F: int, K: int,
     The faster-still hybrid body (681 µs) stays rejected: its tapered
     (non-integer) stage-1 FFT leaks 15.8× class — the stage-1-internal
     platform-FFT error the round-4 attribution proved uncompensable."""
-    from ..ops.dft import best_fourstep_split, fourstep4m_psd_partial
+    from ..ops.dft import (best_fourstep_split, fourstep4m_psd_partial,
+                           fourstep_psd_partial)
     from ..ops.spectral import dft_power_matmul
 
-    if mode == "fourstep":
+    if mode in ("fourstep", "fourstep-fast"):
         n1, n2 = best_fourstep_split(N)
+        # "fourstep-fast" (--precision high): the PLAIN Karatsuba
+        # four-step per taper — measured 640 vs 823 µs at the round-3
+        # step's accuracy class (5.9×/8.4× vs the compensated 3.8×/3.7×
+        # — probes/multitaper_fast2.py); opt-in, same contract as the
+        # relaxed tier everywhere else.
+        partial = (fourstep_psd_partial if mode == "fourstep-fast"
+                   else fourstep4m_psd_partial)
 
         def body(acc, t):
-            p = fourstep4m_psd_partial(re * t, im * t, fmask, n1, n2,
-                                       chunk=chunk)
+            p = partial(re * t, im * t, fmask, n1, n2, chunk=chunk)
             return acc + p, ()
 
         total, _ = jax.lax.scan(body, jnp.zeros(N, jnp.float32), tapers)
@@ -164,7 +171,7 @@ class MultitaperSessionStep:
     datastore.cxx:66-88)."""
 
     def __init__(self, N: int, frames_per_step: int, K: int,
-                 NW: float = 4.0):
+                 NW: float = 4.0, precision: str = "highest"):
         from ..ops.spectral import adapt_batch
         self.N = N
         self.K = K
@@ -172,6 +179,8 @@ class MultitaperSessionStep:
         self.path = "multitaper"
         self._tapers = jnp.asarray(_session_tapers(N, NW, K))
         self._mode = _mt_mode(N)
+        if precision == "high" and self._mode == "fourstep":
+            self._mode = "fourstep-fast"   # opt-in relaxed tier
         self._step = _mt_partial_step(N, self.F, K, self._chunk, self._mode)
 
     @property
@@ -213,7 +222,7 @@ class ShardedMultitaperStep:
     MultitaperSessionStep per stream and summing."""
 
     def __init__(self, mesh, N: int, frames_per_step: int, streams: int,
-                 K: int, NW: float = 4.0):
+                 K: int, NW: float = 4.0, precision: str = "highest"):
         from jax.sharding import NamedSharding, PartitionSpec as Pspec
         from ..ops.spectral import adapt_batch
 
@@ -232,6 +241,8 @@ class ShardedMultitaperStep:
         self._tapers = jnp.asarray(_session_tapers(N, NW, K))
         self._raw_sharding = NamedSharding(mesh, Pspec(axis))
         self._mode = _mt_mode(N)
+        if precision == "high" and self._mode == "fourstep":
+            self._mode = "fourstep-fast"   # opt-in relaxed tier
         self._build(self._mode)
 
     def _build(self, mode: str) -> None:

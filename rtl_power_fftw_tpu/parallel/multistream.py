@@ -119,7 +119,8 @@ class MultiStreamAcquisition:
             from ..models.multitaper import ShardedMultitaperStep
             self.step = ShardedMultitaperStep(
                 mesh, params.N, frames_per_step, streams=S,
-                K=params.multitaper, NW=params.time_bandwidth)
+                K=params.multitaper, NW=params.time_bandwidth,
+                precision=getattr(params, "precision", "highest"))
         elif (getattr(params, "sk_file", "")
                 or getattr(params, "sk_excise", 0.0) > 0.0):
             # --streams S --sk-file / --sk-excise: both spectral moments

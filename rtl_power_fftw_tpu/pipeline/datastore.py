@@ -151,7 +151,8 @@ class Datastore:
             from ..models.multitaper import MultitaperSessionStep
             self.step = MultitaperSessionStep(
                 params.N, frames_per_step, K=params.multitaper,
-                NW=params.time_bandwidth)
+                NW=params.time_bandwidth,
+                precision=getattr(params, "precision", "highest"))
         elif (getattr(params, "sk_file", "")
                 or getattr(params, "sk_excise", 0.0) > 0.0):
             # Spectral-kurtosis paths (--sk-file / --sk-excise): the step

@@ -158,3 +158,26 @@ def test_multitaper_nw_bound_is_typed_error():
                  ["-f", "100M", "-b", "4", "--multitaper", "2"]):
         with pytest.raises(RPFexception):
             parse_args(argv, stderr=io.StringIO())
+
+
+def test_multitaper_precision_high_fast_mode(monkeypatch):
+    """--precision high on the multitaper TPU band selects the PLAIN
+    K-looped four-step (the relaxed tier: 640 vs 823 us measured at the
+    round-3 accuracy class — probes/multitaper_fast2.py); the default
+    stays the compensated partial. Numerics of both pinned vs f64."""
+    import jax
+    import jax.numpy as jnp
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    N, K, F = 64, 3, 8
+    fast = MultitaperSessionStep(N, F, K=K, precision="high")
+    assert fast._mode == "fourstep-fast"
+    slow = MultitaperSessionStep(N, F, K=K)
+    assert slow._mode == "fourstep"
+    rng = np.random.default_rng(5)
+    raw = rng.integers(0, 256, size=(F, 2 * N), dtype=np.uint8)
+    want = _direct_mt_pwr(raw, N, K)
+    np.testing.assert_allclose(
+        np.asarray(fast(raw, F), np.float64), want, rtol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(slow(raw, F), np.float64), want, rtol=2e-5)
