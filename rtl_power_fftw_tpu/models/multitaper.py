@@ -86,10 +86,22 @@ def _mt_core(re, im, fmask, tapers, *, N: int, F: int, K: int,
     The faster-still hybrid body (681 µs) stays rejected: its tapered
     (non-integer) stage-1 FFT leaks 15.8× class — the stage-1-internal
     platform-FFT error the round-4 attribution proved uncompensable."""
-    from ..ops.dft import (best_fourstep_split, fourstep4m_psd_partial,
-                           fourstep_psd_partial)
+    from ..ops.dft import (best_fourstep_split, bluestein_psd_partial,
+                           fourstep4m_psd_partial, fourstep_psd_partial)
     from ..ops.spectral import dft_power_matmul
 
+    if mode == "bluestein":
+        # Awkward N (2·prime class) above the matmul cap on TPU: the
+        # K-looped chirp-Z partial — same any-N rationale as the PSD
+        # ladder's bluestein rung (the "xla" mode's monolithic lowering
+        # is compile-refused with client poisoning at 2^16..2^20 on the
+        # current toolchain).
+        def body_b(acc, t):
+            p = bluestein_psd_partial(re * t, im * t, fmask, chunk=chunk)
+            return acc + p, ()
+
+        total, _ = jax.lax.scan(body_b, jnp.zeros(N, jnp.float32), tapers)
+        return total / np.float32(K)
     if mode in ("fourstep", "fourstep-fast"):
         n1, n2 = best_fourstep_split(N)
         # "fourstep-fast" (--precision high): the PLAIN Karatsuba

@@ -70,6 +70,12 @@ def _pfb_core(xr: jax.Array, xi: jax.Array, h: jax.Array,
         n1, n2 = best_fourstep_split(M)
         m = fmask if fmask is not None else jnp.ones((T,), jnp.float32)
         return fourstep_psd_partial(sr, si, m, n1, n2, chunk=chunk)
+    if mode == "bluestein":
+        # Awkward M above the matmul cap on TPU (same any-N rationale
+        # as the PSD ladder's chirp-Z rung).
+        from ..ops.dft import bluestein_psd_partial
+        m = fmask if fmask is not None else jnp.ones((T,), jnp.float32)
+        return bluestein_psd_partial(sr, si, m, chunk=chunk)
     if mode == "matmul":
         from ..ops.dft import dft_power_matmul
         pwr = dft_power_matmul(sr, si)

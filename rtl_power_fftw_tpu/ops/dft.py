@@ -561,6 +561,38 @@ def _bluestein_constants(N: int):
             Bp.astype(np.complex64), tw.astype(np.complex64))
 
 
+def _bluestein_power(re: jax.Array, im: jax.Array) -> jax.Array:
+    """(..., N) float32 planes → (..., N) |DFT|² via the chirp-Z
+    transform (the shared core of :func:`bluestein_psd_partial` and
+    :func:`dft_power_bluestein` — see the partial's docstring for the
+    algorithm and accuracy notes)."""
+    N = re.shape[-1]
+    lead = re.shape[:-1]
+    M, M1, M2, a, Bp, tw = _bluestein_constants(N)
+    a_j = jnp.asarray(a)
+    Bp_j = jnp.asarray(Bp)
+    tw_j = jnp.asarray(tw)
+    x = jax.lax.complex(re, im).reshape(-1, N)
+    u = x * a_j[None]
+    u = jnp.pad(u, ((0, 0), (0, M - N))).reshape(-1, M1, M2)
+    U = jnp.fft.fft(jnp.fft.fft(u, axis=1) * tw_j[None], axis=2)
+    W = U * Bp_j[None]
+    y = jnp.fft.ifft(jnp.fft.ifft(W, axis=2) * jnp.conj(tw_j)[None],
+                     axis=1)
+    X = y.reshape(-1, M)[:, :N] * a_j[None]
+    p = jnp.real(X) * jnp.real(X) + jnp.imag(X) * jnp.imag(X)
+    return p.reshape(*lead, N)
+
+
+def dft_power_bluestein(re: jax.Array, im: jax.Array) -> jax.Array:
+    """|DFT(re + i·im)|² per frame via the chirp-Z transform — the
+    per-frame-spectra sibling of :func:`bluestein_psd_partial` for
+    estimator steps that need (F, N) power planes (the SK family's
+    second moment) at N where the monolithic platform FFT is slow or
+    compile-refused. Same signature contract as dft_power_matmul."""
+    return _bluestein_power(re, im)
+
+
 def bluestein_psd_partial(re: jax.Array, im: jax.Array, fmask: jax.Array,
                           N1: int | None = None, N2: int | None = None,
                           chunk: int = 64, precision=None) -> jax.Array:
@@ -585,28 +617,14 @@ def bluestein_psd_partial(re: jax.Array, im: jax.Array, fmask: jax.Array,
     is chosen internally; there is no matmul precision knob).
     """
     F, N = re.shape
-    M, M1, M2, a, Bp, tw = _bluestein_constants(N)
-    a_j = jnp.asarray(a)
-    Bp_j = jnp.asarray(Bp)
-    tw_j = jnp.asarray(tw)
     while F % chunk != 0:
         chunk //= 2
-
-    x = jax.lax.complex(re, im)
-    u = x * a_j[None]
-    u = jnp.pad(u, ((0, 0), (0, M - N))).reshape(F, M1, M2)
-    # Forward four-step: (F, n1, n2) → (F, k1, k2), k = k1 + M1·k2.
-    U = jnp.fft.fft(jnp.fft.fft(u, axis=1) * tw_j[None], axis=2)
-    W = U * Bp_j[None]
-    # Inverse of the SAME factorization: ifft over k2 → n2, conjugate
-    # twiddle (same (k1, n2)-shaped table), ifft over k1 → n1; the
-    # 1/M1·1/M2 scalings of the two iffts compose to the 1/M the
-    # convolution theorem needs.
-    y = jnp.fft.ifft(jnp.fft.ifft(W, axis=2) * jnp.conj(tw_j)[None],
-                     axis=1)
-    X = y.reshape(F, M)[:, :N] * a_j[None]
-    p = (jnp.real(X) * jnp.real(X) + jnp.imag(X) * jnp.imag(X)) \
-        * fmask[:, None]
+    # Forward four-step (F, n1, n2) → (F, k1, k2) with k = k1 + M1·k2,
+    # product with FFT_M(v) in that layout, then the inverse of the
+    # SAME factorization (ifft over k2 → n2, conjugate twiddle, ifft
+    # over k1 → n1; the 1/M1·1/M2 scalings compose to the 1/M the
+    # convolution theorem needs) — all inside _bluestein_power.
+    p = _bluestein_power(re, im) * fmask[:, None]
     g = F // chunk
     return p.reshape(g, chunk, N).sum(axis=1).sum(axis=0)
 

@@ -107,7 +107,14 @@ def _power_backend(backend: str, N: int) -> Callable[[jax.Array, jax.Array], jax
         return dft_power_matmul
     if backend == "fourstep":
         return dft_power_fourstep
-    if backend in ("xla", "auto", "pallas", "fft4", "hybrid", "bluestein",
+    if backend == "bluestein":
+        # Per-frame chirp-Z power — estimator steps that need (F, N)
+        # spectra (the SK family) at awkward N where the monolithic
+        # platform FFT is slow/compile-refused. (The PSD steps never
+        # consume this: their bluestein rung is the fused partial.)
+        from .dft import dft_power_bluestein
+        return dft_power_bluestein
+    if backend in ("xla", "auto", "pallas", "fft4", "hybrid",
                    "fourstep4m"):
         # "pallas"/"fft4" route power computation to their fused paths at
         # the PsdStep level; the plain backends (and the fallbacks for
@@ -405,14 +412,25 @@ def select_transform_rung(N: int, F: int, windowed: bool, backend: str,
 def tapered_batch_mode(N: int) -> str:
     """Transform choice for estimator steps whose input planes are
     already windowed-class (multitaper's tapered batch, the PFB's
-    polyphase sums): "fourstep" — the all-matmul four-step partial on
-    the TPU band (the windowed-band pick: tone-robust there, and it
-    never touches the platform's monolithic-FFT lowering) — or "xla",
-    the platform FFT (the class yardstick on CPU; prime/huge N)."""
+    polyphase sums) or that need per-frame spectra (the SK family):
+    on TPU, "fourstep" — the all-matmul four-step (tone-robust on the
+    windowed band, never touches the platform's monolithic-FFT
+    lowering) — for any composite N with a factor >= 8 (round 4 lifted
+    the old 65536 cap: the matmul stages lower at any size, while the
+    "xla" mode would hand 2^17-class estimator sessions to the
+    monolithic lowering that is compile-REFUSED with client poisoning
+    on the current toolchain); "bluestein" — the chirp-Z transform —
+    for awkward N above the matmul-fallback cap (2·prime class, same
+    rationale as the PSD ladder's bluestein rung); "xla" — the
+    platform FFT — elsewhere (CPU, where it IS the class yardstick,
+    and small awkward N on TPU where it compiles)."""
     from .dft import best_fourstep_split
     n1, _ = best_fourstep_split(N)
-    if jax.default_backend() == "tpu" and n1 >= 8 and N <= 65536:
-        return "fourstep"
+    if jax.default_backend() == "tpu":
+        if n1 >= 8:
+            return "fourstep"
+        if N > FFT_FALLBACK_MAX_N:
+            return "bluestein"
     return "xla"
 
 

@@ -214,3 +214,68 @@ def test_sharded_xla_preflight_downgrade(monkeypatch):
     assert sh.path == "matmul"
     sh = ShardedPsdStep(mesh, 9998, 8, streams=8, backend="xla")
     assert sh.path == "bluestein"
+
+
+def test_tapered_batch_mode_rules(monkeypatch):
+    """The estimator-family transform chooser (multitaper/PFB/SK): on
+    TPU, any composite N with a factor >= 8 rides the all-matmul
+    four-step (round 4 lifted the 65536 cap — the old rule would hand a
+    2^17 estimator session to the refusal-poisoned monolithic
+    lowering), awkward N above the matmul cap ride the chirp-Z, and CPU
+    keeps the platform FFT (the class yardstick)."""
+    import jax
+    from rtl_power_fftw_tpu.ops.spectral import tapered_batch_mode
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert tapered_batch_mode(2048) == "fourstep"
+    assert tapered_batch_mode(1 << 17) == "fourstep"   # cap lifted
+    assert tapered_batch_mode(99998) == "bluestein"    # 2·prime, > cap
+    assert tapered_batch_mode(122) == "xla"            # small awkward
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert tapered_batch_mode(2048) == "xla"
+    assert tapered_batch_mode(99998) == "xla"
+
+
+def test_estimator_bluestein_modes_parity():
+    """The bluestein estimator modes (multitaper K-loop partial, PFB
+    summed-plane partial, SK per-frame power) vs the float64 truth."""
+    import jax.numpy as jnp
+    from rtl_power_fftw_tpu.models.multitaper import (_mt_core,
+                                                      _session_tapers)
+    from rtl_power_fftw_tpu.models.pfb import _pfb_core, pfb_prototype
+    from rtl_power_fftw_tpu.ops.dft import dft_power_bluestein
+
+    N, F, K, P = 122, 8, 3, 4
+    rng = np.random.default_rng(0)
+    re = rng.integers(-127, 129, (F + P - 1, N)).astype(np.float32)
+    im = rng.integers(-127, 129, (F + P - 1, N)).astype(np.float32)
+    fmask = np.ones(F, np.float32)
+
+    tap = _session_tapers(N, 4.0, K)
+    got = np.asarray(_mt_core(
+        jnp.asarray(re[:F]), jnp.asarray(im[:F]), jnp.asarray(fmask),
+        jnp.asarray(tap), N=N, F=F, K=K, chunk=8, mode="bluestein"),
+        np.float64)
+    z = re[:F].astype(np.float64) + 1j * im[:F].astype(np.float64)
+    zt = z[:, None, :] * tap.astype(np.float64)[None]
+    X = np.fft.fft(zt, axis=2)
+    want = (X.real ** 2 + X.imag ** 2).mean(1).sum(0)
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-5
+
+    h64 = pfb_prototype(N, P).astype(np.float64).reshape(P, N)
+    h = jnp.asarray(h64.astype(np.float32))
+    got = np.asarray(_pfb_core(
+        jnp.asarray(re), jnp.asarray(im), h, F, N, P, 8,
+        jnp.asarray(fmask), mode="bluestein"), np.float64)
+    z = re.astype(np.float64) + 1j * im.astype(np.float64)
+    S = sum(z[p:p + F] * h64[p][None] for p in range(P))
+    X = np.fft.fft(S, axis=1)
+    want = (X.real ** 2 + X.imag ** 2).sum(0)
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-5
+
+    got = np.asarray(dft_power_bluestein(
+        jnp.asarray(re[:F]), jnp.asarray(im[:F])), np.float64)
+    z = re[:F].astype(np.float64) + 1j * im[:F].astype(np.float64)
+    X = np.fft.fft(z, axis=1)
+    want = X.real ** 2 + X.imag ** 2
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-5
