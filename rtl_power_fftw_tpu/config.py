@@ -619,7 +619,7 @@ def parse_args(argv: List[str], stderr=None) -> Params:
                 f"{flag} cannot be combined with "
                 + ", ".join(conflicts) + ". Exiting.",
                 ReturnValue.InvalidArgument)
-        if params.fft_backend in ("pallas", "hybrid", "fft4", "bluestein",
+        if params.fft_backend in ("pallas", "hybrid", "fft4",
                                   "fourstep4m"):
             print(f"Warning: {flag} needs per-frame spectra for the "
                   "second moment, which the fused "

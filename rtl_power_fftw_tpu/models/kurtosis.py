@@ -119,7 +119,7 @@ class SkSessionStep:
         from ..ops.spectral import tapered_batch_mode
         self.N = N
         self.F, _ = adapt_batch(frames_per_step)
-        if backend in ("matmul", "fourstep", "xla"):
+        if backend in ("matmul", "fourstep", "xla", "bluestein"):
             self._mode = backend
         else:
             self._mode = tapered_batch_mode(N)
@@ -209,7 +209,7 @@ class ShardedSkStep:
             self._w = (jnp.asarray(np.asarray(window, np.float32)),)
         # Honor an explicit per-frame backend request like SkSessionStep
         # (fused backends were already warned about at parse time).
-        if backend in ("matmul", "fourstep", "xla"):
+        if backend in ("matmul", "fourstep", "xla", "bluestein"):
             self._mode = backend
         else:
             self._mode = tapered_batch_mode(N)

@@ -246,7 +246,10 @@ def resolve_xla_rung(N: int, tpu: bool, what: str) -> str:
     if mode == "0":
         return "xla"
     if mode != "1":
-        min_n = int(os.environ.get("RPF_FFT_PREFLIGHT_MIN", "16384"))
+        try:
+            min_n = int(os.environ.get("RPF_FFT_PREFLIGHT_MIN", "16384"))
+        except ValueError:
+            min_n = 16384  # garbage env must not kill a session
         if not (tpu and N >= min_n):
             return "xla"
     if platform_fft_preflight_ok(N):
