@@ -1,0 +1,87 @@
+"""Unwindowed 2^17 tail check (round 4): the mixed-revisit 20-seed pool
+read the shipping large-N hybrid's max at 3.24x the scipy-f32 class at
+unwindowed 2^17 — one seed over the 3x max budget.  This probe settles
+whether that is a fluke or a band problem with a 100-seed distribution
+(accuracy only, contention-immune), and reads the candidates that would
+take the band if it is real:
+
+  hybrid      shipping (large-N hybrid 1024x128)
+  fourstep4m  the compensated four-step (the windowed-2^19 owner)
+  fourstep    plain four-step (256x512)
+
+Run on TPU:  python probes/unwindowed_2e17_tail.py [seeds [N]]
+"""
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import scipy.fft
+
+from rtl_power_fftw_tpu.ops.spectral import PsdStep, adapt_batch
+
+SEEDS = (int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit()
+         else 100)
+N = int(sys.argv[2]) if len(sys.argv) > 2 else 1 << 17
+
+
+def realization(N, F, seed):
+    rng = np.random.default_rng(seed)
+    f0 = rng.uniform(0.05, 0.45)
+    ph = rng.uniform(0, 2 * np.pi)
+    t = np.arange(F * N)
+    x = 100.0 * np.exp(1j * (2 * np.pi * f0 * t + ph)) + (
+        rng.standard_normal(F * N) + 1j * rng.standard_normal(F * N))
+    re8 = np.clip(np.round(x.real + 127), 0, 255).astype(np.uint8)
+    im8 = np.clip(np.round(x.imag + 127), 0, 255).astype(np.uint8)
+    return np.stack([re8, im8], axis=-1).reshape(F, 2 * N)
+
+
+def rel(got, want):
+    return float((np.abs(np.asarray(got, np.float64) - want)
+                  / np.maximum(np.abs(want), 1e-30)).max())
+
+
+def main():
+    F = max(8, min(512, (1 << 23) // N))
+    F, chunk = adapt_batch(F)
+    steps = {
+        "hybrid": PsdStep(N, F, backend="hybrid"),
+        "fourstep4m": PsdStep(N, F, backend="fourstep4m"),
+        "fourstep": PsdStep(N, F, backend="fourstep"),
+    }
+    errs = {b: [] for b in steps}
+    cls_d = []
+    for s in range(SEEDS):
+        raw = realization(N, F, 3000 + s)
+        u16 = raw.view(np.uint16)
+        z = (raw[:, 0::2].astype(np.float64) - 127.0) \
+            + 1j * (raw[:, 1::2].astype(np.float64) - 127.0)
+        X = np.fft.fft(z, axis=1)
+        want = (X.real ** 2 + X.imag ** 2).sum(0)
+        Xc = scipy.fft.fft(z.astype(np.complex64), axis=1)
+        cls_d.append(rel((Xc.real.astype(np.float64) ** 2
+                          + Xc.imag.astype(np.float64) ** 2).sum(0), want))
+        for b, st in steps.items():
+            errs[b].append(rel(st(u16.copy(), F), want))
+        if (s + 1) % 20 == 0:
+            print(f"  ...{s+1}/{SEEDS} seeds", flush=True)
+    cls_d = np.asarray(cls_d)
+    print(f"N={N} F={F} seeds={SEEDS}: class p50={np.median(cls_d):.2e} "
+          f"max={cls_d.max():.2e}", flush=True)
+    for b in steps:
+        e = np.asarray(errs[b])
+        r = e / cls_d                        # per-seed ratio
+        med_r = np.median(e) / np.median(cls_d)
+        max_r = e.max() / cls_d.max()
+        ok = med_r <= 1.5 and max_r <= 3.0
+        print(f"  {b:10s} BUDGET med={med_r:.2f}x max={max_r:.2f}x "
+              f"per-seed ratio p90={np.quantile(r, 0.9):.2f} "
+              f"p99={np.quantile(r, 0.99):.2f} max={r.max():.2f} "
+              f"{'PASS' if ok else 'FAIL'}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
