@@ -267,7 +267,8 @@ def select_transform_rung(N: int, F: int, windowed: bool, backend: str,
     """The auto-ladder band selection — ONE definition shared by PsdStep
     and ShardedPsdStep (the selection diverged once when it lived in two
     copies). Returns ``(path, split)`` with path in {"pallas", "hybrid",
-    "fourstep", "fft4", "bluestein", "xla", "matmul"} and split the
+    "fourstep", "fourstep4m", "fft4", "bluestein", "xla", "matmul"} and
+    split the
     (n1, n2) factorization for the four-step family (None otherwise).
     Raises ValueError for explicit requests that cannot be satisfied.
 
@@ -475,8 +476,9 @@ class PsdStep:
         self._u16_in = False   # set by _make_step when the pallas kernel ships
         #: which ladder rung _make_step selected for this (N, F, window,
         #: backend, platform) signature: "pallas" | "hybrid" |
-        #: "fourstep" | "fft4" | "xla" (plus "matmul" — explicit request
-        #: or the compile fallback) — introspection for band tests
+        #: "fourstep" | "fourstep4m" | "fft4" | "bluestein" | "xla"
+        #: (plus "matmul" — explicit request, compile fallback, or
+        #: pre-flight downgrade) — introspection for band tests
         #: and users (auto resolves per platform).
         self.path = "matmul" if backend == "matmul" else "xla"
         self._step = jax.jit(self._make_step())

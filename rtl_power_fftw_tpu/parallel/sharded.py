@@ -72,9 +72,9 @@ class ShardedPsdStep:
         # for the kernel, vmapped partials + one psum otherwise).
         self._u16_in = False
         #: selected ladder rung ("pallas" | "hybrid" | "fourstep" |
-        #: "fft4" | "xla" | "matmul" — the last via explicit request or
-        #: the compile fallback) — same introspection contract as
-        #: PsdStep.path.
+        #: "fourstep4m" | "fft4" | "bluestein" | "xla" | "matmul" — the
+        #: last via explicit request, compile fallback, or pre-flight
+        #: downgrade) — same introspection contract as PsdStep.path.
         from ..ops.spectral import select_transform_rung
         windowed = window_arr is not None
         tpu = jax.default_backend() == "tpu"

@@ -175,6 +175,7 @@ def test_windowed_tpu_band_selection(monkeypatch):
     assert path(1 << 17) == "fourstep"
     assert path(1 << 18) == "fourstep"
     assert path(1 << 19, F=16) == "fourstep4m"
+    assert path(3 << 17, F=16) == "fourstep4m"   # non-pow-2 in-band
     assert path(1 << 20, F=8) == "hybrid"
     # Unwindowed boundaries are unchanged by the windowed move.
     assert path(65536, windowed=False) == "pallas"
