@@ -9,7 +9,7 @@ take the band if it is real:
   fourstep4m  the compensated four-step (the windowed-2^19 owner)
   fourstep    plain four-step (256x512)
 
-Run on TPU:  python probes/unwindowed_2e17_tail.py [seeds [N]]
+Run on TPU:  python probes/unwindowed_2e17_tail.py [seeds [N,N,...]]
 """
 import sys
 
@@ -24,7 +24,8 @@ from rtl_power_fftw_tpu.ops.spectral import PsdStep, adapt_batch
 
 SEEDS = (int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit()
          else 100)
-N = int(sys.argv[2]) if len(sys.argv) > 2 else 1 << 17
+NS = (tuple(int(n) for n in sys.argv[2].split(","))
+      if len(sys.argv) > 2 else (1 << 17,))
 
 
 def realization(N, F, seed):
@@ -45,6 +46,11 @@ def rel(got, want):
 
 
 def main():
+    for N in NS:
+        run_one(N)
+
+
+def run_one(N):
     F = max(8, min(512, (1 << 23) // N))
     F, chunk = adapt_batch(F)
     steps = {

@@ -184,7 +184,7 @@ class Params:
     # Device-step frame batch (0 = derive from buffer length).
     frames_per_step: int = 0
     # FFT backend: "auto" | "xla" | "matmul" | "fourstep" | "fft4"
-    # | "hybrid" | "pallas" | "bluestein".
+    # | "hybrid" | "pallas" | "bluestein" | "fourstep4m".
     fft_backend: str = "auto"
     # Write a jax.profiler trace of the session to this directory.
     profile_dir: str = ""
@@ -305,7 +305,9 @@ def _build_parser() -> _Parser:
                         "the very-large-N modes on TPU; fft4 = two-level "
                         "FFT four-step; bluestein = chirp-Z for awkward "
                         "N, the TPU default above 8192 bins when N has "
-                        "no factor >= 8).")
+                        "no factor >= 8; fourstep4m = compensated "
+                        "four-step, the windowed very-large-N "
+                        "budget-truth path).")
     p.add_argument("--precision", type=str, default="highest",
                    choices=["highest", "high"],
                    help="Transform precision: 'highest' holds the "
