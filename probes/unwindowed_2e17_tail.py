@@ -58,6 +58,11 @@ def run_one(N):
         "fourstep4m": PsdStep(N, F, backend="fourstep4m"),
         "fourstep": PsdStep(N, F, backend="fourstep"),
     }
+    if N & (N - 1) == 0 and 4096 <= N <= 65536:
+        try:  # the kernel's own unwindowed tails (pallas band audit)
+            steps["pallas"] = PsdStep(N, F, backend="pallas")
+        except Exception as e:
+            print(f"  pallas unavailable: {str(e)[:60]}", flush=True)
     errs = {b: [] for b in steps}
     cls_d = []
     for s in range(SEEDS):

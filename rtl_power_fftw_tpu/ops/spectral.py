@@ -285,8 +285,11 @@ def select_transform_rung(N: int, F: int, windowed: bool, backend: str,
     * hybrid — FFT stage 1 + split twiddle + HIGHEST-matmul stage 2,
       lane-matched split (N2 ≈ 128, stage-1 length ≥ 8). Unwindowed
       512–3072 everywhere (fastest at ≤1.3× the FFTW-f32 class error)
-      and TPU composite N > 8192 (beats the reference's own f32 class
-      at ~2× fft4's throughput; probes/hybrid_large.py). Windowed it
+      and TPU composite N > 2^19 (beats the reference's own f32 class
+      at ~2× fft4's throughput at 2^20, probes/hybrid_large.py; the
+      round-4 tail audit retreated it from unwindowed (8192, 2^18) —
+      distribution maxima up to 9.36× class there,
+      probes/unwindowed_2e17_tail.py). Windowed it
       loses its accuracy class up through 2^18 (the time-domain
       multiply takes stage 1 off its exact integer inputs — windowed
       medians 2.4–6.4× class, probes/windowed_fold.py and
@@ -314,7 +317,12 @@ def select_transform_rung(N: int, F: int, windowed: bool, backend: str,
       1.5× median (1.94×) and the hybrid is stage-1-bound (1.88×);
       measured p50 0.91× / max 0.71× class at 2.18 GS/s (better than
       the FFTW class itself — probes/windowed_comp.py), closing the
-      round-3 budget exception.
+      round-3 budget exception — AND unwindowed TPU (8192, 2^19]
+      non-pallas, where the round-4 tail audit found the hybrid's
+      per-seed tails pool-unstable (breaches at 49152 and 2^17) and
+      the plain fourstep breaching at 2^19; fourstep4m is the only
+      candidate passing every audited size (max ≤1.21×, per-seed
+      p99 ≤2.6× — probes/unwindowed_2e17_tail.py).
     * fft4 — the two-level FFT four-step for the remaining very-large
       composite N (the monolithic XLA FFT lowers poorly there,
       probes/fftfourstep_sweep.py); non-TPU auto keeps it above 8192.
@@ -354,12 +362,26 @@ def select_transform_rung(N: int, F: int, windowed: bool, backend: str,
                     f"backend='fourstep4m' needs composite N (N={N} is "
                     "prime); use backend='auto'")
             return "fourstep4m", (n1, n2)
-        # Windowed TPU (262144, 524288]: the budget-truth band. The
-        # plain fourstep fails the 1.5x median there (1.94x r3 / 1.80x
-        # r4 attribution) and the hybrid is stage-1-bound at 1.85x;
-        # the compensated form is the only budget-passing candidate
-        # (probes/windowed_comp.py).
-        if tpu and windowed and (1 << 18) < N <= (1 << 19) and n1 >= 8:
+        # The budget-truth bands (probes/windowed_comp.py and the
+        # round-4 unwindowed tail audit, probes/unwindowed_2e17_tail.py
+        # — BENCHMARKS.md "Unwindowed large-N tail audit"):
+        # * windowed (2^18, 2^19]: the plain fourstep fails the 1.5x
+        #   median (1.94x) and the hybrid is stage-1-bound (1.88x);
+        # * UNWINDOWED (8192, 2^18) non-pallas: every audited hybrid
+        #   BREACH lies in this range (distribution maxima 3.29x at
+        #   2^17, 9.36x at 49152, 5.41x at 65536 — over the documented
+        #   <=3x max budget — with per-seed ratios to 28x and p99
+        #   5.8-17.5), while from 2^18 up the hybrid's tail thins
+        #   monotonically (p99 3.8 / 3.6 / ~2 at 2^18 / 2^19 / 2^20,
+        #   distribution maxima <=1.46) as the class error outgrows
+        #   its absolute excess — the same recovery the windowed band
+        #   showed. The plain fourstep also breaches at 2^19 (3.37x,
+        #   its unsplit-twiddle term); the compensated form is the
+        #   only candidate that passes EVERY audited size (max
+        #   <=1.43x, per-seed p99 <=2.8x).
+        if (tpu and n1 >= 8
+                and ((windowed and (1 << 18) < N <= (1 << 19))
+                     or (not windowed and 8192 < N < (1 << 18)))):
             return "fourstep4m", (n1, n2)
     if backend in ("hybrid", "auto"):
         from .dft import best_fourstep_split, best_hybrid_split
@@ -370,10 +392,19 @@ def select_transform_rung(N: int, F: int, windowed: bool, backend: str,
         if backend == "hybrid":
             ok = n1 > 1
         else:
+            # Auto hybrid: the session band 512-3072 (unwindowed; its
+            # 100-seed tails are enforced there), unwindowed TPU
+            # N >= 2^18 (the round-4 tail audit retreated it from
+            # (8192, 2^18) — distribution maxima up to 9.36x class,
+            # see the fourstep4m block above — while at 2^18/2^19/2^20
+            # it passes with thinning tails and is 2-3x the compensated
+            # four-step's speed: 6.8/6.9/10.6 vs 3.1/2.3 GS/s), and
+            # windowed TPU N > 2^19 (the windowed ladder's decision).
             ok = (n1 >= 8 and not windowed_cpu
                   and ((512 <= N <= 3072 and not windowed)
-                       or (tpu and N > 8192 and 64 <= n2 <= 512
-                           and (not windowed or N > 262144))))
+                       or (tpu and 64 <= n2 <= 512
+                           and ((not windowed and N >= (1 << 18))
+                                or (windowed and N > (1 << 19))))))
         if ok:
             return "hybrid", (n1, n2)
     if backend in ("fourstep", "auto"):
@@ -524,6 +555,21 @@ class PsdStep:
         windowed = window is not None
         path, split = select_transform_rung(N, F, windowed, self.backend,
                                             tpu)
+
+        if (path == "fourstep4m" and self.backend == "auto"
+                and self._precision != jax.lax.Precision.HIGHEST):
+            # The relaxed tier's documented contract is the FASTEST
+            # relaxed-parity step per size: on the unwindowed
+            # (8192, 2^18) band that is the hybrid (e.g. 7.7 vs ~4.3
+            # GS/s at 2^17) — its class-budget tail is exactly what the
+            # DEFAULT band retreated from, and --precision high
+            # explicitly trades that guarantee away. (The hybrid branch
+            # below still clamps its own matmul precision to HIGHEST
+            # on this band — the relaxed stage-2 was measured a pure
+            # loss there.)
+            from .dft import best_hybrid_split
+            path = "hybrid"
+            split = best_hybrid_split(N, min_n1=8)
 
         if path == "pallas":
             from .kernels.fused_psd import make_fused_psd_fn

@@ -177,10 +177,24 @@ def test_windowed_tpu_band_selection(monkeypatch):
     assert path(1 << 19, F=16) == "fourstep4m"
     assert path(3 << 17, F=16) == "fourstep4m"   # non-pow-2 in-band
     assert path(1 << 20, F=8) == "hybrid"
-    # Unwindowed boundaries are unchanged by the windowed move.
+    # Unwindowed boundaries after the round-4 tail audit
+    # (probes/unwindowed_2e17_tail.py): every audited hybrid breach
+    # lies in (8192, 2^18) — distribution maxima to 9.36x class,
+    # per-seed ratios to 28x — so the compensated four-step (the only
+    # candidate passing every audited size) takes that range wherever
+    # the kernel doesn't, and the hybrid keeps N >= 2^18 where its
+    # tail thins monotonically (maxima <=1.46 at 2^18/2^19, <=2.1 at
+    # 2^20) at 2-3x the compensated speed.
     assert path(65536, windowed=False) == "pallas"
     assert path(2048, windowed=False) == "hybrid"
-    assert path(1 << 17, windowed=False) == "hybrid"
+    assert path(6144, windowed=False) == "fourstep"
+    assert path(12288, windowed=False) == "fourstep4m"
+    assert path(49152, windowed=False) == "fourstep4m"
+    assert path(1 << 17, windowed=False) == "fourstep4m"
+    assert path(196608, windowed=False, F=32) == "fourstep4m"
+    assert path(1 << 18, windowed=False, F=32) == "hybrid"
+    assert path(1 << 19, windowed=False, F=16) == "hybrid"
+    assert path(1 << 20, windowed=False, F=8) == "hybrid"
 
 
 def test_precision_high_clamped_on_large_n_hybrid(monkeypatch, capsys):
