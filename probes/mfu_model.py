@@ -55,6 +55,12 @@ def fourstep_macs(N):
     return 6 * 3 * (n1 + n2), f"four-step {n1}x{n2}"
 
 
+def fourstep4m_macs(N):
+    """Compensated four-step: 4-mult HIGHEST stages (no Karatsuba)."""
+    n1, n2 = best_fourstep_split(N)
+    return 6 * 4 * (n1 + n2), f"fourstep4m {n1}x{n2}"
+
+
 def matmul_macs(N):
     return 6 * 4 * N, "matmul DFT"
 
@@ -96,7 +102,7 @@ ROWS = [
     ("8192", 8192, 15.7, pallas_macs),
     ("16384", 16384, 21.9, pallas_macs),
     ("65536", 65536, 9.7, pallas_macs),
-    ("2^17", 1 << 17, 7.7, lambda n: hybrid_macs(n, 128)),
+    ("2^17 (r4 band move)", 1 << 17, 4.3, fourstep4m_macs),
     ("2^18", 1 << 18, 6.8, lambda n: hybrid_macs(n, 128)),
     ("2^20 (config 3, isolated)", 1 << 20, 9.33,
      lambda n: hybrid_macs(n, 128)),

@@ -11,6 +11,13 @@ plus the compensated alternative — with the per-seed p99 diagnostic:
   65536  fourstep (the round-3 table's only >3x-looking cell; the
          20-seed round-4 re-run read 1.22x/1.99x)
 
+Both yards are reported: the strict scipy-only class (the FFTW-f32
+floor reference) and the ENFORCED-contract yard — max(scipy, platform
+monolithic f32 FFT) per realization, the form
+tests/test_windowed_bands.py::test_windowed_adversarial_tone_class_relative
+asserts (degrading to scipy-only where the platform FFT refuses to
+compile, probed out-of-process to avoid client poisoning).
+
 Run on TPU:  python probes/windowed_tail_audit.py [seeds [N,N,...]]
 """
 import sys
@@ -48,6 +55,17 @@ def rel(got, want):
                   / np.maximum(np.abs(want), 1e-30)).max())
 
 
+def platform_fft_ok(F, N):
+    import subprocess
+    code = ("import numpy as np, jax, jax.numpy as jnp\n"
+            f"z = np.zeros(({F}, {N}), np.complex64)\n"
+            "np.asarray(jax.jit(lambda z: "
+            "jnp.abs(jnp.fft.fft(z, axis=1)))(z))\n")
+    r = subprocess.run([sys.executable, "-c", code],
+                       capture_output=True, timeout=600)
+    return r.returncode == 0
+
+
 def main():
     for N in NS:
         F = max(8, min(512, (1 << 23) // N))
@@ -58,8 +76,16 @@ def main():
         steps = {f"auto={auto.path}": auto,
                  "fourstep4m": PsdStep(N, F, window=w,
                                        backend="fourstep4m")}
+        plat_ok = platform_fft_ok(F, N)
+        mono = None
+        if plat_ok:
+            import jax.numpy as jnp
+            mono = jax.jit(lambda zz: jnp.fft.fft(zz, axis=1))
+        else:
+            print(f"N={N}: platform FFT refused out-of-process — "
+                  "enforced yard degrades to scipy-only", flush=True)
         errs = {b: [] for b in steps}
-        cls_d = []
+        cls_d, yard_d = [], []
         for s in range(SEEDS):
             raw = realization(N, F, 3000 + s)
             u16 = raw.view(np.uint16)
@@ -67,29 +93,39 @@ def main():
                 + 1j * (raw[:, 1::2].astype(np.float64) - 127.0)
             X = np.fft.fft(z * w64, axis=1)
             want = (X.real ** 2 + X.imag ** 2).sum(0)
-            Xc = scipy.fft.fft((z * w64).astype(np.complex64), axis=1)
-            cls_d.append(rel((Xc.real.astype(np.float64) ** 2
-                              + Xc.imag.astype(np.float64) ** 2).sum(0),
-                             want))
+            zw32 = (z * w64).astype(np.complex64)
+            Xc = scipy.fft.fft(zw32, axis=1)
+            cls = rel((Xc.real.astype(np.float64) ** 2
+                       + Xc.imag.astype(np.float64) ** 2).sum(0), want)
+            plat = 0.0
+            if mono is not None:
+                Xp = np.asarray(mono(zw32))
+                plat = rel((Xp.real.astype(np.float64) ** 2
+                            + Xp.imag.astype(np.float64) ** 2).sum(0),
+                           want)
+            cls_d.append(cls)
+            yard_d.append(max(cls, plat))
             for b, st in steps.items():
                 inp = u16.copy() if st.takes_u16 else raw.copy()
                 errs[b].append(rel(st(inp, F), want))
             if (s + 1) % 20 == 0:
                 print(f"  ...{s+1}/{SEEDS} seeds", flush=True)
-        cls_d = np.asarray(cls_d)
+        cls_d, yard_d = np.asarray(cls_d), np.asarray(yard_d)
         print(f"N={N} F={F} windowed seeds={SEEDS}: "
-              f"class p50={np.median(cls_d):.2e} max={cls_d.max():.2e}",
-              flush=True)
+              f"scipy p50={np.median(cls_d):.2e} max={cls_d.max():.2e}; "
+              f"enforced yard p50={np.median(yard_d):.2e} "
+              f"max={yard_d.max():.2e}", flush=True)
         for b in steps:
             e = np.asarray(errs[b])
-            r = e / cls_d
-            med_r = np.median(e) / np.median(cls_d)
-            max_r = e.max() / cls_d.max()
-            ok = med_r <= 1.5 and max_r <= 3.0
-            print(f"  {b:16s} BUDGET med={med_r:.2f}x max={max_r:.2f}x "
-                  f"per-seed p90={np.quantile(r, 0.9):.2f} "
-                  f"p99={np.quantile(r, 0.99):.2f} max={r.max():.2f} "
-                  f"{'PASS' if ok else 'FAIL'}", flush=True)
+            for label, y in (("scipy-only", cls_d), ("ENFORCED", yard_d)):
+                r = e / y
+                med_r = np.median(e) / np.median(y)
+                max_r = e.max() / y.max()
+                ok = med_r <= 1.5 and max_r <= 3.0
+                print(f"  {b:16s} [{label:10s}] med={med_r:.2f}x "
+                      f"max={max_r:.2f}x per-seed "
+                      f"p99={np.quantile(r, 0.99):.2f} max={r.max():.2f} "
+                      f"{'PASS' if ok else 'FAIL'}", flush=True)
 
 
 if __name__ == "__main__":
