@@ -162,12 +162,15 @@ def warn_fft_compile_fallback(N: int, e: Exception, what: str,
     matmul step, fails with the same UNIMPLEMENTED — so there the retry
     cannot save the session and it exits with the typed HardwareError
     (7). The fallback still holds on backends whose refusals are clean
-    (the CPU-pinned tests model those). On that same toolchain the
-    exposure is theoretical anyway: only LONG monolithic complex FFTs
-    refuse (observed 2^16..2^20, bare or fused) while every shipping
-    auto rung compiles — verified live at N=998/1042 (xla rung,
-    Bluestein-class), 2^17 windowed hybrid, and the 2^20 large-N
-    hybrid's batched 8192-point stage-1 FFT."""
+    (the CPU-pinned tests model those). Envelope history on the
+    measured toolchain: 2026-08-18 refusals covered LONG monolithic
+    complex FFTs (2^16..2^20) while N=998/1042 compiled live;
+    2026-08-19 the SAME bare monolithic shape refused at EVERY probed
+    size (122, 998, 2048, 8192) while the framework's batched
+    short-stage formulations (hybrid/fft4/bluestein stages, verified
+    live) kept compiling — which is why the xla rung now pre-flights
+    out-of-process BY DEFAULT on TPU (resolve_xla_rung) and this
+    in-process fallback is the second line of defense."""
     if N > FFT_FALLBACK_MAX_N or not is_fft_compile_refusal(e):
         return False
     import sys
@@ -234,11 +237,16 @@ def resolve_xla_rung(N: int, tpu: bool, what: str) -> str:
     own client ever touches the lowering (which would poison it on the
     measured toolchain; see platform_fft_preflight_ok).
 
-    Gate: TPU and N >= RPF_FFT_PREFLIGHT_MIN (default 16384 — the
-    observed refusal band starts at 2^16; with the bluestein rung in
-    the auto ladder this is reachable only via explicit
-    ``--fft-backend xla`` requests). ``RPF_FFT_PREFLIGHT=1`` forces the
-    pre-flight on any platform/size, ``=0`` disables it.
+    Gate: TPU and N >= RPF_FFT_PREFLIGHT_MIN (default 0 — i.e. EVERY
+    TPU xla-rung selection pre-flights. Round 3 observed refusals only
+    at 2^16..2^20 and the gate defaulted to 16384; on 2026-08-19 the
+    same toolchain refused the bare monolithic complex FFT at EVERY
+    probed size — 122, 998, 2048, 8192 — while the framework's batched
+    short-stage formulations kept compiling, so the rung now defaults
+    to proving the lowering out-of-process before committing. Healthy
+    toolchains pay one cached child compile per awkward-N session).
+    ``RPF_FFT_PREFLIGHT=1`` forces the pre-flight on any platform,
+    ``=0`` disables it.
     """
     import os
     import sys
@@ -247,9 +255,9 @@ def resolve_xla_rung(N: int, tpu: bool, what: str) -> str:
         return "xla"
     if mode != "1":
         try:
-            min_n = int(os.environ.get("RPF_FFT_PREFLIGHT_MIN", "16384"))
+            min_n = int(os.environ.get("RPF_FFT_PREFLIGHT_MIN", "0"))
         except ValueError:
-            min_n = 16384  # garbage env must not kill a session
+            min_n = 0  # garbage env must not kill a session
         if not (tpu and N >= min_n):
             return "xla"
     if platform_fft_preflight_ok(N):
@@ -332,9 +340,12 @@ def select_transform_rung(N: int, F: int, windowed: bool, backend: str,
       cap, the four-step family declines, and the monolithic platform
       FFT is slow at best and compile-refused at 2^16..2^20 on the
       current toolchain. FFTW-class accuracy (~1e-6..3e-6 measured).
-    * xla — the platform FFT: prime/degenerate N <= 8192 on TPU, and
-      all CPU windowed sizes above the matmul band (CPU XLA FFT IS the
-      FFTW class).
+    * xla — the platform FFT: prime/degenerate N <= 8192 on TPU
+      (pre-flighted out-of-process by default — the 2026-08-19
+      toolchain refuses the bare monolithic lowering at EVERY probed
+      size, so this rung degrades to matmul there), and all CPU
+      windowed sizes above the matmul band (CPU XLA FFT IS the FFTW
+      class).
     """
     if backend == "matmul":
         return "matmul", None
@@ -379,8 +390,17 @@ def select_transform_rung(N: int, F: int, windowed: bool, backend: str,
         #   its unsplit-twiddle term); the compensated form is the
         #   only candidate that passes EVERY audited size (max
         #   <=1.43x, per-seed p99 <=2.8x).
+        # * WINDOWED session sizes (n1 >= 8, N <= 8192, non-pallas):
+        #   with the platform-FFT leg of the enforced yard dead on the
+        #   current toolchain, 60-seed strict-yard audits read the
+        #   plain fourstep at med 1.8-3.4x with per-seed p99 3.7-8.2;
+        #   fourstep4m roughly halves both (0.89x PASS at 512; med
+        #   2.0-2.4x at 1024-4096 — the documented floor zone, see
+        #   BENCHMARKS "Windowed session-size audit") and WINS speed
+        #   outright at 512/2048 (37.1/10.8 vs 7.8/9.9 GS/s).
         if (tpu and n1 >= 8
-                and ((windowed and (1 << 18) < N <= (1 << 19))
+                and ((windowed and (N <= 8192
+                                    or (1 << 18) < N <= (1 << 19)))
                      or (not windowed and 8192 < N < (1 << 18)))):
             return "fourstep4m", (n1, n2)
     if backend in ("hybrid", "auto"):
@@ -414,9 +434,10 @@ def select_transform_rung(N: int, F: int, windowed: bool, backend: str,
             ok = n1 > 1  # honor an explicit request for any composite N
         else:
             ok = (n1 >= 8 and not windowed_cpu
-                  and (N < 512
-                       or (tpu and (N <= 8192
-                                    or (windowed and N <= 262144)))))
+                  and ((N < 512 and not (tpu and windowed))
+                       or (tpu and ((N <= 8192 and not windowed)
+                                    or (windowed
+                                        and 8192 < N <= 262144)))))
         if ok:
             return "fourstep", (n1, n2)
     if backend in ("fft4", "auto") and (N > 8192 or backend == "fft4"):
@@ -466,6 +487,11 @@ def tapered_batch_mode(N: int) -> str:
             return "fourstep"
         if N > FFT_FALLBACK_MAX_N:
             return "bluestein"
+        # Small awkward N: the monolithic platform FFT when it proves
+        # compilable out-of-process (same resolver as the PSD xla
+        # rung — on the current toolchain it refuses at EVERY size,
+        # so this degrades to the matmul per-frame transform).
+        return resolve_xla_rung(N, True, "the estimator transform")
     return "xla"
 
 

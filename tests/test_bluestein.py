@@ -230,7 +230,15 @@ def test_tapered_batch_mode_rules(monkeypatch):
     assert tapered_batch_mode(2048) == "fourstep"
     assert tapered_batch_mode(1 << 17) == "fourstep"   # cap lifted
     assert tapered_batch_mode(99998) == "bluestein"    # 2·prime, > cap
-    assert tapered_batch_mode(122) == "xla"            # small awkward
+    # Small awkward N goes through the SAME out-of-process compile
+    # resolver as the PSD xla rung (the monolithic lowering is refused
+    # at every probed size on the 2026-08-19 toolchain): the platform
+    # FFT when it proves compilable, matmul otherwise.
+    monkeypatch.setenv("RPF_FFT_PREFLIGHT_FORCE", "ok")
+    assert tapered_batch_mode(122) == "xla"
+    monkeypatch.setenv("RPF_FFT_PREFLIGHT_FORCE", "fail")
+    assert tapered_batch_mode(122) == "matmul"
+    monkeypatch.delenv("RPF_FFT_PREFLIGHT_FORCE")
     monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
     assert tapered_batch_mode(2048) == "xla"
     assert tapered_batch_mode(99998) == "xla"
