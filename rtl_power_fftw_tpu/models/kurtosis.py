@@ -53,7 +53,16 @@ def _sk_step(N: int, F: int, windowed: bool, backend: str,
     ``sigma·2/√M`` — the Gaussian null's standard deviation to leading
     order — is dropped from the clean accumulator for this block
     only)."""
-    power_fn = _power_backend(backend, N)
+    if windowed and backend == "fourstep":
+        # Windowed per-frame spectra ride the COMPENSATED four-step —
+        # s1 doubles as the session's PSD accumulator, so the windowed
+        # SK session carries the same accuracy the windowed PSD band
+        # ships (round-4 audit: plain fourstep med 1.8-3.4x the strict
+        # class at 512-4096; fourstep4m halves it).
+        from ..ops.dft import dft_power_fourstep4m
+        power_fn = dft_power_fourstep4m
+    else:
+        power_fn = _power_backend(backend, N)
 
     @jax.jit
     def step(raw, n_valid, *w):
@@ -227,7 +236,14 @@ class ShardedSkStep:
         axis = self.axis
         N_, F_, chunk = self.N, self.F, self._chunk
         sigma = self._sigma
-        power_fn = _power_backend(mode, N_)
+        if self._w and mode == "fourstep":
+            # Windowed per-frame spectra ride the compensated four-step,
+            # matching _sk_step (the two paths' s1 must stay the same
+            # estimator — the sharded-vs-session parity tests pin it).
+            from ..ops.dft import dft_power_fourstep4m
+            power_fn = dft_power_fourstep4m
+        else:
+            power_fn = _power_backend(mode, N_)
 
         def local_step(raw, n_valid, *w):
             # raw: (S_local, F, N) u16 host lane view; n_valid: (S_local,).

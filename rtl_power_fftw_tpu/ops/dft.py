@@ -261,6 +261,58 @@ def fourstep4m_psd_partial(re: jax.Array, im: jax.Array, fmask: jax.Array,
     return jnp.swapaxes(s, 0, 1).reshape(N)
 
 
+def dft_power_fourstep4m(re: jax.Array, im: jax.Array,
+                         N1: int | None = None,
+                         N2: int | None = None) -> jax.Array:
+    """|DFT|² per frame via the COMPENSATED four-step (4-mult stages +
+    split twiddle + chunked stage-2) — the per-frame-spectra sibling of
+    :func:`fourstep4m_psd_partial` for estimator steps that need (F, N)
+    power planes on windowed-class input (the windowed SK family: its
+    s1 accumulator doubles as the session's PSD, so it should carry the
+    same compensated accuracy the windowed session band ships).
+    Same signature contract as dft_power_fourstep."""
+    F, N = re.shape
+    if N1 is None or N2 is None:
+        N1, N2 = best_fourstep_split(N)
+    assert N1 * N2 == N, (N1, N2, N)
+    c1, s1, c2, s2, thr, thi, tlr, tli = (
+        jnp.asarray(a) for a in _fourstep4m_constants(N, N1, N2))
+    s2_chunks = max(1, N2 // 256)
+    while N2 % s2_chunks != 0:
+        s2_chunks -= 1
+    dn = (((1,), (0,)), ((), ()))
+
+    def dot(a, b):
+        return jax.lax.dot_general(a, b, dn, precision=_HI)
+
+    xr = re.reshape(F, N1, N2)
+    xi = im.reshape(F, N1, N2)
+    yr = dot(xr, c1) - dot(xi, s1)             # (F, n2, k1)
+    yi = dot(xr, s1) + dot(xi, c1)
+    zr = (yr * thr - yi * thi) + (yr * tlr - yi * tli)
+    zi = (yr * thi + yi * thr) + (yr * tli + yi * tlr)
+    if s2_chunks == 1:
+        Xr = dot(zr, c2) - dot(zi, s2)         # (F, k1, k2)
+        Xi = dot(zr, s2) + dot(zi, c2)
+    else:
+        g2, cs = s2_chunks, N2 // s2_chunks
+        zr4 = zr.reshape(F, g2, cs, N1)
+        zi4 = zi.reshape(F, g2, cs, N1)
+        c2r = c2.reshape(g2, cs, N2)
+        s2r = s2.reshape(g2, cs, N2)
+        pr, pi = [], []
+        for j in range(g2):
+            a, b = zr4[:, j], zi4[:, j]
+            pr.append(dot(a, c2r[j]) - dot(b, s2r[j]))
+            pi.append(dot(a, s2r[j]) + dot(b, c2r[j]))
+        while len(pr) > 1:
+            pr = [pr[i] + pr[i + 1] for i in range(0, len(pr), 2)]
+            pi = [pi[i] + pi[i + 1] for i in range(0, len(pi), 2)]
+        Xr, Xi = pr[0], pi[0]
+    p = Xr * Xr + Xi * Xi                      # (F, k1, k2)
+    return jnp.transpose(p, (0, 2, 1)).reshape(F, N)
+
+
 @functools.lru_cache(maxsize=8)
 def _fft_fourstep_twiddle(N: int, N1: int, N2: int) -> np.ndarray:
     """Twiddle W_N^(k1·n2) as one complex64 (N1, N2) table."""
