@@ -185,44 +185,19 @@ def _fourstep4m_constants(N: int, N1: int, N2: int):
             (tr - thr).astype(np.float32), (ti - thi).astype(np.float32))
 
 
-def fourstep4m_psd_partial(re: jax.Array, im: jax.Array, fmask: jax.Array,
-                           N1: int | None = None, N2: int | None = None,
-                           chunk: int = 64, precision=None,
-                           s2_chunks: int | None = None) -> jax.Array:
-    """Masked partial PSD via the COMPENSATED transpose-free four-step:
-    4-mult complex stages (no Karatsuba), hi+lo SPLIT twiddle, and the
-    stage-2 contraction split into <=256-deep chunks tree-summed in f32.
-
-    The windowed very-large-N budget-truth path (round-4 ask #1). The
-    attribution probe (probes/windowed_attrib.py, BENCHMARKS.md
-    "Windowed error ATTRIBUTION") showed the plain fourstep's windowed
-    excess is almost entirely twiddle representation + stage-2
-    arithmetic (its stage-1 output finished in f64 reads 0.34x class at
-    2^19), and probes/windowed_comp.py measured this compensated form
-    at windowed 2^17 p50 1.19x class (vs 1.50x plain fourstep, 2.90x
-    hybrid) — the accuracy recovery costs ~4/3 matmul passes (4-mult vs
-    Karatsuba's 3) plus the split-twiddle VPU term.
-
-    re, im: (F, N) float32; fmask: (F,) float32. Returns (N,) float32,
-    unshifted bins (same k = k1 + N1·k2 flattening as the family).
-    ``precision`` applies to the stage matmuls (default HIGHEST).
-    ``s2_chunks`` overrides the stage-2 chunk count (default: split so
-    each chunk contracts <= 256).
-    """
-    F, N = re.shape
-    if N1 is None or N2 is None:
-        N1, N2 = best_fourstep_split(N)
-    assert N1 * N2 == N, (N1, N2, N)
+def _fourstep4m_transform(re: jax.Array, im: jax.Array, N: int,
+                          N1: int, N2: int, precision=None):
+    """The compensated four-step's shared transform core: 4-mult stages,
+    hi+lo split twiddle, chunked stage-2 tree accumulation. Returns
+    (Xr, Xi) in the (F, k1, k2) layout (bin k = k1 + N1·k2); used by
+    both the masked-partial and the per-frame-power wrappers."""
+    F = re.shape[0]
     c1, s1, c2, s2, thr, thi, tlr, tli = (
         jnp.asarray(a) for a in _fourstep4m_constants(N, N1, N2))
-    while F % chunk != 0:
-        chunk //= 2
     prec = _HI if precision is None else precision
-    if s2_chunks is None:
-        s2_chunks = max(1, N2 // 256)
+    s2_chunks = max(1, N2 // 256)
     while N2 % s2_chunks != 0:
         s2_chunks -= 1
-
     dn = (((1,), (0,)), ((), ()))  # contract axis 1 with weight axis 0
 
     def dot(a, b):
@@ -255,6 +230,41 @@ def fourstep4m_psd_partial(re: jax.Array, im: jax.Array, fmask: jax.Array,
             pr = [pr[i] + pr[i + 1] for i in range(0, len(pr), 2)]
             pi = [pi[i] + pi[i + 1] for i in range(0, len(pi), 2)]
         Xr, Xi = pr[0], pi[0]
+    return Xr, Xi
+
+
+def fourstep4m_psd_partial(re: jax.Array, im: jax.Array, fmask: jax.Array,
+                           N1: int | None = None, N2: int | None = None,
+                           chunk: int = 64, precision=None,
+                           s2_chunks: int | None = None) -> jax.Array:
+    """Masked partial PSD via the COMPENSATED transpose-free four-step:
+    4-mult complex stages (no Karatsuba), hi+lo SPLIT twiddle, and the
+    stage-2 contraction split into <=256-deep chunks tree-summed in f32.
+
+    The windowed very-large-N budget-truth path (round-4 ask #1). The
+    attribution probe (probes/windowed_attrib.py, BENCHMARKS.md
+    "Windowed error ATTRIBUTION") showed the plain fourstep's windowed
+    excess is almost entirely twiddle representation + stage-2
+    arithmetic (its stage-1 output finished in f64 reads 0.34x class at
+    2^19), and probes/windowed_comp.py measured this compensated form
+    at windowed 2^17 p50 1.19x class (vs 1.50x plain fourstep, 2.90x
+    hybrid) — the accuracy recovery costs ~4/3 matmul passes (4-mult vs
+    Karatsuba's 3) plus the split-twiddle VPU term.
+
+    re, im: (F, N) float32; fmask: (F,) float32. Returns (N,) float32,
+    unshifted bins (same k = k1 + N1·k2 flattening as the family).
+    ``precision`` applies to the stage matmuls (default HIGHEST).
+    ``s2_chunks`` is accepted for signature compatibility and ignored
+    (the shared core always chunks the stage-2 contraction <= 256 deep
+    — the shipped, audited form).
+    """
+    F, N = re.shape
+    if N1 is None or N2 is None:
+        N1, N2 = best_fourstep_split(N)
+    assert N1 * N2 == N, (N1, N2, N)
+    while F % chunk != 0:
+        chunk //= 2
+    Xr, Xi = _fourstep4m_transform(re, im, N, N1, N2, precision)
     p = (Xr * Xr + Xi * Xi) * fmask[:, None, None]
     g = F // chunk
     s = p.reshape(g, chunk, N1, N2).sum(axis=1).sum(axis=0)   # (k1, k2)
@@ -275,40 +285,7 @@ def dft_power_fourstep4m(re: jax.Array, im: jax.Array,
     if N1 is None or N2 is None:
         N1, N2 = best_fourstep_split(N)
     assert N1 * N2 == N, (N1, N2, N)
-    c1, s1, c2, s2, thr, thi, tlr, tli = (
-        jnp.asarray(a) for a in _fourstep4m_constants(N, N1, N2))
-    s2_chunks = max(1, N2 // 256)
-    while N2 % s2_chunks != 0:
-        s2_chunks -= 1
-    dn = (((1,), (0,)), ((), ()))
-
-    def dot(a, b):
-        return jax.lax.dot_general(a, b, dn, precision=_HI)
-
-    xr = re.reshape(F, N1, N2)
-    xi = im.reshape(F, N1, N2)
-    yr = dot(xr, c1) - dot(xi, s1)             # (F, n2, k1)
-    yi = dot(xr, s1) + dot(xi, c1)
-    zr = (yr * thr - yi * thi) + (yr * tlr - yi * tli)
-    zi = (yr * thi + yi * thr) + (yr * tli + yi * tlr)
-    if s2_chunks == 1:
-        Xr = dot(zr, c2) - dot(zi, s2)         # (F, k1, k2)
-        Xi = dot(zr, s2) + dot(zi, c2)
-    else:
-        g2, cs = s2_chunks, N2 // s2_chunks
-        zr4 = zr.reshape(F, g2, cs, N1)
-        zi4 = zi.reshape(F, g2, cs, N1)
-        c2r = c2.reshape(g2, cs, N2)
-        s2r = s2.reshape(g2, cs, N2)
-        pr, pi = [], []
-        for j in range(g2):
-            a, b = zr4[:, j], zi4[:, j]
-            pr.append(dot(a, c2r[j]) - dot(b, s2r[j]))
-            pi.append(dot(a, s2r[j]) + dot(b, c2r[j]))
-        while len(pr) > 1:
-            pr = [pr[i] + pr[i + 1] for i in range(0, len(pr), 2)]
-            pi = [pi[i] + pi[i + 1] for i in range(0, len(pi), 2)]
-        Xr, Xi = pr[0], pi[0]
+    Xr, Xi = _fourstep4m_transform(re, im, N, N1, N2)
     p = Xr * Xr + Xi * Xi                      # (F, k1, k2)
     return jnp.transpose(p, (0, 2, 1)).reshape(F, N)
 
