@@ -200,9 +200,11 @@ def platform_fft_preflight_ok(N: int) -> bool:
 
     ``RPF_FFT_PREFLIGHT_FORCE=ok|fail`` bypasses the subprocess (test
     hook / operator override). Results are cached per N for the
-    process lifetime; a probe that CRASHES or hangs (>900 s) counts as
-    a refusal — degrading to a slower rung is recoverable, a poisoned
-    session is not.
+    process lifetime; a probe that CRASHES or hangs (>
+    ``RPF_FFT_PREFLIGHT_TIMEOUT`` seconds, default 300 — compiles take
+    20-150 s and a wedged transport should not stall session startup
+    for longer) counts as a refusal — degrading to a slower rung is
+    recoverable, a poisoned session is not.
     """
     import os
     import subprocess
@@ -219,8 +221,12 @@ def platform_fft_preflight_ok(N: int) -> bool:
             "out = jax.jit(lambda z: jnp.abs(jnp.fft.fft(z, axis=1)))(z)\n"
             "np.asarray(out)\n")
     try:
+        tmo = float(os.environ.get("RPF_FFT_PREFLIGHT_TIMEOUT", "300"))
+    except ValueError:
+        tmo = 300.0
+    try:
         r = subprocess.run([sys.executable, "-c", code],
-                           capture_output=True, timeout=900)
+                           capture_output=True, timeout=tmo)
         ok = r.returncode == 0
     except Exception:
         ok = False
@@ -360,7 +366,11 @@ def select_transform_rung(N: int, F: int, windowed: bool, backend: str,
                     "use backend='auto'")
             return "pallas", None
         lo = 8192 if windowed else 4096
-        hi = 32768 if windowed else 65536
+        # Windowed kernel band shrank 32768 -> 16384 in round 4: at
+        # windowed 32768 the compensated four-step strictly PASSES the
+        # degraded (scipy-only) yard (1.35x/1.56x, p99 2.8) while the
+        # kernel fails the median (1.55x) - probes/windowed_tail_audit.
+        hi = 16384 if windowed else 65536
         if eligible and lo <= N <= hi and tpu:
             return "pallas", None
     windowed_cpu = windowed and not tpu
@@ -398,8 +408,14 @@ def select_transform_rung(N: int, F: int, windowed: bool, backend: str,
         #   2.0-2.4x at 1024-4096 — the documented floor zone, see
         #   BENCHMARKS "Windowed session-size audit") and WINS speed
         #   outright at 512/2048 (37.1/10.8 vs 7.8/9.9 GS/s).
+        # * WINDOWED (8192, 65536) non-pallas: the plain fourstep
+        #   BREACHES the max budget at 12288 (3.27x; med 3.59x) and
+        #   fourstep4m dominates or strictly passes (1.64x/2.13x at
+        #   12288, 1.35x/1.56x PASS at 32768); fourstep keeps
+        #   [65536, 2^18] where it passes the strict yard outright
+        #   (1.38x/1.50x/1.29x at 65536/2^17/2^18).
         if (tpu and n1 >= 8
-                and ((windowed and (N <= 8192
+                and ((windowed and (N < 65536
                                     or (1 << 18) < N <= (1 << 19)))
                      or (not windowed and 8192 < N < (1 << 18)))):
             return "fourstep4m", (n1, n2)

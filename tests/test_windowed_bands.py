@@ -6,10 +6,12 @@ under a strong tone the windowed FFTW-f32 class error is ~2x SMALLER
 (relative) than unwindowed, and paths whose stage-1 FFT relied on
 exactly-representable integer inputs (the hybrid) lose that anchor —
 measured TPU medians 2.8-3.1x the scipy-f32 class. The windowed auto
-ladder therefore differs from the unwindowed one (all measured,
-probes/windowed_fold.py): the all-matmul four-step serves windowed
-512-8192 except pow-2 >= 8192 (the fused kernel), and non-TPU windowed
-auto uses the XLA FFT (on CPU it IS the class yardstick, ratio 1.00).
+ladder therefore differs from the unwindowed one (all measured —
+probes/windowed_fold.py, round-4 probes/windowed_tail_audit.py): the
+COMPENSATED four-step (fourstep4m) serves windowed composite N < 65536
+except pow-2 8192/16384 (the fused kernel), the plain four-step serves
+[65536, 262144], and non-TPU windowed auto uses the XLA FFT (on CPU it
+IS the class yardstick, ratio 1.00).
 
 A frequency-domain "window folding" rewrite (unwindowed transform + an
 exact cosine-sum convolution before |.|^2) was built and measured as a
@@ -120,8 +122,14 @@ def test_windowed_adversarial_tone_class_relative():
     w64 = w.astype(np.float64)
     # A refused in-process compile POISONS the client on the measured
     # toolchain, so the platform leg must be pre-flighted
-    # out-of-process before the first mono() call.
-    plat_dead = not platform_fft_preflight_ok(N)
+    # out-of-process before the first mono() call. Only worth doing on
+    # a real TPU run: on the CPU harness the platform FFT IS the class
+    # (plat ~ cls), so the scipy-only yard loses nothing — and the
+    # subprocess would ride the flaky remote tunnel for minutes.
+    if jax.default_backend() == "tpu":
+        plat_dead = not platform_fft_preflight_ok(N)
+    else:
+        plat_dead = True  # degraded (stricter) yard; see note above
     mono = None if plat_dead else jax.jit(lambda z: jnp.fft.fft(z, axis=1))
     step = PsdStep(N, F, window=w, backend="auto")
     ours, yard = [], []
@@ -159,12 +167,11 @@ def test_windowed_tpu_band_selection(monkeypatch):
     selection is pure Python so it can be asserted on the CPU harness by
     pinning the platform answer).
 
-    Windowed: four-step 512-262144 wherever the kernel doesn't take it
-    (incl. 65536, where the kernel loses both axes, and 2^17/2^18 where
-    it is the only budget-passing candidate —
-    probes/windowed_band_decide.py), pallas pow-2 8192-32768, hybrid
-    only past 262144, fft4 for composite very-large N only when the
-    hybrid split is unsuitable."""
+    Windowed (round 4): fourstep4m below 65536 wherever the kernel
+    doesn't take it, pallas pow-2 8192-16384, plain four-step
+    [65536, 262144] (strict-yard compliant there), fourstep4m again at
+    (2^18, 2^19], hybrid only past 2^19, fft4 for composite
+    very-large N only when the hybrid split is unsuitable."""
     import jax
 
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
@@ -183,9 +190,14 @@ def test_windowed_tpu_band_selection(monkeypatch):
     assert path(6144) == "fourstep4m"     # non-pow-2 <= 8192
     assert path(8192) == "pallas"
     assert path(16384) == "pallas"
-    assert path(32768) == "pallas"
-    assert path(65536) == "fourstep"      # the round-3 late band move
-    assert path(20480) == "fourstep"      # non-pow-2 mid-band
+    # Windowed (8192, 65536) non-pallas: the plain fourstep BREACHED
+    # the max budget at 12288 (3.27x) and the kernel fails the strict
+    # median at 32768 where fourstep4m strictly passes — both cells
+    # move (round-4 audit).
+    assert path(12288) == "fourstep4m"
+    assert path(32768) == "fourstep4m"
+    assert path(20480) == "fourstep4m"    # non-pow-2 mid-band
+    assert path(65536) == "fourstep"      # strict-yard PASS 1.38x
     # The windowed very-large-N decision (probes/windowed_band_decide,
     # round-4 update probes/windowed_comp.py): fourstep is the fastest
     # budget-passing candidate at 2^17/2^18 (1.50x/1.29x median); at
