@@ -292,7 +292,10 @@ def select_transform_rung(N: int, F: int, windowed: bool, backend: str,
       TPUs (N=4096 13.4 GS/s vs four-step 9.4; N=8192 13.8 vs 8.3;
       N=65536 10.5 vs 7.0; below 4096 the stage-1 matmuls are too
       narrow, and at 2^17 the large-N hybrid matches its speed at ~3×
-      better tone accuracy). WINDOWED band 8192–32768: the in-kernel
+      better tone accuracy). WINDOWED band 8192–16384 (round 4
+      shrank the top from 32768: fourstep4m strictly passes the
+      degraded-yard audit there while the kernel fails the median —
+      probes/windowed_tail_audit.py): the in-kernel
       window multiply costs 40% at 4096 where the direct four-step wins
       both axes, and at 65536 the four-step wins both axes again
       (probes/windowed_pow2_direct.py).
