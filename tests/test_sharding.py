@@ -438,6 +438,10 @@ def test_multistream_slow_stream_isolation():
     # Fast producers must have finished reading well before the slow one —
     # under the old lockstep consumer they were gated to the slow stream's
     # pace (within queue-depth slack) and finished at ~the same time.
+    # NOTE: wall-clock-based — on this 1-core harness a heavyweight
+    # co-running process (e.g. a concurrent bench.py) can smear the
+    # pacing signal and flake this line; it is deterministic when the
+    # suite runs alone.
     fast_done = max(last_read[:3])
     slow_done = last_read[3]
     assert fast_done < 0.5 * slow_done, (fast_done, slow_done)
