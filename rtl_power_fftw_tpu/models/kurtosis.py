@@ -53,12 +53,12 @@ def _sk_step(N: int, F: int, windowed: bool, backend: str,
     ``sigma·2/√M`` — the Gaussian null's standard deviation to leading
     order — is dropped from the clean accumulator for this block
     only)."""
-    if windowed and backend == "fourstep":
-        # Windowed per-frame spectra ride the COMPENSATED four-step —
-        # s1 doubles as the session's PSD accumulator, so the windowed
-        # SK session carries the same accuracy the windowed PSD band
-        # ships (round-4 audit: plain fourstep med 1.8-3.4x the strict
-        # class at 512-4096; fourstep4m halves it).
+    if backend == "fourstep4m":
+        # The COMPENSATED four-step — the windowed AUTO mode (see
+        # _sk_mode): s1 doubles as the session's PSD accumulator, so
+        # the windowed SK session carries the same accuracy the
+        # windowed PSD band ships (round-4 audit: plain fourstep med
+        # 1.8-3.4x the strict class at 512-4096; fourstep4m halves it).
         from ..ops.dft import dft_power_fourstep4m
         power_fn = dft_power_fourstep4m
     else:
@@ -85,6 +85,23 @@ def _sk_step(N: int, F: int, windowed: bool, backend: str,
         return s1, s2, s1 * keep, M * keep
 
     return step
+
+
+def _sk_mode(N: int, windowed: bool, backend: str) -> str:
+    """Resolve the SK family's per-frame transform mode, honoring
+    EXPLICIT backend requests verbatim (round-4 advisor finding: an
+    explicit --fft-backend fourstep on a windowed SK session was
+    silently substituted with fourstep4m while path introspection still
+    said 'fourstep'). Only the AUTO-derived windowed mode upgrades the
+    plain four-step to the compensated one — the accuracy the windowed
+    PSD band ships — and the substitution is visible in ``path``."""
+    from ..ops.spectral import tapered_batch_mode
+    if backend in ("matmul", "fourstep", "fourstep4m", "xla", "bluestein"):
+        return backend
+    mode = tapered_batch_mode(N)
+    if windowed and mode == "fourstep":
+        mode = "fourstep4m"
+    return mode
 
 
 def compute_sk(s1: np.ndarray, s2: np.ndarray, M: int) -> np.ndarray:
@@ -125,13 +142,9 @@ class SkSessionStep:
     def __init__(self, N: int, frames_per_step: int,
                  window: Optional[np.ndarray] = None,
                  backend: str = "auto", excise_sigma: float = 0.0):
-        from ..ops.spectral import tapered_batch_mode
         self.N = N
         self.F, _ = adapt_batch(frames_per_step)
-        if backend in ("matmul", "fourstep", "xla", "bluestein"):
-            self._mode = backend
-        else:
-            self._mode = tapered_batch_mode(N)
+        self._mode = _sk_mode(N, window is not None, backend)
         self.backend = backend
         self.path = self._mode
         self._sigma = float(excise_sigma)
@@ -198,8 +211,6 @@ class ShardedSkStep:
     def __init__(self, mesh, N: int, frames_per_step: int, streams: int,
                  window: Optional[np.ndarray] = None,
                  excise_sigma: float = 0.0, backend: str = "auto"):
-        from ..ops.spectral import tapered_batch_mode
-
         axis = mesh.axis_names[0]
         n_dev = mesh.devices.size
         if streams % n_dev != 0:
@@ -218,10 +229,7 @@ class ShardedSkStep:
             self._w = (jnp.asarray(np.asarray(window, np.float32)),)
         # Honor an explicit per-frame backend request like SkSessionStep
         # (fused backends were already warned about at parse time).
-        if backend in ("matmul", "fourstep", "xla", "bluestein"):
-            self._mode = backend
-        else:
-            self._mode = tapered_batch_mode(N)
+        self._mode = _sk_mode(N, window is not None, backend)
         self.backend = backend
         self.path = self._mode
         self._build(self._mode)
@@ -236,10 +244,11 @@ class ShardedSkStep:
         axis = self.axis
         N_, F_, chunk = self.N, self.F, self._chunk
         sigma = self._sigma
-        if self._w and mode == "fourstep":
-            # Windowed per-frame spectra ride the compensated four-step,
-            # matching _sk_step (the two paths' s1 must stay the same
-            # estimator — the sharded-vs-session parity tests pin it).
+        if mode == "fourstep4m":
+            # The compensated four-step (the windowed AUTO mode resolved
+            # by _sk_mode, matching _sk_step — the two paths' s1 must
+            # stay the same estimator; sharded-vs-session parity tests
+            # pin it).
             from ..ops.dft import dft_power_fourstep4m
             power_fn = dft_power_fourstep4m
         else:

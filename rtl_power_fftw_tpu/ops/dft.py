@@ -226,9 +226,12 @@ def _fourstep4m_transform(re: jax.Array, im: jax.Array, N: int,
             a, b = zr4[:, j], zi4[:, j]
             pr.append(dot(a, c2r[j]) - dot(b, s2r[j]))
             pi.append(dot(a, s2r[j]) + dot(b, c2r[j]))
-        while len(pr) > 1:                     # pairwise tree
-            pr = [pr[i] + pr[i + 1] for i in range(0, len(pr), 2)]
-            pi = [pi[i] + pi[i + 1] for i in range(0, len(pi), 2)]
+        while len(pr) > 1:                     # pairwise tree (odd tail
+            # carries through each level: 3 chunks → [0+1, 2] → [0+1+2])
+            pr = [pr[i] + pr[i + 1] if i + 1 < len(pr) else pr[i]
+                  for i in range(0, len(pr), 2)]
+            pi = [pi[i] + pi[i + 1] if i + 1 < len(pi) else pi[i]
+                  for i in range(0, len(pi), 2)]
         Xr, Xi = pr[0], pi[0]
     return Xr, Xi
 

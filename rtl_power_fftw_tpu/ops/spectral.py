@@ -204,7 +204,12 @@ def platform_fft_preflight_ok(N: int) -> bool:
     ``RPF_FFT_PREFLIGHT_TIMEOUT`` seconds, default 300 — compiles take
     20-150 s and a wedged transport should not stall session startup
     for longer) counts as a refusal — degrading to a slower rung is
-    recoverable, a poisoned session is not.
+    recoverable, a poisoned session is not. Child failures whose
+    stderr does NOT carry a compile-refusal signature (device
+    contention on single-client runtimes, a flaky tunnel, transient
+    transport errors) are retried ONCE before a refusal is cached, so
+    one unlucky probe cannot permanently downgrade a healthy session
+    (round-4 advisor finding).
     """
     import os
     import subprocess
@@ -224,12 +229,28 @@ def platform_fft_preflight_ok(N: int) -> bool:
         tmo = float(os.environ.get("RPF_FFT_PREFLIGHT_TIMEOUT", "300"))
     except ValueError:
         tmo = 300.0
-    try:
-        r = subprocess.run([sys.executable, "-c", code],
-                           capture_output=True, timeout=tmo)
-        ok = r.returncode == 0
-    except Exception:
-        ok = False
+
+    def probe():
+        """(ok, is_refusal): ok iff the child compiled+ran; is_refusal
+        iff its stderr carries a compile-refusal signature (the same
+        classifier the in-process fallback uses) — anything else
+        (crash, timeout, transport error) is treated as transient."""
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, timeout=tmo)
+        except Exception:
+            return False, False  # hang/timeout: transient by default
+        if r.returncode == 0:
+            return True, False
+        err = (r.stderr or b"").decode("utf-8", "replace")
+        refused = any(s in err for s in ("UNIMPLEMENTED", "Unimplemented",
+                                         "NotImplemented", "unsupported",
+                                         "Unsupported"))
+        return False, refused
+
+    ok, refused = probe()
+    if not ok and not refused:
+        ok, _ = probe()  # transient failure: one retry before caching
     _PREFLIGHT_CACHE[N] = ok
     return ok
 
@@ -334,12 +355,13 @@ def select_transform_rung(N: int, F: int, windowed: bool, backend: str,
       1.5× median (1.94×) and the hybrid is stage-1-bound (1.88×);
       measured p50 0.91× / max 0.71× class at 2.18 GS/s (better than
       the FFTW class itself — probes/windowed_comp.py), closing the
-      round-3 budget exception — AND unwindowed TPU (8192, 2^19]
+      round-3 budget exception — AND unwindowed TPU (8192, 2^18)
       non-pallas, where the round-4 tail audit found the hybrid's
-      per-seed tails pool-unstable (breaches at 49152 and 2^17) and
-      the plain fourstep breaching at 2^19; fourstep4m is the only
-      candidate passing every audited size (max ≤1.21×, per-seed
-      p99 ≤2.6× — probes/unwindowed_2e17_tail.py).
+      per-seed tails pool-unstable (breaches at 49152 and 2^17);
+      from 2^18 up the hybrid's tail thins monotonically and takes
+      over. fourstep4m is the only candidate passing every audited
+      size in its bands (max ≤1.21×, per-seed p99 ≤2.6× —
+      probes/unwindowed_2e17_tail.py).
     * fft4 — the two-level FFT four-step for the remaining very-large
       composite N (the monolithic XLA FFT lowers poorly there,
       probes/fftfourstep_sweep.py); non-TPU auto keeps it above 8192.
@@ -602,16 +624,24 @@ class PsdStep:
                                             tpu)
 
         if (path == "fourstep4m" and self.backend == "auto"
+                and not windowed
                 and self._precision != jax.lax.Precision.HIGHEST):
             # The relaxed tier's documented contract is the FASTEST
-            # relaxed-parity step per size: on the unwindowed
+            # relaxed-parity step per size: on the UNWINDOWED
             # (8192, 2^18) band that is the hybrid (e.g. 7.7 vs ~4.3
             # GS/s at 2^17) — its class-budget tail is exactly what the
             # DEFAULT band retreated from, and --precision high
             # explicitly trades that guarantee away. (The hybrid branch
             # below still clamps its own matmul precision to HIGHEST
             # on this band — the relaxed stage-2 was measured a pure
-            # loss there.)
+            # loss there.) The WINDOWED fourstep4m bands keep the
+            # compensated path even under --precision high: windowed
+            # hybrid medians were measured at 2.4-6.4x class
+            # (probes/windowed_fold.py) — a far larger accuracy drop
+            # than the relaxed tier documents — and the hybrid is not
+            # even reliably faster there (fourstep4m WINS speed at
+            # windowed 512/2048, BENCHMARKS "Windowed session-size
+            # audit"); round-4 advisor finding.
             from .dft import best_hybrid_split
             path = "hybrid"
             split = best_hybrid_split(N, min_n1=8)

@@ -326,6 +326,45 @@ def test_fourstep4m_parity_and_explicit_backend():
         select_transform_rung(1009, 8, False, "fourstep4m", tpu=False)
 
 
+def test_fourstep4m_odd_chunk_tree():
+    """Regression (round-5 advisor HIGH): the stage-2 pairwise tree sum
+    crashed with IndexError whenever the chunk count was odd — e.g. the
+    auto split at N=393216 gives 512x768 → 768//256 = 3 chunks, so 8408
+    in-band windowed sizes (and the fourstep4m estimator paths) crashed
+    at trace time. The odd tail must carry through each tree level."""
+    import jax
+    import jax.numpy as jnp
+    from rtl_power_fftw_tpu.ops.dft import (best_fourstep_split,
+                                            fourstep4m_psd_partial)
+
+    # Small-N numeric check with a forced 3-chunk stage 2 (N2=768).
+    N, F = 3072, 8
+    rng = np.random.default_rng(23)
+    raw = rng.integers(0, 256, (F, 2 * N), dtype=np.uint8)
+    re = raw[:, 0::2].astype(np.float32) - 127
+    im = raw[:, 1::2].astype(np.float32) - 127
+    fmask = np.ones(F, np.float32)
+    got = np.asarray(fourstep4m_psd_partial(
+        jnp.asarray(re), jnp.asarray(im), jnp.asarray(fmask),
+        4, 768), np.float64)           # N2=768 → s2_chunks=3 (odd)
+    z = re.astype(np.float64) + 1j * im.astype(np.float64)
+    X = np.fft.fft(z, axis=1)
+    want = (X.real ** 2 + X.imag ** 2).sum(0)
+    assert _rel(got, want) < 1e-5
+
+    # Trace-only check at the advisor's exact crashing size (the auto
+    # split itself lands on the odd chunk count: 512x768).
+    Nbig = 393216
+    n1, n2 = best_fourstep_split(Nbig)
+    assert (n1, n2) == (512, 768) and (n2 // 256) % 2 == 1
+    out = jax.eval_shape(
+        lambda r, i, m: fourstep4m_psd_partial(r, i, m, n1, n2),
+        jax.ShapeDtypeStruct((4, Nbig), jnp.float32),
+        jax.ShapeDtypeStruct((4, Nbig), jnp.float32),
+        jax.ShapeDtypeStruct((4,), jnp.float32))
+    assert out.shape == (Nbig,)
+
+
 def test_fourstep4m_sharded_parity():
     import jax
     from jax.sharding import Mesh
