@@ -185,16 +185,14 @@ def _fourstep4m_constants(N: int, N1: int, N2: int):
             (tr - thr).astype(np.float32), (ti - thi).astype(np.float32))
 
 
-def _fourstep4m_transform(re: jax.Array, im: jax.Array, N: int,
-                          N1: int, N2: int, precision=None):
-    """The compensated four-step's shared transform core: 4-mult stages,
-    hi+lo split twiddle, chunked stage-2 tree accumulation. Returns
-    (Xr, Xi) in the (F, k1, k2) layout (bin k = k1 + N1·k2); used by
-    both the masked-partial and the per-frame-power wrappers."""
-    F = re.shape[0]
-    c1, s1, c2, s2, thr, thi, tlr, tli = (
-        jnp.asarray(a) for a in _fourstep4m_constants(N, N1, N2))
-    prec = _HI if precision is None else precision
+def _fourstep4m_tail(yr: jax.Array, yi: jax.Array, consts, N2: int,
+                     prec):
+    """The compensated four-step's post-stage-1 path, shared by every
+    stage-1 variant: hi+lo split twiddle (in the (F, n2, k1) layout) +
+    chunked stage-2 tree accumulation. Returns (Xr, Xi) in the
+    (F, k1, k2) layout (bin k = k1 + N1·k2)."""
+    F, _, N1 = yr.shape
+    c1, s1, c2, s2, thr, thi, tlr, tli = consts
     s2_chunks = max(1, N2 // 256)
     while N2 % s2_chunks != 0:
         s2_chunks -= 1
@@ -203,12 +201,7 @@ def _fourstep4m_transform(re: jax.Array, im: jax.Array, N: int,
     def dot(a, b):
         return jax.lax.dot_general(a, b, dn, precision=prec)
 
-    xr = re.reshape(F, N1, N2)
-    xi = im.reshape(F, N1, N2)
-    # Stage 1 (contract n1), natural output layout (F, n2, k1).
-    yr = dot(xr, c1) - dot(xi, s1)
-    yi = dot(xr, s1) + dot(xi, c1)
-    # Split twiddle in the same layout.
+    # Split twiddle in the stage-1 output layout.
     zr = (yr * thr - yi * thi) + (yr * tlr - yi * tli)
     zi = (yr * thi + yi * thr) + (yr * tli + yi * tlr)
     # Stage 2 (contract n2, axis 1), chunked tree accumulation.
@@ -234,6 +227,116 @@ def _fourstep4m_transform(re: jax.Array, im: jax.Array, N: int,
                   for i in range(0, len(pi), 2)]
         Xr, Xi = pr[0], pi[0]
     return Xr, Xi
+
+
+def _fourstep4m_transform(re: jax.Array, im: jax.Array, N: int,
+                          N1: int, N2: int, precision=None):
+    """The compensated four-step's shared transform core: 4-mult stages,
+    hi+lo split twiddle, chunked stage-2 tree accumulation. Returns
+    (Xr, Xi) in the (F, k1, k2) layout (bin k = k1 + N1·k2); used by
+    both the masked-partial and the per-frame-power wrappers."""
+    F = re.shape[0]
+    consts = tuple(jnp.asarray(a)
+                   for a in _fourstep4m_constants(N, N1, N2))
+    c1, s1 = consts[0], consts[1]
+    prec = _HI if precision is None else precision
+    dn = (((1,), (0,)), ((), ()))  # contract axis 1 with weight axis 0
+
+    def dot(a, b):
+        return jax.lax.dot_general(a, b, dn, precision=prec)
+
+    xr = re.reshape(F, N1, N2)
+    xi = im.reshape(F, N1, N2)
+    # Stage 1 (contract n1), natural output layout (F, n2, k1).
+    yr = dot(xr, c1) - dot(xi, s1)
+    yi = dot(xr, s1) + dot(xi, c1)
+    return _fourstep4m_tail(yr, yi, consts, N2, prec)
+
+
+def _fourstep4m_splitw_transform(re: jax.Array, im: jax.Array,
+                                 w_hi: jax.Array, w_lo: jax.Array,
+                                 N: int, N1: int, N2: int,
+                                 precision=None, lo_precision=None):
+    """Compensated four-step with a SPLIT-WINDOW stage 1 (round-5
+    windowed session-size attack — VERDICT ask #1 variant (a)).
+
+    The shipped windowed fourstep4m sees x·w rounded once at f32 ε per
+    sample before stage 1 ever runs; the round-4 attribution
+    (probes/windowed_attrib.py) measured the stage-1 HIGHEST matmul on
+    that non-integer input at 1.57× the windowed scipy-f32 class with
+    everything after it in f64 — i.e. stage 1 is where the windowed
+    session-size excess lives. Here the window is split w = w_hi
+    (15-bit mantissa) + w_lo (f32 residual) so the dominant per-sample
+    product x·w_hi is EXACT in f32 (8-bit integers × 15-bit window ≤ 23
+    significand bits — the same trick the hybrid's split-window stage 1
+    shipped in fourstep_hybrid_windowed_psd_partial), and stage 1 runs
+    on each plane separately; matmul linearity makes
+    S1(x·w) = S1(x·w_hi) + S1(x·w_lo) exact in representation. The lo
+    plane carries ≤2⁻¹⁴ of the signal, so its stage-1 matmul may ride a
+    cheaper precision (``lo_precision``, default DEFAULT ≈ one native
+    bf16 pass per product: bf16's ~2⁻⁸ error on a 2⁻¹⁴-scale term is
+    ~2⁻²² relative to the total — below f32 ε). Twiddle and stage 2 are
+    the audited fourstep4m tail unchanged.
+
+    NOTE the hybrid-side measurement does NOT transfer: for the FFT
+    stage 1 the split-window variant measured IDENTICAL to plain
+    windowed (BENCHMARKS "the split-window hypothesis is dead") because
+    the FFT's internal arithmetic dominates; the matmul stage 1 at
+    Precision.HIGHEST has no internal rounding beyond the f32
+    accumulation, so removing the input-representation rounding is the
+    open lever probes/windowed_s1.py measures.
+
+    re, im: (F, N) float32 UNWINDOWED dequantized integers.
+    """
+    F = re.shape[0]
+    consts = tuple(jnp.asarray(a)
+                   for a in _fourstep4m_constants(N, N1, N2))
+    c1, s1 = consts[0], consts[1]
+    prec = _HI if precision is None else precision
+    lo_prec = (jax.lax.Precision.DEFAULT if lo_precision is None
+               else lo_precision)
+    dn = (((1,), (0,)), ((), ()))
+
+    def dot(a, b, p):
+        return jax.lax.dot_general(a, b, dn, precision=p)
+
+    wh = w_hi.reshape(N1, N2)[None]
+    wl = w_lo.reshape(N1, N2)[None]
+    xr = re.reshape(F, N1, N2)
+    xi = im.reshape(F, N1, N2)
+    xrh, xih = xr * wh, xi * wh            # exact f32 products
+    xrl, xil = xr * wl, xi * wl            # ~2^-38-relative rounding
+    # Stage 1 per plane (contract n1), natural layout (F, n2, k1).
+    yr = ((dot(xrh, c1, prec) - dot(xih, s1, prec))
+          + (dot(xrl, c1, lo_prec) - dot(xil, s1, lo_prec)))
+    yi = ((dot(xrh, s1, prec) + dot(xih, c1, prec))
+          + (dot(xrl, s1, lo_prec) + dot(xil, c1, lo_prec)))
+    return _fourstep4m_tail(yr, yi, consts, N2, prec)
+
+
+def fourstep4m_splitw_psd_partial(re: jax.Array, im: jax.Array,
+                                  fmask: jax.Array,
+                                  w_hi: jax.Array, w_lo: jax.Array,
+                                  N1: int | None = None,
+                                  N2: int | None = None,
+                                  chunk: int = 64, precision=None,
+                                  lo_precision=None) -> jax.Array:
+    """Masked partial PSD via the split-window compensated four-step
+    (see :func:`_fourstep4m_splitw_transform`). re, im are UNWINDOWED
+    (F, N) float32 dequantized integers; w_hi/w_lo from
+    :func:`split_window`. Returns (N,) float32, unshifted bins."""
+    F, N = re.shape
+    if N1 is None or N2 is None:
+        N1, N2 = best_fourstep_split(N)
+    assert N1 * N2 == N, (N1, N2, N)
+    while F % chunk != 0:
+        chunk //= 2
+    Xr, Xi = _fourstep4m_splitw_transform(re, im, w_hi, w_lo, N, N1, N2,
+                                          precision, lo_precision)
+    p = (Xr * Xr + Xi * Xi) * fmask[:, None, None]
+    g = F // chunk
+    s = p.reshape(g, chunk, N1, N2).sum(axis=1).sum(axis=0)   # (k1, k2)
+    return jnp.swapaxes(s, 0, 1).reshape(N)
 
 
 def fourstep4m_psd_partial(re: jax.Array, im: jax.Array, fmask: jax.Array,

@@ -184,6 +184,76 @@ def warn_fft_compile_fallback(N: int, e: Exception, what: str,
 _PREFLIGHT_CACHE: dict = {}
 
 
+def _preflight_fingerprint() -> str:
+    """Toolchain fingerprint keying the ON-DISK preflight cache: a
+    probe's verdict is a property of (jax, jaxlib, backend runtime
+    build, length N), not of the process — every sibling process on the
+    same build may reuse it. The backend platform_version carries the
+    libtpu/runtime build where the backend exposes one."""
+    import hashlib
+    try:
+        import jaxlib
+        jl = getattr(jaxlib, "__version__", "?")
+    except Exception:
+        jl = "?"
+    try:
+        pv = str(getattr(jax.devices()[0].client, "platform_version", "?"))
+    except Exception:
+        pv = "?"
+    raw = f"{jax.__version__}|{jl}|{jax.default_backend()}|{pv}"
+    return hashlib.sha1(raw.encode()).hexdigest()[:16]
+
+
+def _preflight_disk_path() -> str:
+    import os
+    base = os.environ.get("RPF_FFT_PREFLIGHT_CACHE_DIR") or os.path.join(
+        os.path.expanduser("~"), ".cache", "rtl_power_fftw_tpu")
+    return os.path.join(base, "preflight.json")
+
+
+def _preflight_disk_load() -> dict:
+    """{N(str): bool} for the current toolchain fingerprint ({} when
+    the cache is absent, unreadable, or disabled)."""
+    import json
+    import os
+    if os.environ.get("RPF_FFT_PREFLIGHT_CACHE", "") == "0":
+        return {}
+    try:
+        with open(_preflight_disk_path()) as f:
+            return json.load(f).get(_preflight_fingerprint(), {})
+    except Exception:
+        return {}
+
+
+def _preflight_disk_store(N: int, ok: bool) -> None:
+    """Merge one DEFINITIVE probe verdict into the on-disk cache
+    (atomic tmp+rename so concurrent sessions cannot torn-write; a
+    losing concurrent writer only costs the next process one re-probe).
+    Best-effort: an unwritable cache dir must never fail a session."""
+    import json
+    import os
+    if os.environ.get("RPF_FFT_PREFLIGHT_CACHE", "") == "0":
+        return
+    path = _preflight_disk_path()
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except Exception:
+            data = {}
+        if not isinstance(data, dict):
+            data = {}
+        fp = _preflight_fingerprint()
+        data.setdefault(fp, {})[str(N)] = bool(ok)
+        tmp = f"{path}.{os.getpid()}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(data, f)
+        os.replace(tmp, path)
+    except Exception:
+        pass
+
+
 def platform_fft_preflight_ok(N: int) -> bool:
     """Compile-probe the platform's monolithic complex FFT at length N
     in a CHILD process and report whether it lowered.
@@ -210,6 +280,17 @@ def platform_fft_preflight_ok(N: int) -> bool:
     transport errors) are retried ONCE before a refusal is cached, so
     one unlucky probe cannot permanently downgrade a healthy session
     (round-4 advisor finding).
+
+    DEFINITIVE verdicts (compiled ok, or a genuine refusal signature)
+    are additionally persisted ON DISK keyed by the toolchain
+    fingerprint (see _preflight_fingerprint) under
+    ``~/.cache/rtl_power_fftw_tpu/preflight.json`` —
+    ``RPF_FFT_PREFLIGHT_CACHE_DIR`` overrides the directory,
+    ``RPF_FFT_PREFLIGHT_CACHE=0`` disables persistence — so a cold
+    awkward-N session on a probed toolchain skips the 20-150 s child
+    compile every sibling process used to re-pay (round-5 ask #4).
+    Transient double-failures are cached in-process only: one wedged
+    tunnel must not downgrade the fleet.
     """
     import os
     import subprocess
@@ -221,6 +302,11 @@ def platform_fft_preflight_ok(N: int) -> bool:
         return False
     if N in _PREFLIGHT_CACHE:
         return _PREFLIGHT_CACHE[N]
+    disk = _preflight_disk_load()
+    if str(N) in disk:
+        ok = bool(disk[str(N)])
+        _PREFLIGHT_CACHE[N] = ok
+        return ok
     code = ("import numpy as np, jax, jax.numpy as jnp\n"
             f"z = np.zeros((2, {N}), np.complex64)\n"
             "out = jax.jit(lambda z: jnp.abs(jnp.fft.fft(z, axis=1)))(z)\n"
@@ -250,8 +336,10 @@ def platform_fft_preflight_ok(N: int) -> bool:
 
     ok, refused = probe()
     if not ok and not refused:
-        ok, _ = probe()  # transient failure: one retry before caching
+        ok, refused = probe()  # transient failure: one retry
     _PREFLIGHT_CACHE[N] = ok
+    if ok or refused:
+        _preflight_disk_store(N, ok)  # definitive → share fleet-wide
     return ok
 
 

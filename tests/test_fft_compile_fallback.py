@@ -200,6 +200,68 @@ def test_preflight_retries_transient_failures_once(monkeypatch):
         spectral._PREFLIGHT_CACHE.pop(n, None)
 
 
+def test_preflight_disk_cache_skips_second_process(monkeypatch, tmp_path):
+    """Round-5 ask #4: a DEFINITIVE preflight verdict (ok or genuine
+    refusal) is persisted on disk keyed by the toolchain fingerprint,
+    so a second process at the same N skips the 20-150 s child compile
+    (simulated here by clearing the in-process cache); transient
+    double-failures stay in-process only."""
+    import subprocess
+    from rtl_power_fftw_tpu.ops import spectral
+
+    monkeypatch.delenv("RPF_FFT_PREFLIGHT_FORCE", raising=False)
+    monkeypatch.delenv("RPF_FFT_PREFLIGHT_CACHE", raising=False)
+    monkeypatch.setenv("RPF_FFT_PREFLIGHT_CACHE_DIR", str(tmp_path))
+
+    # Process 1: compiles ok → persisted.
+    fake = _FakeRun([(0, b"")])
+    monkeypatch.setattr(subprocess, "run", fake)
+    spectral._PREFLIGHT_CACHE.pop(8881, None)
+    assert spectral.platform_fft_preflight_ok(8881) is True
+    assert fake.calls == 1
+    assert (tmp_path / "preflight.json").exists()
+    # "Process 2" (fresh in-process cache): disk hit, NO child probe.
+    spectral._PREFLIGHT_CACHE.pop(8881, None)
+    fake2 = _FakeRun([])          # any call would IndexError
+    monkeypatch.setattr(subprocess, "run", fake2)
+    assert spectral.platform_fft_preflight_ok(8881) is True
+    assert fake2.calls == 0
+
+    # Genuine refusal is persisted too.
+    fake3 = _FakeRun([(1, b"UNIMPLEMENTED: no fft")])
+    monkeypatch.setattr(subprocess, "run", fake3)
+    spectral._PREFLIGHT_CACHE.pop(8883, None)
+    assert spectral.platform_fft_preflight_ok(8883) is False
+    spectral._PREFLIGHT_CACHE.pop(8883, None)
+    fake4 = _FakeRun([])
+    monkeypatch.setattr(subprocess, "run", fake4)
+    assert spectral.platform_fft_preflight_ok(8883) is False
+    assert fake4.calls == 0
+
+    # Transient double-failure: NOT persisted — the next process
+    # re-probes (and here succeeds).
+    fake5 = _FakeRun([(1, b"socket closed"), (1, b"socket closed")])
+    monkeypatch.setattr(subprocess, "run", fake5)
+    spectral._PREFLIGHT_CACHE.pop(8885, None)
+    assert spectral.platform_fft_preflight_ok(8885) is False
+    assert fake5.calls == 2
+    spectral._PREFLIGHT_CACHE.pop(8885, None)
+    fake6 = _FakeRun([(0, b"")])
+    monkeypatch.setattr(subprocess, "run", fake6)
+    assert spectral.platform_fft_preflight_ok(8885) is True
+    assert fake6.calls == 1
+
+    # RPF_FFT_PREFLIGHT_CACHE=0 disables both read and write.
+    monkeypatch.setenv("RPF_FFT_PREFLIGHT_CACHE", "0")
+    spectral._PREFLIGHT_CACHE.pop(8881, None)
+    fake7 = _FakeRun([(0, b"")])
+    monkeypatch.setattr(subprocess, "run", fake7)
+    assert spectral.platform_fft_preflight_ok(8881) is True
+    assert fake7.calls == 1       # disk hit existed but was ignored
+    for n in (8881, 8883, 8885):
+        spectral._PREFLIGHT_CACHE.pop(n, None)
+
+
 def test_sk_explicit_backend_honored_windowed():
     """Round-4 advisor finding: an explicit --fft-backend fourstep on a
     WINDOWED SK session must stay the plain four-step (and say so in
