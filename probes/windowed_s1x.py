@@ -1,0 +1,228 @@
+"""Windowed session-size stage-1: EXPLICIT split-pass contraction.
+
+The attribution chain (probes/s1_diag.py, probes/s1_diag2.py) landed on
+a mechanism: the windowed session-size excess is ENTIRELY stage-1's
+Precision.HIGHEST matmul on non-integer inputs — its bf16x6 emulation
+drops the (1,2)/(2,1)/(2,2) cross-products of the 3-term operand
+splits. For exact 8-bit integer inputs those terms are ZERO (z1=z2=0 —
+why the unwindowed bands hold class); for windowed inputs they are a
+~2^-24-relative correlated error, and the windowed class yard is HALF
+the unwindowed one, so the same absolute noise reads ~2.1x. Evidence:
+hi-plane matmul + EXACT f64 lo term still reads 2.14x (input
+representation fully ruled out); stage-1-device + all-f64 downstream
+reproduces the full path's 2.13-2.42x at every probed size.
+
+Fix measured here: stage 1 as an EXPLICIT native-bf16 split-pass
+contraction — fold-proof 3-term truncation input split
+(ops.dft._trunc_split3) x 3-term weight split with a CONTROLLED pass
+set:
+
+  fs4m    shipping compensated four-step (baseline; 6-pass-emulated
+          HIGHEST stage 1)
+  s1x9    fourstep4m tail, stage 1 = full 9-pass cross set (drops
+          NOTHING; input-split exact for any f32, so stage-1 product
+          error is exactly zero and only f32 accumulation remains)
+  s1x8    same minus the (2,2) product (~2^-32 relative; 8 passes)
+
+Cost: 4-mult stage 1 at 9 native passes/product-pair = 36 native bf16
+passes vs HIGHEST's 4x6 = 24 emulated — but native passes skip the
+emulation's split overhead, so the measured GS/s decides.
+
+Budget semantics: median <= 1.5x / max <= 3x the scipy-f32 class,
+strict scipy-only yard, 60 seeds, per-seed p99 (round-4 admission
+standard).
+
+Run on TPU:  python probes/windowed_s1x.py [seeds [N,N,...]]
+"""
+import sys
+import time
+from functools import partial
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import scipy.fft
+
+from rtl_power_fftw_tpu.auxdata import make_window
+from rtl_power_fftw_tpu.ops.spectral import (PsdStep, adapt_batch,
+                                             dequant_iq_u16)
+from rtl_power_fftw_tpu.ops.dft import (_fourstep4m_constants,
+                                        _fourstep4m_tail, _trunc_split3,
+                                        best_fourstep_split)
+
+SEEDS = (int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit()
+         else 60)
+NS = (tuple(int(n) for n in sys.argv[2].split(","))
+      if len(sys.argv) > 2 else (2048, 4096))
+ITER_LO, ITER_HI = 8, 24
+_HI = jax.lax.Precision.HIGHEST
+
+
+def realization(N, F, seed):
+    rng = np.random.default_rng(seed)
+    f0 = rng.uniform(0.05, 0.45)
+    ph = rng.uniform(0, 2 * np.pi)
+    t = np.arange(F * N)
+    x = 100.0 * np.exp(1j * (2 * np.pi * f0 * t + ph)) + (
+        rng.standard_normal(F * N) + 1j * rng.standard_normal(F * N))
+    re8 = np.clip(np.round(x.real + 127), 0, 255).astype(np.uint8)
+    im8 = np.clip(np.round(x.imag + 127), 0, 255).astype(np.uint8)
+    return np.stack([re8, im8], axis=-1).reshape(F, 2 * N)
+
+
+def rel(got, want):
+    return float((np.abs(np.asarray(got, np.float64) - want)
+                  / np.maximum(np.abs(want), 1e-30)).max())
+
+
+def terms3(m):
+    """3-term bf16 split of a float64 matrix, host-side."""
+    import ml_dtypes
+    out, r = [], np.asarray(m, np.float64)
+    for _ in range(3):
+        t = r.astype(ml_dtypes.bfloat16)
+        out.append(t)
+        r = r - t.astype(np.float64)
+    return [jnp.asarray(t) for t in out]
+
+
+def make_s1x(N, F, w, chunk, max_ij):
+    """fourstep4m with an explicit split-pass stage 1: pass (i, j) is
+    included iff i + j <= max_ij[i] — encoded as the largest allowed j
+    per input-term i, e.g. (2,2,2) = full 9, (2,2,1) = drop (2,2)."""
+    N1, N2 = best_fourstep_split(N)
+    from rtl_power_fftw_tpu.ops.dft import _dft_matrices
+    c1n, s1n = (m.astype(np.float64) for m in _dft_matrices(N1))
+    c1t = terms3(c1n)
+    s1t = terms3(s1n)
+    consts = tuple(jnp.asarray(a)
+                   for a in _fourstep4m_constants(N, N1, N2))
+    wj = jnp.asarray(w)
+    dn = (((1,), (0,)), ((), ()))
+    f32 = jnp.float32
+
+    def mm(z, wt):
+        return jax.lax.dot_general(z, wt, dn, preferred_element_type=f32)
+
+    def prod(z, wts):
+        zs = _trunc_split3(z)
+        acc = None
+        for i in range(3):
+            for j in range(max_ij[i] + 1):
+                t = mm(zs[i], wts[j])
+                acc = t if acc is None else acc + t
+        return acc
+
+    @jax.jit
+    def step(raw16, nv):
+        re, im = dequant_iq_u16(raw16, wj)
+        fmask = (jax.lax.broadcasted_iota(jnp.int32, (F,), 0)
+                 < nv).astype(jnp.float32)
+        xr = re.reshape(F, N1, N2)
+        xi = im.reshape(F, N1, N2)
+        yr = prod(xr, c1t) - prod(xi, s1t)     # (F, n2, k1)
+        yi = prod(xr, s1t) + prod(xi, c1t)
+        Xr, Xi = _fourstep4m_tail(yr, yi, consts, N2, _HI)
+        p = (Xr * Xr + Xi * Xi) * fmask[:, None, None]
+        g = F // chunk
+        s = p.reshape(g, chunk, N1, N2).sum(axis=1).sum(axis=0)
+        return jnp.swapaxes(s, 0, 1).reshape(N)
+
+    return step
+
+
+def main():
+    for N in NS:
+        F = max(8, min(512, (1 << 23) // N))
+        F, chunk = adapt_batch(F)
+        w = make_window("hann", N)
+        w64 = w.astype(np.float64)
+
+        ship = PsdStep(N, F, window=w, backend="fourstep4m")
+        steps = {
+            "fs4m": lambda r, nv: ship(r, int(nv)),
+            "s1x9": make_s1x(N, F, w, chunk, (2, 2, 2)),
+            "s1x8": make_s1x(N, F, w, chunk, (2, 2, 1)),
+        }
+        lowered = dict(steps)
+        lowered["fs4m"] = ship.lowered_fn()
+
+        errs = {b: [] for b in steps}
+        cls_d = []
+        for s in range(SEEDS):
+            raw = realization(N, F, 3000 + s)
+            u16 = raw.view(np.uint16)
+            z = (raw[:, 0::2].astype(np.float64) - 127.0) \
+                + 1j * (raw[:, 1::2].astype(np.float64) - 127.0)
+            X = np.fft.fft(z * w64, axis=1)
+            want = (X.real ** 2 + X.imag ** 2).sum(0)
+            zw32 = (z * w64).astype(np.complex64)
+            Xc = scipy.fft.fft(zw32, axis=1)
+            cls_d.append(rel((Xc.real.astype(np.float64) ** 2
+                              + Xc.imag.astype(np.float64) ** 2).sum(0),
+                             want))
+            for b, fn in steps.items():
+                errs[b].append(rel(fn(u16, jnp.int32(F)), want))
+            if (s + 1) % 20 == 0:
+                print(f"  ...{s + 1}/{SEEDS} seeds", flush=True)
+        cls_d = np.asarray(cls_d)
+        print(f"N={N} F={F}: scipy class p50={np.median(cls_d):.2e} "
+              f"max={cls_d.max():.2e}", flush=True)
+
+        speeds = {}
+        for b, fn in lowered.items():
+            raw0 = jax.device_put(realization(N, F, 3000).view(np.uint16))
+
+            @partial(jax.jit, static_argnums=1)
+            def many(r, it, fn=fn):
+                def body(c, i):
+                    return c + fn(r + i.astype(jnp.uint16),
+                                  jnp.int32(F)), ()
+                acc, _ = jax.lax.scan(body, jnp.zeros(N, jnp.float32),
+                                      jnp.arange(it))
+                return acc
+
+            def timed(it, reps=2):
+                np.asarray(many(raw0, it))
+                best = float("inf")
+                for _ in range(reps):
+                    t0 = time.perf_counter()
+                    np.asarray(many(raw0, it))
+                    best = min(best, time.perf_counter() - t0)
+                return best
+
+            t_lo = t_hi = float("inf")
+            for _ in range(3):
+                t_lo = min(t_lo, timed(ITER_LO))
+                t_hi = min(t_hi, timed(ITER_HI))
+            per = (t_hi - t_lo) / (ITER_HI - ITER_LO)
+            speeds[b] = F * N / per / 1e9 if per > 0 else 0.0
+
+        passing = []
+        for b in steps:
+            e = np.asarray(errs[b])
+            r = e / cls_d
+            med_r = np.median(e) / np.median(cls_d)
+            max_r = e.max() / cls_d.max()
+            ok = med_r <= 1.5 and max_r <= 3.0
+            if ok:
+                passing.append(b)
+            print(f"  {b:6s} {speeds[b]:6.2f} GS/s  "
+                  f"med={med_r:.2f}x(<=1.5) max={max_r:.2f}x(<=3) "
+                  f"per-seed p99={np.quantile(r, 0.99):.2f} "
+                  f"max={r.max():.2f} {'PASS' if ok else 'FAIL'}",
+                  flush=True)
+        if passing:
+            best = max(passing, key=lambda b: speeds[b])
+            print(f"  RECOMMEND N={N}: {best} ({speeds[best]:.2f} GS/s)",
+                  flush=True)
+        else:
+            best = min(steps, key=lambda b: float(np.median(errs[b])))
+            print(f"  RECOMMEND N={N}: none pass; lowest median is "
+                  f"{best}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
