@@ -55,6 +55,10 @@ def _load():
         lib.rpf_loader_start_fd.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                             ctypes.c_int, ctypes.c_double,
                                             ctypes.c_int]
+        lib.rpf_loader_start_fd2.restype = ctypes.c_int
+        lib.rpf_loader_start_fd2.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                             ctypes.c_int, ctypes.c_double,
+                                             ctypes.c_int, ctypes.c_int]
         lib.rpf_loader_acquire.restype = ctypes.c_int
         lib.rpf_loader_acquire.argtypes = [ctypes.c_void_p,
                                            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
@@ -106,16 +110,29 @@ class NativeLoader:
         self.buf_bytes = buf_bytes
 
     def start_fd(self, fd: int, loop: bool = False,
-                 pace_bytes_per_s: float = 0.0, readers: int = 1) -> None:
+                 pace_bytes_per_s: float = 0.0, readers: int = 1,
+                 mmap: str | bool = "auto") -> None:
         """``readers`` > 1 enables parallel pread readers with ordered
         (sequential-exact) delivery — only takes effect for seekable fds
         of known size with no pacing; the loader caps it at half the pool
         depth and falls back to one reader otherwise. Keep
         ``n_buffers >= consumer pins + readers`` to avoid starving the
-        reorder stage against a stalled consumer."""
-        rc = self._lib.rpf_loader_start_fd(self._h, fd, int(loop),
-                                           float(pace_bytes_per_s),
-                                           int(readers))
+        reorder stage against a stalled consumer.
+
+        ``mmap``: "auto" (default) maps unpaced seekable files of known
+        size and delivers in-bounds chunks as ZERO-COPY views of the
+        mapping — the kernel read copy drops out of the ingest chain
+        (measured 3.6 -> memcpy-class GB/s on this host,
+        BENCHMARKS "Host-chain attribution") — with reader threads
+        demoted to page-fault prefetchers; loop-wrap chunks are
+        assembled in slot buffers so every mode stays byte-identical to
+        the sequential reader. ``False`` forces the pread path,
+        ``True`` requests mmap explicitly (still falls back where the
+        fd cannot be mapped)."""
+        m = -1 if mmap == "auto" else (1 if mmap else 0)
+        rc = self._lib.rpf_loader_start_fd2(self._h, fd, int(loop),
+                                            float(pace_bytes_per_s),
+                                            int(readers), m)
         if rc != 0:
             raise RuntimeError("rpf_loader_start_fd failed")
 

@@ -30,6 +30,7 @@
 #include <thread>
 #include <vector>
 
+#include <sys/mman.h>
 #include <sys/stat.h>
 #include <unistd.h>
 
@@ -40,6 +41,10 @@ using Clock = std::chrono::steady_clock;
 struct Slot {
   std::vector<uint8_t> data;
   size_t filled = 0;
+  // mmap mode: non-null points straight into the file mapping (zero-copy
+  // slot view); null means the slot's own buffer holds the bytes (pread
+  // mode, or an mmap loop-wrap chunk assembled from two pieces).
+  const uint8_t* ext = nullptr;
 };
 
 struct Loader {
@@ -61,6 +66,18 @@ struct Loader {
   off_t file_start = 0;
   double pace_bytes_per_s = 0.0;
 
+  // mmap mode (round-5 copy-free ingest): the whole file is mapped once
+  // and in-bounds chunks are delivered as VIEWS of the mapping — the
+  // kernel page-cache copy that bounds a read()/pread() chain (~3.6 GB/s
+  // measured on this host, BENCHMARKS "Host-chain attribution") drops
+  // out entirely; reader threads only FAULT the pages in ahead of the
+  // consumer. Loop-wrap chunks (stream position crossing the file end)
+  // are assembled into the slot's own buffer, so delivery stays
+  // byte-identical to the sequential reader in every mode.
+  uint8_t* map_base = nullptr;
+  size_t map_len = 0;
+  bool mmap_mode = false;
+
   // Multi-reader state (seekable files only): readers claim chunk
   // indices under mu (only ever together with a won slot), pread in
   // parallel, and deliver IN ORDER through a reorder map — the consumer
@@ -72,7 +89,10 @@ struct Loader {
   long next_deliver = 0;
   std::map<long, int> pending_mt;  // chunk -> filled slot awaiting order
 
-  ~Loader() { join(); }
+  ~Loader() {
+    join();
+    if (map_base) ::munmap(map_base, map_len);
+  }
 
   void join() {
     stop_flag.store(true);
@@ -136,6 +156,7 @@ struct Loader {
       }
 
       Slot& slot = slots[static_cast<size_t>(slot_idx)];
+      slot.ext = nullptr;
       size_t want = B;
       if (!loop) {
         long long remain = static_cast<long long>(span)
@@ -145,20 +166,57 @@ struct Loader {
       }
       size_t got = 0;
       bool err = false;
-      while (got < want) {
+      if (mmap_mode) {
         long long stream_pos = static_cast<long long>(k)
-            * static_cast<long long>(B) + static_cast<long long>(got);
+            * static_cast<long long>(B);
         off_t pos = loop ? static_cast<off_t>(stream_pos % span)
                          : static_cast<off_t>(stream_pos);
-        size_t len = want - got;
-        if (static_cast<long long>(len) > static_cast<long long>(span - pos))
-          len = static_cast<size_t>(span - pos);
-        ssize_t n = ::pread(fd, slot.data.data() + got, len, file_start + pos);
-        if (n < 0 && errno == EINTR) continue;  // signal (e.g. Ctrl+C
-        // delivered to a reader thread) must not truncate the stream
-        if (n <= 0) { err = true; break; }
-        got += static_cast<size_t>(n);
-        if (stop_flag.load()) break;
+        if (want > 0 &&
+            static_cast<long long>(want) <= static_cast<long long>(span - pos)) {
+          // In-bounds chunk (every !loop chunk, since `want` is tail-
+          // clamped above): ZERO-COPY view of the mapping. Touch one
+          // byte per page so the faults land on this reader thread, not
+          // on the consumer mid-dispatch.
+          const uint8_t* p = map_base + file_start + pos;
+          volatile uint8_t sink = 0;
+          for (size_t off = 0; off < want; off += 4096) sink += p[off];
+          sink += p[want - 1];
+          (void)sink;
+          slot.ext = p;
+          got = want;
+        } else {
+          // Loop-wrap chunk: assemble the two mapped pieces into the
+          // slot's own buffer (delivery stays sequential-exact).
+          while (got < want) {
+            off_t p2 = static_cast<off_t>(
+                (stream_pos + static_cast<long long>(got)) % span);
+            size_t len = want - got;
+            if (static_cast<long long>(len) >
+                static_cast<long long>(span - p2))
+              len = static_cast<size_t>(span - p2);
+            std::memcpy(slot.data.data() + got, map_base + file_start + p2,
+                        len);
+            got += len;
+            if (stop_flag.load()) break;
+          }
+        }
+      } else {
+        while (got < want) {
+          long long stream_pos = static_cast<long long>(k)
+              * static_cast<long long>(B) + static_cast<long long>(got);
+          off_t pos = loop ? static_cast<off_t>(stream_pos % span)
+                           : static_cast<off_t>(stream_pos);
+          size_t len = want - got;
+          if (static_cast<long long>(len) > static_cast<long long>(span - pos))
+            len = static_cast<size_t>(span - pos);
+          ssize_t n = ::pread(fd, slot.data.data() + got, len,
+                              file_start + pos);
+          if (n < 0 && errno == EINTR) continue;  // signal (e.g. Ctrl+C
+          // delivered to a reader thread) must not truncate the stream
+          if (n <= 0) { err = true; break; }
+          got += static_cast<size_t>(n);
+          if (stop_flag.load()) break;
+        }
       }
 
       {
@@ -195,6 +253,7 @@ struct Loader {
       }
 
       Slot& slot = slots[slot_idx];
+      slot.ext = nullptr;
       size_t want = slot.data.size();
       size_t got = 0;
       bool ended = false;
@@ -265,10 +324,14 @@ Loader* rpf_loader_create(size_t buf_bytes, int n_buffers) {
 // on page-cache/NVMe-backed recordings (a single read() thread is
 // kernel-memcpy-bound around 3-4 GB/s). Requires a seekable fd of known
 // nonzero size and no pacing; anything else falls back to one reader.
+// `use_mmap`: -1 auto (on for unpaced seekable files of known size),
+// 0 off, 1 on-where-possible. In mmap mode slots become zero-copy VIEWS
+// of the file mapping (see Loader::mmap_mode) and the same chunked
+// ordered-delivery machinery runs with >= 1 page-fault prefetch threads.
 // Deadlock-freedom: the pool must satisfy n_buffers >= consumer_pins +
 // n_readers, else readers and a stalled consumer can starve each other.
-int rpf_loader_start_fd(Loader* L, int fd, int loop, double pace_bytes_per_s,
-                        int n_readers) {
+int rpf_loader_start_fd2(Loader* L, int fd, int loop, double pace_bytes_per_s,
+                         int n_readers, int use_mmap) {
   if (!L || fd < 0 || L->started) return -1;
   L->started = true;
   L->fd = fd;
@@ -280,7 +343,8 @@ int rpf_loader_start_fd(Loader* L, int fd, int loop, double pace_bytes_per_s,
   L->stop_flag.store(false);
   L->eof = false;
 
-  if (n_readers > 1 && seekable && pace_bytes_per_s <= 0.0) {
+  if ((n_readers > 1 || use_mmap != 0) && seekable
+      && pace_bytes_per_s <= 0.0) {
     struct stat st;
     if (::fstat(fd, &st) == 0 && st.st_size > L->file_start) {
       L->span = st.st_size - L->file_start;
@@ -289,9 +353,24 @@ int rpf_loader_start_fd(Loader* L, int fd, int loop, double pace_bytes_per_s,
           : static_cast<long>((static_cast<long long>(L->span) + B - 1) / B);
       L->next_chunk = 0;
       L->next_deliver = 0;
+      if (use_mmap != 0) {
+        void* m = ::mmap(nullptr, static_cast<size_t>(st.st_size),
+                         PROT_READ, MAP_SHARED, fd, 0);
+        if (m != MAP_FAILED) {
+          L->map_base = static_cast<uint8_t*>(m);
+          L->map_len = static_cast<size_t>(st.st_size);
+          L->mmap_mode = true;
+#ifdef MADV_SEQUENTIAL
+          ::madvise(m, L->map_len,
+                    L->loop ? MADV_WILLNEED : MADV_SEQUENTIAL);
+#endif
+        }
+        // mmap refusal (e.g. an exotic fs) falls through to pread.
+      }
       if (n_readers > static_cast<int>(L->slots.size()) / 2)
         n_readers = static_cast<int>(L->slots.size()) / 2;
-      if (n_readers > 1) {
+      if (L->mmap_mode && n_readers < 1) n_readers = 1;
+      if (n_readers > 1 || L->mmap_mode) {
         for (int i = 0; i < n_readers; i++)
           L->readers_mt.emplace_back(&Loader::reader_main_mt, L);
         return 0;
@@ -300,6 +379,12 @@ int rpf_loader_start_fd(Loader* L, int fd, int loop, double pace_bytes_per_s,
   }
   L->reader = std::thread(&Loader::reader_main, L);
   return 0;
+}
+
+// Back-compat entry point: mmap in auto mode.
+int rpf_loader_start_fd(Loader* L, int fd, int loop, double pace_bytes_per_s,
+                        int n_readers) {
+  return rpf_loader_start_fd2(L, fd, loop, pace_bytes_per_s, n_readers, -1);
 }
 
 // Acquire the next filled buffer. Returns the slot index (>= 0), -1 on
@@ -316,8 +401,9 @@ int rpf_loader_acquire(Loader* L, uint8_t** data, size_t* len, int timeout_ms) {
   if (L->filled_q.empty()) return L->eof ? -2 : -1;
   int idx = L->filled_q.front();
   L->filled_q.pop_front();
-  if (data) *data = L->slots[static_cast<size_t>(idx)].data.data();
-  if (len) *len = L->slots[static_cast<size_t>(idx)].filled;
+  Slot& s = L->slots[static_cast<size_t>(idx)];
+  if (data) *data = s.ext ? const_cast<uint8_t*>(s.ext) : s.data.data();
+  if (len) *len = s.filled;
   return idx;
 }
 

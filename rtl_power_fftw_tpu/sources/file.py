@@ -28,7 +28,8 @@ class FileSource(IQSource):
     def __init__(self, path: str, sample_rate: int = 2_048_000,
                  loop: bool = False, use_native: bool = True,
                  native_buf_bytes: Optional[int] = None,
-                 native_buffers: int = 12, native_readers: int = 4):
+                 native_buffers: int = 12, native_readers: int = 4,
+                 native_mmap: "str | bool" = "auto"):
         """``native_buf_bytes=None`` (default) sizes the loader's pool
         slots to the FIRST read request, enabling the zero-copy path:
         full reads then return pool views directly (recycled by a
@@ -69,14 +70,14 @@ class FileSource(IQSource):
                 if native_available():
                     # Lazy start: slot size is decided at the first read.
                     self._native_cfg = (native_buf_bytes, native_buffers,
-                                        native_readers)
+                                        native_readers, native_mmap)
             except Exception:
                 pass
 
     def _ensure_native(self, nbytes: int) -> None:
         if self._native is not None or self._native_cfg is None:
             return
-        buf_bytes, n_buffers, n_readers = self._native_cfg
+        buf_bytes, n_buffers, n_readers, n_mmap = self._native_cfg
         if buf_bytes is None:
             buf_bytes = min(max(int(nbytes), 1 << 16), 32 << 20)
         try:
@@ -84,9 +85,12 @@ class FileSource(IQSource):
             self._native = NativeLoader(buf_bytes, n_buffers)
             # Parallel readers overlap I/O latency (page cache, NVMe,
             # network FS), which needs no extra cores — don't cap by
-            # cpu_count; the loader caps at half the pool depth.
+            # cpu_count; the loader caps at half the pool depth. mmap
+            # "auto" (default) serves in-bounds chunks as zero-copy
+            # views of the file mapping — see NativeLoader.start_fd.
             self._native.start_fd(self._file.fileno(), loop=self.loop,
-                                  readers=max(1, int(n_readers)))
+                                  readers=max(1, int(n_readers)),
+                                  mmap=n_mmap)
         except Exception:
             self._native = None       # silent fallback to the Python path
             self._native_cfg = None

@@ -233,3 +233,74 @@ def test_loader_streams_once(tmp_path):
                 ld.start_fd(fd)
     finally:
         os.close(fd)
+
+
+def test_mmap_tail_offset_parity(tmp_path):
+    """mmap mode (round-5 copy-free ingest): a seekable unpaced file with
+    a non-slot-multiple size, started at a nonzero offset, must deliver
+    byte-identically to the forced-pread path — in-bounds chunks are
+    zero-copy views of the mapping, the tail chunk is a short view."""
+    p, data = write_stream(tmp_path, 16384 * 3 + 777)
+    for start in (0, 1000):
+        got = {}
+        for mode in ("auto", False, True):
+            fd = os.open(str(p), os.O_RDONLY)
+            try:
+                os.lseek(fd, start, os.SEEK_SET)
+                with NativeLoader(buf_bytes=4096, n_buffers=8) as ld:
+                    ld.start_fd(fd, readers=2, mmap=mode)
+                    got[mode] = drain(ld)
+            finally:
+                os.close(fd)
+        np.testing.assert_array_equal(got["auto"], data[start:])
+        np.testing.assert_array_equal(got[True], data[start:])
+        np.testing.assert_array_equal(got[False], data[start:])
+
+
+def test_mmap_loop_wrap_parity(tmp_path):
+    """mmap loop mode: chunks crossing the file end are assembled from
+    two mapped pieces (copy path) while in-bounds chunks stay views —
+    several wraps of an odd-sized recording must match the infinite
+    repetition byte-for-byte, same as the pread multi-reader."""
+    size = 5000  # not a multiple of the slot: chunks wrap mid-file
+    p, data = write_stream(tmp_path, size, seed=7)
+    fd = os.open(str(p), os.O_RDONLY)
+    try:
+        with NativeLoader(buf_bytes=2048, n_buffers=8) as ld:
+            ld.start_fd(fd, loop=True, readers=4, mmap=True)
+            got = []
+            for _ in range(12):  # ~5 wraps
+                slot, view = ld.acquire(timeout_ms=5000)
+                got.append(view.copy())
+                ld.release(slot)
+            ld.stop()
+        got = np.concatenate(got)
+        want = np.tile(data, int(np.ceil(len(got) / size)) + 1)[:len(got)]
+        np.testing.assert_array_equal(got, want)
+    finally:
+        os.close(fd)
+
+
+def test_mmap_single_reader_views(tmp_path):
+    """mmap with readers=1 still runs the chunked view path (the auto
+    default for FileSource), and a held view stays valid until release
+    even while later chunks are delivered."""
+    p, data = write_stream(tmp_path, 8192 * 4, seed=3)
+    fd = os.open(str(p), os.O_RDONLY)
+    try:
+        with NativeLoader(buf_bytes=8192, n_buffers=4) as ld:
+            ld.start_fd(fd, readers=1, mmap=True)
+            first = ld.acquire(timeout_ms=5000)
+            rest = []
+            while True:
+                item = ld.acquire(timeout_ms=5000)
+                if item is None:
+                    break
+                rest.append(item[1].copy())
+                ld.release(item[0])
+            np.testing.assert_array_equal(first[1], data[:8192])
+            ld.release(first[0])
+        got = np.concatenate([data[:8192]] + rest)
+        np.testing.assert_array_equal(got, data)
+    finally:
+        os.close(fd)
