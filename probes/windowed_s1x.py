@@ -88,31 +88,85 @@ def terms3(m):
     return [jnp.asarray(t) for t in out]
 
 
-def make_s1x(N, F, w, chunk, max_ij):
-    """fourstep4m with an explicit split-pass stage 1: pass (i, j) is
-    included iff i + j <= max_ij[i] — encoded as the largest allowed j
-    per input-term i, e.g. (2,2,2) = full 9, (2,2,1) = drop (2,2)."""
+def make_s1x(N, F, w, chunk, max_ij, chunk_k=0):
+    """fourstep4m with an explicit split-pass stage 1: the input is
+    truncation-split into len(max_ij) bf16 terms and pass (i, j) is
+    included iff j <= max_ij[i] — e.g. (2,2,2) = the full 9-pass set on
+    a 3-term split; (2,2,1,0) = 9 passes on a 4-TERM split, which drops
+    the 3-term split's own ~2^-22 truncation residual (the reason the
+    first 9-pass run still read 1.69x) while skipping only products
+    below 2^-30 relative.
+
+    ``chunk_k`` > 0 additionally CHUNKS the K = N1 contraction into
+    depth-``chunk_k`` batched dots tree-summed in f32: with all
+    products exact (bf16 x bf16 is exact in f32), the remaining stage-1
+    error is the f32 ACCUMULATION of K sequential adds — the
+    fundamental depth disadvantage of a matmul DFT vs the FFT's log-
+    depth tree (the class yard). Chunk-8 + tree gives depth
+    7 + log2(K/8), within ~2x of the FFT's."""
     N1, N2 = best_fourstep_split(N)
     from rtl_power_fftw_tpu.ops.dft import _dft_matrices
     c1n, s1n = (m.astype(np.float64) for m in _dft_matrices(N1))
-    c1t = terms3(c1n)
-    s1t = terms3(s1n)
     consts = tuple(jnp.asarray(a)
                    for a in _fourstep4m_constants(N, N1, N2))
     wj = jnp.asarray(w)
+    f32, bf16 = jnp.float32, jnp.bfloat16
+    n_terms = len(max_ij)
+    G = 1
+    if chunk_k and N1 % chunk_k == 0 and N1 > chunk_k:
+        G = N1 // chunk_k
+
+    def terms3g(m):
+        """3-term bf16 weight split, reshaped (G, K/G, N1) when chunked."""
+        ts = terms3(m)
+        if G > 1:
+            ts = [t.reshape(G, N1 // G, N1) for t in ts]
+        return ts
+
+    c1t = terms3g(c1n)
+    s1t = terms3g(s1n)
+    if G > 1:
+        # lhs (F, n2-view, G, K/G) x rhs (G, K/G, N1), batch over G.
+        dnb = (((3,), (1,)), ((2,), (0,)))
     dn = (((1,), (0,)), ((), ()))
-    f32 = jnp.float32
 
     def mm(z, wt):
+        if G > 1:
+            return jax.lax.dot_general(z, wt, dnb,
+                                       preferred_element_type=f32)
         return jax.lax.dot_general(z, wt, dn, preferred_element_type=f32)
 
+    def trunc_terms(z):
+        def trunc(v):
+            u = jax.lax.bitcast_convert_type(v, jnp.uint32)
+            return jax.lax.bitcast_convert_type(
+                u & np.uint32(0xFFFF0000), jnp.float32)
+        out, r = [], z
+        for _ in range(n_terms):
+            t = trunc(r)
+            out.append(t.astype(bf16))
+            r = r - t
+        return out
+
     def prod(z, wts):
-        zs = _trunc_split3(z)
+        # z: (F, N1, N2). Chunked: -> (F, N2, G, K/G) so the contraction
+        # runs per chunk and the partials tree-sum in f32.
+        if G > 1:
+            z = jnp.swapaxes(z, 1, 2).reshape(F, N2, G, N1 // G)
+        zs = trunc_terms(z)
         acc = None
-        for i in range(3):
+        for i in range(n_terms):
             for j in range(max_ij[i] + 1):
                 t = mm(zs[i], wts[j])
                 acc = t if acc is None else acc + t
+        if G > 1:
+            # acc: (G, F-N2..., k1) — batch dim leads. Pairwise tree.
+            parts = [acc[g] for g in range(G)]
+            while len(parts) > 1:
+                parts = [parts[i] + parts[i + 1]
+                         if i + 1 < len(parts) else parts[i]
+                         for i in range(0, len(parts), 2)]
+            return parts[0]
         return acc
 
     @jax.jit
@@ -143,8 +197,14 @@ def main():
         ship = PsdStep(N, F, window=w, backend="fourstep4m")
         steps = {
             "fs4m": lambda r, nv: ship(r, int(nv)),
-            "s1x9": make_s1x(N, F, w, chunk, (2, 2, 2)),
-            "s1x8": make_s1x(N, F, w, chunk, (2, 2, 1)),
+            # Run 1 (3-term split): s1x9/s1x8 med 1.69x at 2048, 2.15x
+            # at 4096. Run 2: s1x10 (4-term) == s1x12 == s1x9 to the
+            # digit — products are fully exact and the 1.69x floor is
+            # the f32 CONTRACTION ACCUMULATION (depth K sequential vs
+            # the FFT class's log-depth). Run 3: chunk the contraction.
+            "s1x10": make_s1x(N, F, w, chunk, (2, 2, 1, 0)),
+            "s1xc8": make_s1x(N, F, w, chunk, (2, 2, 1, 0), chunk_k=8),
+            "s1xc16": make_s1x(N, F, w, chunk, (2, 2, 1, 0), chunk_k=16),
         }
         lowered = dict(steps)
         lowered["fs4m"] = ship.lowered_fn()

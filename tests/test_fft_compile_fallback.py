@@ -163,7 +163,7 @@ class _FakeRun:
         return types.SimpleNamespace(returncode=rc, stderr=err, stdout=b"")
 
 
-def test_preflight_retries_transient_failures_once(monkeypatch):
+def test_preflight_retries_transient_failures_once(monkeypatch, tmp_path):
     """Round-4 advisor finding: a child probe that dies of device
     contention / a flaky tunnel (no compile-refusal signature in its
     stderr) must be retried once before a refusal is cached — one
@@ -172,6 +172,10 @@ def test_preflight_retries_transient_failures_once(monkeypatch):
     from rtl_power_fftw_tpu.ops import spectral
 
     monkeypatch.delenv("RPF_FFT_PREFLIGHT_FORCE", raising=False)
+    # Isolate the on-disk verdict store: a real verdict persisted by a
+    # previous suite run (or live session) at these N would satisfy the
+    # probe before the counting fake ever runs.
+    monkeypatch.setenv("RPF_FFT_PREFLIGHT_CACHE_DIR", str(tmp_path))
 
     # Transient failure then success → ok, two child invocations.
     fake = _FakeRun([(1, b"Connection reset by peer (transport error)"),
