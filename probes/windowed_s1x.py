@@ -77,18 +77,18 @@ def rel(got, want):
                   / np.maximum(np.abs(want), 1e-30)).max())
 
 
-def terms3(m):
-    """3-term bf16 split of a float64 matrix, host-side."""
+def terms3(m, n=3):
+    """n-term bf16 split of a float64 matrix, host-side."""
     import ml_dtypes
     out, r = [], np.asarray(m, np.float64)
-    for _ in range(3):
+    for _ in range(n):
         t = r.astype(ml_dtypes.bfloat16)
         out.append(t)
         r = r - t.astype(np.float64)
     return [jnp.asarray(t) for t in out]
 
 
-def make_s1x(N, F, w, chunk, max_ij, chunk_k=0):
+def make_s1x(N, F, w, chunk, max_ij, chunk_k=0, split=None):
     """fourstep4m with an explicit split-pass stage 1: the input is
     truncation-split into len(max_ij) bf16 terms and pass (i, j) is
     included iff j <= max_ij[i] — e.g. (2,2,2) = the full 9-pass set on
@@ -103,8 +103,26 @@ def make_s1x(N, F, w, chunk, max_ij, chunk_k=0):
     error is the f32 ACCUMULATION of K sequential adds — the
     fundamental depth disadvantage of a matmul DFT vs the FFT's log-
     depth tree (the class yard). Chunk-8 + tree gives depth
-    7 + log2(K/8), within ~2x of the FFT's."""
-    N1, N2 = best_fourstep_split(N)
+    7 + log2(K/8), within ~2x of the FFT's.
+
+    The number of WEIGHT terms is max(max_ij) + 1. Run 3 found the
+    chunked (2,2,1,0) set passes at 2048 (1.44x) but stays 1.99x at
+    4096 with the excess STILL entirely stage-1 (probes/s1x_diag.py
+    cut-point run) and insensitive to chunk depth — the signature of
+    the 3-term WEIGHT split's own ~2^-24 truncation residual, whose
+    z0*w3 product the (2,2,1,0) set omits and whose coherent
+    contribution scales with K (K doubles 2048 -> 4096 and the
+    absolute excess doubled too, 8.9e-6 -> 16.9e-6). Run 4 adds the
+    4th weight term with the triangular set (3,2,1,0) = 10 passes.
+
+    ``split`` overrides the (N1, N2) factorization. Run 4 found the
+    passing sizes (1024, 2048) share K = N1 = 32 while 4096's default
+    near-square (64, 64) fails at 1.95x with everything else equal —
+    and the cut-point diag shows the tail contributes nothing, so a
+    rectangular (32, 128) split moves the hard contraction back to the
+    K that passes."""
+    N1, N2 = best_fourstep_split(N) if split is None else split
+    assert N1 * N2 == N
     from rtl_power_fftw_tpu.ops.dft import _dft_matrices
     c1n, s1n = (m.astype(np.float64) for m in _dft_matrices(N1))
     consts = tuple(jnp.asarray(a)
@@ -116,9 +134,11 @@ def make_s1x(N, F, w, chunk, max_ij, chunk_k=0):
     if chunk_k and N1 % chunk_k == 0 and N1 > chunk_k:
         G = N1 // chunk_k
 
+    n_wterms = max(max_ij) + 1
+
     def terms3g(m):
-        """3-term bf16 weight split, reshaped (G, K/G, N1) when chunked."""
-        ts = terms3(m)
+        """bf16 weight split, reshaped (G, K/G, N1) when chunked."""
+        ts = terms3(m, n_wterms)
         if G > 1:
             ts = [t.reshape(G, N1 // G, N1) for t in ts]
         return ts
@@ -195,17 +215,43 @@ def main():
         w64 = w.astype(np.float64)
 
         ship = PsdStep(N, F, window=w, backend="fourstep4m")
+        # Run 1 (3-term split): s1x9/s1x8 med 1.69x at 2048, 2.15x
+        # at 4096. Run 2: s1x10 (4-term) == s1x12 == s1x9 to the
+        # digit — products are fully exact and the 1.69x floor is
+        # the f32 CONTRACTION ACCUMULATION (depth K sequential vs
+        # the FFT class's log-depth). Run 3 (chunk the contraction):
+        # c8/c16 PASS 2048 at 1.44/1.45x but 4096 stays 1.74-1.83x,
+        # all of it still stage-1 and chunk-insensitive
+        # (probes/s1x_diag.py) -> the 3-term WEIGHT residual.
+        # Run 4: 4th weight term, triangular (3,2,1,0) pass set —
+        # PASS 1024 (1.46x, 22.1 GS/s) + 2048 (1.42x, 6.8 GS/s);
+        # 4096 stays 1.95x: w4 is NOT the 4096 mechanism. The
+        # passing sizes share stage-1 K=32; run 5 forced K=32/16
+        # rectangular splits at the failing sizes: 4096 w4s16
+        # 0.99x PASS 6.14 GS/s, w4c16s32 1.43x PASS 5.71; 3072
+        # w4s16 0.84x, w4c16s32 1.33x PASS 5.13. The mechanism is
+        # CONFIRMED: stage-1 contraction depth K <= 32 (chunked)
+        # or K = 16 (unchunked) holds the windowed class budget.
+        # Run 6: margin + coverage — w4s16 at 1024/2048 (the c16
+        # medians 1.42-1.46 are too close to 1.5 for a 60-seed
+        # admission), both rectangular arms at 6144/8192/16384
+        # (the pallas cells ship at med 1.90x/1.55x strict).
+        # Run-6 RESULT (24 seeds; speeds contaminated by a
+        # co-running pytest on the 1-core host — ignore them):
+        # w4s16 PASSES EVERYWHERE with margin: 1024 1.05x, 2048
+        # 1.05x, 6144 0.79x, 8192 0.89x, 16384 0.73x (p99 <= 2.3);
+        # w4c16s32 passes 6144/8192/16384 at 0.92-1.36x but its
+        # small-size medians and per-seed tails sit close to the
+        # line. SHIPPED as backend="fourstep4x" (ops/dft.py) with
+        # K=16 uniform; 60-seed admission audit in
+        # probes/windowed_s1x_audit.py.
         steps = {
-            "fs4m": lambda r, nv: ship(r, int(nv)),
-            # Run 1 (3-term split): s1x9/s1x8 med 1.69x at 2048, 2.15x
-            # at 4096. Run 2: s1x10 (4-term) == s1x12 == s1x9 to the
-            # digit — products are fully exact and the 1.69x floor is
-            # the f32 CONTRACTION ACCUMULATION (depth K sequential vs
-            # the FFT class's log-depth). Run 3: chunk the contraction.
-            "s1x10": make_s1x(N, F, w, chunk, (2, 2, 1, 0)),
-            "s1xc8": make_s1x(N, F, w, chunk, (2, 2, 1, 0), chunk_k=8),
-            "s1xc16": make_s1x(N, F, w, chunk, (2, 2, 1, 0), chunk_k=16),
+            "w4s16": make_s1x(N, F, w, chunk, (3, 2, 1, 0),
+                              split=(16, N // 16)),
         }
+        if N >= 6144:
+            steps["w4c16s32"] = make_s1x(N, F, w, chunk, (3, 2, 1, 0),
+                                         chunk_k=16, split=(32, N // 32))
         lowered = dict(steps)
         lowered["fs4m"] = ship.lowered_fn()
 

@@ -184,7 +184,7 @@ class Params:
     # Device-step frame batch (0 = derive from buffer length).
     frames_per_step: int = 0
     # FFT backend: "auto" | "xla" | "matmul" | "fourstep" | "fft4"
-    # | "hybrid" | "pallas" | "bluestein" | "fourstep4m".
+    # | "hybrid" | "pallas" | "bluestein" | "fourstep4m" | "fourstep4x".
     fft_backend: str = "auto"
     # Write a jax.profiler trace of the session to this directory.
     profile_dir: str = ""
@@ -298,7 +298,8 @@ def _build_parser() -> _Parser:
                    help="FFT frames per device step (0 = auto).")
     p.add_argument("--fft-backend", type=str, default="auto",
                    choices=["auto", "xla", "matmul", "fourstep", "fft4",
-                            "hybrid", "pallas", "bluestein", "fourstep4m"],
+                            "hybrid", "pallas", "bluestein", "fourstep4m",
+                            "fourstep4x"],
                    help="FFT implementation used on device (hybrid = FFT "
                         "stage 1 + split twiddle + matmul stage 2, the "
                         "tone-robust default for most composite N incl. "
@@ -307,6 +308,8 @@ def _build_parser() -> _Parser:
                         "N, the TPU default above 8192 bins when N has "
                         "no factor >= 8; fourstep4m = compensated "
                         "four-step, the windowed very-large-N "
+                        "budget-truth path; fourstep4x = split-pass "
+                        "four-step, the windowed session-size "
                         "budget-truth path).")
     p.add_argument("--precision", type=str, default="highest",
                    choices=["highest", "high"],
@@ -621,8 +624,10 @@ def parse_args(argv: List[str], stderr=None) -> Params:
                 f"{flag} cannot be combined with "
                 + ", ".join(conflicts) + ". Exiting.",
                 ReturnValue.InvalidArgument)
-        if params.fft_backend in ("pallas", "hybrid", "fft4",
-                                  "fourstep4m"):
+        if params.fft_backend in ("pallas", "hybrid", "fft4"):
+            # (fourstep4m/fourstep4x DO expose per-frame spectra —
+            # dft_power_fourstep4m/4x — and are honored verbatim by
+            # the SK family's _sk_mode, so no warning for those.)
             print(f"Warning: {flag} needs per-frame spectra for the "
                   "second moment, which the fused "
                   f"'{params.fft_backend}' path does not expose; using "

@@ -61,6 +61,12 @@ def _sk_step(N: int, F: int, windowed: bool, backend: str,
         # 1.8-3.4x the strict class at 512-4096; fourstep4m halves it).
         from ..ops.dft import dft_power_fourstep4m
         power_fn = dft_power_fourstep4m
+    elif backend == "fourstep4x":
+        # The SPLIT-PASS four-step — the windowed session-size AUTO
+        # mode (round 5): same rationale, the strict-yard budget-truth
+        # path at windowed 1024-16384.
+        from ..ops.dft import dft_power_fourstep4x
+        power_fn = dft_power_fourstep4x
     else:
         power_fn = _power_backend(backend, N)
 
@@ -96,11 +102,20 @@ def _sk_mode(N: int, windowed: bool, backend: str) -> str:
     plain four-step to the compensated one — the accuracy the windowed
     PSD band ships — and the substitution is visible in ``path``."""
     from ..ops.spectral import tapered_batch_mode
-    if backend in ("matmul", "fourstep", "fourstep4m", "xla", "bluestein"):
+    if backend in ("matmul", "fourstep", "fourstep4m", "fourstep4x",
+                   "xla", "bluestein"):
         return backend
     mode = tapered_batch_mode(N)
     if windowed and mode == "fourstep":
-        mode = "fourstep4m"
+        # Mirror the windowed PSD ladder: the split-pass four-step on
+        # the session band (its strict-yard budget-truth path, round
+        # 5), the compensated four-step elsewhere.
+        from ..ops.dft import best_fourstep4x_split
+        n1x, _ = best_fourstep4x_split(N)
+        if n1x in (8, 16, 32) and 1024 <= N <= 16384:
+            mode = "fourstep4x"
+        else:
+            mode = "fourstep4m"
     return mode
 
 
@@ -251,6 +266,11 @@ class ShardedSkStep:
             # pin it).
             from ..ops.dft import dft_power_fourstep4m
             power_fn = dft_power_fourstep4m
+        elif mode == "fourstep4x":
+            # The split-pass four-step (windowed session band, round 5)
+            # — same sharded-vs-session s1 identity contract.
+            from ..ops.dft import dft_power_fourstep4x
+            power_fn = dft_power_fourstep4x
         else:
             power_fn = _power_backend(mode, N_)
 

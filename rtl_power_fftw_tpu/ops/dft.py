@@ -396,6 +396,202 @@ def dft_power_fourstep4m(re: jax.Array, im: jax.Array,
     return jnp.transpose(p, (0, 2, 1)).reshape(F, N)
 
 
+def best_fourstep4x_split(N: int) -> Tuple[int, int]:
+    """Stage-1 split for the split-pass four-step (fourstep4x).
+
+    The round-5 stage-1 attribution chain (probes/windowed_s1.py →
+    probes/s1_diag.py → probes/windowed_s1x.py) located the windowed
+    session-size excess in the stage-1 contraction DEPTH: with every
+    product term exact (4-term bf16 input × 4-term bf16 weight splits,
+    triangular pass set), the remaining error is the f32 accumulation
+    of K = N1 sequential adds, and the measured budget boundary is
+    K = 16 unchunked / K = 32 with a depth-16 chunked tree — both hold
+    the windowed scipy-f32 class at med ≤ 1.5× where the near-square
+    split fails (e.g. 4096: 64×64 reads 1.95×, 16×256 reads 0.99×).
+    Prefers K = 16 direct: across the probed band (1024–16384, runs
+    4–6) it reads med 0.73–1.05× with per-seed p99 ≤ 2.3, while the
+    K = 32 chunk-16 tree sits at 1.33–1.46× at 1024–3072 — too close
+    to the 1.5× admission line for a 60-seed pool (the round-4
+    lesson). K = 8 (for N divisible by 8 only) is strictly shallower,
+    hence admissible by the same depth argument; callers gate on a
+    viable split existing.
+    """
+    for n1 in (16, 8):
+        if N % n1 == 0:
+            return n1, N // n1
+    return best_fourstep_split(N)
+
+
+@functools.lru_cache(maxsize=16)
+def _s1x_weight_terms(N1: int, n_terms: int, chunk_k: int):
+    """``n_terms``-term bf16 truncation splits of the stage-1 DFT
+    matrices for the split-pass four-step, pre-reshaped to
+    (G, N1/G, N1) when the contraction rides the chunk-``chunk_k``
+    tree (0 = unchunked)."""
+    import ml_dtypes
+
+    def terms(m):
+        out, r = [], np.asarray(m, np.float64)
+        for _ in range(n_terms):
+            t = r.astype(ml_dtypes.bfloat16)
+            out.append(t)
+            r = r - t.astype(np.float64)
+        if chunk_k:
+            g = N1 // chunk_k
+            out = [t.reshape(g, chunk_k, N1) for t in out]
+        return tuple(out)
+
+    c1, s1 = (m.astype(np.float64) for m in _dft_matrices(N1))
+    return terms(c1), terms(s1)
+
+
+#: Triangular pass set for the split-pass stage 1: input term i is
+#: multiplied by weight terms j ≤ MAX_J[i], i.e. pass (i, j) ships iff
+#: i + j ≤ 3 — every product with relative magnitude ≥ ~2⁻³² (each bf16
+#: term carries ~8 bits). Run-2/run-4 probes measured the full 16-pass
+#: set identical to this 10-pass set to the printed digit.
+_S1X_MAX_J = (3, 2, 1, 0)
+
+
+def _fourstep4x_transform(re: jax.Array, im: jax.Array, N: int,
+                          N1: int, N2: int, precision=None):
+    """Compensated four-step with an EXPLICIT SPLIT-PASS stage 1 —
+    the windowed session-size budget-truth path (round-5 ask #1).
+
+    The reference computes windowed spectra through FFTW-f32
+    (/root/reference/src/datastore.cxx:76-81); that class is the
+    accuracy yardstick. The round-4/5 attribution chain proved the
+    shipped fourstep4m's windowed 1024–16384 excess (med 1.9–2.4×
+    class) lives entirely in stage 1's Precision.HIGHEST matmul on
+    non-integer input: XLA's bf16x6 emulation drops the cross products
+    of its operand splits — zero on exact integer input (why the
+    unwindowed bands hold class), a correlated ~2⁻²⁴ error once the
+    window multiplies the input. This transform replaces the emulated
+    stage 1 with native-bf16 passes whose products are ALL exact:
+
+    * 4-term bf16 truncation split of the windowed input (exact: 4×8
+      significand bits ≥ f32's 24), via fold-proof bit masking;
+    * 4-term bf16 truncation split of the stage-1 DFT matrices
+      (host-side, cached);
+    * the triangular 10-pass set (i + j ≤ 3) — drops only products
+      below ~2⁻³² relative;
+    * a SHALLOW f32 contraction: K = N1 ≤ 16 directly, or K = 32
+      through a depth-16 chunked pairwise tree — the measured budget
+      boundary (the near-square split's K = 64+ accumulation is the
+      1.95× failure at 4096, probes/windowed_s1x.py runs 1–6).
+
+    Twiddle and stage 2 are the audited fourstep4m tail unchanged.
+    Measured (24-seed strict scipy-only yard, hann, 35 dB tones):
+    med 0.84–1.46× class at windowed 1024–4096 where fourstep4m reads
+    1.90–2.42× — see BENCHMARKS.md "Windowed session-size stage-1
+    fix". Returns (Xr, Xi) in the (F, k1, k2) layout.
+    """
+    F = re.shape[0]
+    consts = tuple(jnp.asarray(a)
+                   for a in _fourstep4m_constants(N, N1, N2))
+    prec = _HI if precision is None else precision
+    n_terms = len(_S1X_MAX_J)
+    chunk_k = 16 if N1 > 16 else 0
+    G = N1 // chunk_k if chunk_k else 1
+    c1t, s1t = ([jnp.asarray(t) for t in ts]
+                for ts in _s1x_weight_terms(N1, n_terms, chunk_k))
+    f32 = jnp.float32
+    if G > 1:
+        # lhs (F, N2, G, K/G) × rhs (G, K/G, N1): contract the split
+        # K axis per chunk, batch over chunks → (G, F, N2, k1).
+        dn = (((3,), (1,)), ((2,), (0,)))
+    else:
+        # lhs (F, N1, N2) × rhs (N1, N1): contract n1 → (F, N2, k1),
+        # the family's natural transpose-free stage-1 layout.
+        dn = (((1,), (0,)), ((), ()))
+
+    def trunc_terms(z):
+        # Fold-proof truncation split (see _trunc_split3): bit masking
+        # cannot be constant-folded away under excess-precision rules.
+        def trunc(v):
+            u = jax.lax.bitcast_convert_type(v, jnp.uint32)
+            return jax.lax.bitcast_convert_type(
+                u & np.uint32(0xFFFF0000), jnp.float32)
+        out, r = [], z
+        for _ in range(n_terms):
+            t = trunc(r)
+            out.append(t.astype(jnp.bfloat16))
+            r = r - t
+        return out
+
+    def stage1(x):
+        """x (F, N1, N2) → (x @ c1, x @ s1), each (F, n2, k1)."""
+        if G > 1:
+            x = jnp.swapaxes(x, 1, 2).reshape(F, N2, G, chunk_k)
+        zs = trunc_terms(x)
+
+        def contract(wts):
+            acc = None
+            for i, mj in enumerate(_S1X_MAX_J):
+                for j in range(mj + 1):
+                    t = jax.lax.dot_general(zs[i], wts[j], dn,
+                                            preferred_element_type=f32)
+                    acc = t if acc is None else acc + t
+            if G > 1:
+                parts = [acc[g] for g in range(G)]
+                while len(parts) > 1:   # pairwise tree, odd tail carries
+                    parts = [parts[k] + parts[k + 1]
+                             if k + 1 < len(parts) else parts[k]
+                             for k in range(0, len(parts), 2)]
+                return parts[0]
+            return acc
+
+        return contract(c1t), contract(s1t)
+
+    xr = re.reshape(F, N1, N2)
+    xi = im.reshape(F, N1, N2)
+    rc, rs = stage1(xr)
+    ic, is_ = stage1(xi)
+    yr = rc - is_
+    yi = rs + ic
+    return _fourstep4m_tail(yr, yi, consts, N2, prec)
+
+
+def fourstep4x_psd_partial(re: jax.Array, im: jax.Array, fmask: jax.Array,
+                           N1: int | None = None, N2: int | None = None,
+                           chunk: int = 64, precision=None) -> jax.Array:
+    """Masked partial PSD via the split-pass four-step (see
+    :func:`_fourstep4x_transform`). re, im: (F, N) float32 (windowed
+    upstream on the windowed band); fmask: (F,) float32. Returns (N,)
+    float32, unshifted bins (family k = k1 + N1·k2 flattening).
+    ``precision`` applies to the stage-2/twiddle tail (stage 1 is the
+    explicit native-bf16 split-pass scheme — it has no precision knob).
+    """
+    F, N = re.shape
+    if N1 is None or N2 is None:
+        N1, N2 = best_fourstep4x_split(N)
+    assert N1 * N2 == N, (N1, N2, N)
+    while F % chunk != 0:
+        chunk //= 2
+    Xr, Xi = _fourstep4x_transform(re, im, N, N1, N2, precision)
+    p = (Xr * Xr + Xi * Xi) * fmask[:, None, None]
+    g = F // chunk
+    s = p.reshape(g, chunk, N1, N2).sum(axis=1).sum(axis=0)   # (k1, k2)
+    return jnp.swapaxes(s, 0, 1).reshape(N)
+
+
+def dft_power_fourstep4x(re: jax.Array, im: jax.Array,
+                         N1: int | None = None,
+                         N2: int | None = None) -> jax.Array:
+    """|DFT|² per frame via the split-pass four-step — the per-frame
+    sibling of :func:`fourstep4x_psd_partial` for estimator steps that
+    need (F, N) power planes at windowed-session-class accuracy (the
+    windowed SK family rides the same transform the session band
+    ships). Same signature contract as dft_power_fourstep4m."""
+    F, N = re.shape
+    if N1 is None or N2 is None:
+        N1, N2 = best_fourstep4x_split(N)
+    assert N1 * N2 == N, (N1, N2, N)
+    Xr, Xi = _fourstep4x_transform(re, im, N, N1, N2)
+    p = Xr * Xr + Xi * Xi                      # (F, k1, k2)
+    return jnp.transpose(p, (0, 2, 1)).reshape(F, N)
+
+
 @functools.lru_cache(maxsize=8)
 def _fft_fourstep_twiddle(N: int, N1: int, N2: int) -> np.ndarray:
     """Twiddle W_N^(k1·n2) as one complex64 (N1, N2) table."""

@@ -115,7 +115,7 @@ def _power_backend(backend: str, N: int) -> Callable[[jax.Array, jax.Array], jax
         from .dft import dft_power_bluestein
         return dft_power_bluestein
     if backend in ("xla", "auto", "pallas", "fft4", "hybrid",
-                   "fourstep4m"):
+                   "fourstep4m", "fourstep4x"):
         # "pallas"/"fft4" route power computation to their fused paths at
         # the PsdStep level; the plain backends (and the fallbacks for
         # ineligible shapes, e.g. prime N) land here.
@@ -390,7 +390,8 @@ def select_transform_rung(N: int, F: int, windowed: bool, backend: str,
     """The auto-ladder band selection — ONE definition shared by PsdStep
     and ShardedPsdStep (the selection diverged once when it lived in two
     copies). Returns ``(path, split)`` with path in {"pallas", "hybrid",
-    "fourstep", "fourstep4m", "fft4", "bluestein", "xla", "matmul"} and
+    "fourstep", "fourstep4m", "fourstep4x", "fft4", "bluestein", "xla",
+    "matmul"} and
     split the
     (n1, n2) factorization for the four-step family (None otherwise).
     Raises ValueError for explicit requests that cannot be satisfied.
@@ -437,6 +438,15 @@ def select_transform_rung(N: int, F: int, windowed: bool, backend: str,
       2^17/2^18 it is the fastest budget-passing candidate —
       1.50×/1.29× median class vs the hybrid's 2.90×/2.42×,
       probes/windowed_band_decide.py and probes/windowed_comp.py).
+    * fourstep4x — the SPLIT-PASS four-step: the fourstep4m tail under
+      an explicit native-bf16 stage 1 (4-term input × 4-term weight
+      truncation splits, triangular 10-pass set, contraction depth
+      held ≤ 16) whose products are ALL exact — the windowed TPU
+      session band 1024–16384 (N divisible by 8), where the stage-1
+      HIGHEST emulation's dropped cross products on non-integer input
+      put every other candidate above the 1.5× strict-yard median
+      (round-5 stage-1 attribution + fix, probes/windowed_s1x.py,
+      BENCHMARKS "Windowed session-size stage-1 fix").
     * fourstep4m — the COMPENSATED four-step (4-mult stages, hi+lo
       split twiddle, chunked stage-2 tree accumulation): windowed TPU
       (262144, 524288] — the band where the plain fourstep fails the
@@ -487,6 +497,31 @@ def select_transform_rung(N: int, F: int, windowed: bool, backend: str,
         if eligible and lo <= N <= hi and tpu:
             return "pallas", None
     windowed_cpu = windowed and not tpu
+    if backend in ("fourstep4x", "auto"):
+        from .dft import best_fourstep4x_split
+        n1x, n2x = best_fourstep4x_split(N)
+        if backend == "fourstep4x":
+            if n1x not in (8, 16, 32):
+                raise ValueError(
+                    f"backend='fourstep4x' needs N divisible by 8 "
+                    f"(N={N}); use backend='auto'")
+            return "fourstep4x", (n1x, n2x)
+        # The SPLIT-PASS four-step: windowed TPU session sizes
+        # 1024-16384 where N has a viable shallow stage-1 split. The
+        # round-4 "measured hardware floor" (med 2.0-2.4x the strict
+        # scipy-only class at windowed 1024-8192, 1.55-1.70x at 16384)
+        # was REFUTED at stage 1 itself in round 5: with the stage-1
+        # HIGHEST matmul replaced by the explicit all-exact-products
+        # split-pass scheme and the contraction depth held <= 16 (K=16
+        # direct or K=32 via a chunk-16 tree), the strict-yard medians
+        # read 0.84-1.46x across 1024-4096 (24-seed screens, 60-seed
+        # admission audit in BENCHMARKS "Windowed session-size stage-1
+        # fix"; probes/windowed_s1x.py runs 1-6). Below 1024 the
+        # compensated four-step already passes outright (0.89x at 512)
+        # and is ~3x faster; above 16384 fourstep4m/fourstep pass
+        # strict at full speed.
+        if tpu and windowed and n1x in (8, 16, 32) and 1024 <= N <= 16384:
+            return "fourstep4x", (n1x, n2x)
     if backend in ("fourstep4m", "auto"):
         from .dft import best_fourstep_split
         n1, n2 = best_fourstep_split(N)
@@ -662,7 +697,8 @@ class PsdStep:
         self._u16_in = False   # set by _make_step when the pallas kernel ships
         #: which ladder rung _make_step selected for this (N, F, window,
         #: backend, platform) signature: "pallas" | "hybrid" |
-        #: "fourstep" | "fourstep4m" | "fft4" | "bluestein" | "xla"
+        #: "fourstep" | "fourstep4m" | "fourstep4x" | "fft4" |
+        #: "bluestein" | "xla"
         #: (plus "matmul" — explicit request, compile fallback, or
         #: pre-flight downgrade) — introspection for band tests
         #: and users (auto resolves per platform).
@@ -800,6 +836,11 @@ class PsdStep:
             from .dft import fourstep4m_psd_partial
             fused_partial = (fourstep4m_psd_partial, *split)
             self.path = "fourstep4m"
+            self._u16_in = True   # host-side u16 view like the family
+        elif path == "fourstep4x":
+            from .dft import fourstep4x_psd_partial
+            fused_partial = (fourstep4x_psd_partial, *split)
+            self.path = "fourstep4x"
             self._u16_in = True   # host-side u16 view like the family
         elif path == "xla":
             # The only rung whose lowering the framework doesn't own:

@@ -96,6 +96,9 @@ class ShardedPsdStep:
         elif self.path == "fourstep4m":
             from ..ops.dft import fourstep4m_psd_partial
             fused = (fourstep4m_psd_partial, *split)
+        elif self.path == "fourstep4x":
+            from ..ops.dft import fourstep4x_psd_partial
+            fused = (fourstep4x_psd_partial, *split)
         elif self.path == "fft4":
             # Very-large-N (e.g. the frame-sharded 1M mode, longint.py).
             from ..ops.dft import fourstep_fft_psd_partial

@@ -294,10 +294,16 @@ def test_sk_explicit_backend_honored_windowed():
                                    rtol=1e-5)
         np.testing.assert_allclose(np.asarray(s2, np.float64), want2,
                                    rtol=1e-4)
-    # The auto-derived windowed TPU mode is where the upgrade lives.
+    # The auto-derived windowed TPU mode is where the upgrade lives:
+    # the split-pass four-step on the session band (round 5), the
+    # compensated four-step outside it.
     assert _sk_mode(N, True, "auto") == (
+        "fourstep4x" if jax.default_backend() == "tpu" else "xla")
+    assert _sk_mode(512, True, "auto") == (
         "fourstep4m" if jax.default_backend() == "tpu" else "xla")
     assert _sk_mode(N, False, "fourstep") == "fourstep"
+    # Explicit split-pass request honored verbatim too.
+    assert _sk_mode(N, True, "fourstep4x") == "fourstep4x"
 
 
 def test_multitaper_steps_fall_back(capsys):

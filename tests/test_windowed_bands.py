@@ -180,21 +180,25 @@ def test_windowed_tpu_band_selection(monkeypatch):
         w = make_window("hann", N) if windowed else None
         return PsdStep(N, F, window=w, backend="auto").path
 
-    # Windowed session sizes (round 4): the compensated four-step
-    # replaces the plain one at composite N <= 8192 non-pallas — the
-    # 60-seed strict-yard audit read fourstep at med 1.8-3.4x there
-    # while fourstep4m halves it (and WINS speed at 512/2048).
+    # Windowed session sizes (round 5): the SPLIT-PASS four-step takes
+    # 1024-16384 (N divisible by 8) — the round-4 "hardware floor"
+    # (fourstep4m med 2.0-2.4x strict class there) was refuted at
+    # stage 1 itself: all-exact-products native-bf16 stage 1 with the
+    # contraction depth held <= 16 reads med 0.84-1.46x
+    # (probes/windowed_s1x.py; BENCHMARKS "Windowed session-size
+    # stage-1 fix"). 512 keeps fourstep4m (0.89x PASS outright, ~3x
+    # faster there).
     assert path(512) == "fourstep4m"
-    assert path(2048) == "fourstep4m"
-    assert path(4096) == "fourstep4m"
-    assert path(6144) == "fourstep4m"     # non-pow-2 <= 8192
+    assert path(2048) == "fourstep4x"
+    assert path(4096) == "fourstep4x"
+    assert path(6144) == "fourstep4x"     # non-pow-2 <= 8192
     assert path(8192) == "pallas"
     assert path(16384) == "pallas"
     # Windowed (8192, 65536) non-pallas: the plain fourstep BREACHED
     # the max budget at 12288 (3.27x) and the kernel fails the strict
     # median at 32768 where fourstep4m strictly passes — both cells
-    # move (round-4 audit).
-    assert path(12288) == "fourstep4m"
+    # moved in round 4; 12288 rides the split-pass band since round 5.
+    assert path(12288) == "fourstep4x"
     assert path(32768) == "fourstep4m"
     assert path(20480) == "fourstep4m"    # non-pow-2 mid-band
     assert path(65536) == "fourstep"      # strict-yard PASS 1.38x
@@ -363,6 +367,63 @@ def test_fourstep4m_odd_chunk_tree():
         jax.ShapeDtypeStruct((4, Nbig), jnp.float32),
         jax.ShapeDtypeStruct((4,), jnp.float32))
     assert out.shape == (Nbig,)
+
+
+def test_fourstep4x_parity_and_explicit_backend():
+    """The split-pass four-step (round-5 windowed session-band
+    budget-truth path): explicit native-bf16 stage 1 (4-term input ×
+    4-term weight truncation splits, triangular pass set, shallow
+    contraction) over the audited fourstep4m tail — parity vs the f64
+    truth, explicit-backend PsdStep, frame mask, per-frame sibling,
+    and the divisible-by-8 requirement."""
+    import jax.numpy as jnp
+    import pytest as _pytest
+    from rtl_power_fftw_tpu.ops.dft import (best_fourstep4x_split,
+                                            dft_power_fourstep4x,
+                                            fourstep4x_psd_partial)
+
+    # Split rule: K=16 direct when 16 | N (med 0.73-1.05x across the
+    # probed band), K=8 when only 8 | N (strictly shallower).
+    assert best_fourstep4x_split(2048) == (16, 128)
+    assert best_fourstep4x_split(4096) == (16, 256)
+    assert best_fourstep4x_split(1800) == (8, 225)   # 8 | N only
+    assert best_fourstep4x_split(1048) == (8, 131)
+
+    N, F = 2048, 8
+    w = make_window("hann", N)
+    rng = np.random.default_rng(29)
+    raw = rng.integers(0, 256, (F, 2 * N), dtype=np.uint8)
+    re = (raw[:, 0::2].astype(np.float32) - 127) * w
+    im = (raw[:, 1::2].astype(np.float32) - 127) * w
+    fmask = np.ones(F, np.float32)
+    fmask[-1] = 0
+    got = np.asarray(fourstep4x_psd_partial(
+        jnp.asarray(re), jnp.asarray(im), jnp.asarray(fmask)), np.float64)
+    z = re.astype(np.float64) + 1j * im.astype(np.float64)
+    X = np.fft.fft(z, axis=1)
+    pwr = X.real ** 2 + X.imag ** 2
+    want = (pwr * fmask[:, None].astype(np.float64)).sum(0)
+    assert _rel(got, want) < 1e-5
+
+    # The unchunked K=16 split computes the same transform.
+    got16 = np.asarray(fourstep4x_psd_partial(
+        jnp.asarray(re), jnp.asarray(im), jnp.asarray(fmask),
+        16, 128), np.float64)
+    assert _rel(got16, want) < 1e-5
+
+    # Explicit backend on the session step.
+    step = PsdStep(N, F, window=w, backend="fourstep4x")
+    assert step.path == "fourstep4x" and step.takes_u16
+    got2 = np.asarray(step(raw.view(np.uint16), F - 1), np.float64)
+    assert _rel(got2, want) < 1e-5
+
+    # Per-frame sibling (the windowed SK family's transform).
+    pf = np.asarray(dft_power_fourstep4x(
+        jnp.asarray(re), jnp.asarray(im)), np.float64)
+    assert _rel(pf.sum(0), pwr.sum(0)) < 1e-5
+
+    with _pytest.raises(ValueError, match="divisible by 8"):
+        PsdStep(1028, F, backend="fourstep4x")   # 1028 = 4·257
 
 
 def test_fourstep4m_sharded_parity():
