@@ -426,7 +426,8 @@ def test_fourstep4x_parity_and_explicit_backend():
         PsdStep(1028, F, backend="fourstep4x")   # 1028 = 4·257
 
 
-def test_fourstep4m_sharded_parity():
+@pytest.mark.parametrize("backend", ["fourstep4m", "fourstep4x"])
+def test_fourstep4m_sharded_parity(backend):
     import jax
     from jax.sharding import Mesh
     from rtl_power_fftw_tpu.parallel.sharded import ShardedPsdStep
@@ -439,8 +440,8 @@ def test_fourstep4m_sharded_parity():
     N, F, S = 1024, 8, 8
     w = make_window("hann", N)
     sh = ShardedPsdStep(mesh, N, F, streams=S, window=w,
-                        backend="fourstep4m")
-    assert sh.path == "fourstep4m"
+                        backend=backend)
+    assert sh.path == backend
     rng = np.random.default_rng(17)
     raw = rng.integers(0, 256, (S, sh.F, 2 * N), dtype=np.uint8)
     per_stream, combined = sh(raw, np.full(S, sh.F, np.int32))
