@@ -80,7 +80,7 @@ def terms3(m):
     return [jnp.asarray(t) for t in out]
 
 
-def make_mixed4m(N, F, chunk, karatsuba):
+def make_mixed4m(N, F, chunk, karatsuba, stacked=False):
     N1, N2 = best_fourstep_split(N)
     from rtl_power_fftw_tpu.ops.dft import _dft_matrices
     c1n, s1n = (m.astype(np.float64) for m in _dft_matrices(N1))
@@ -91,6 +91,39 @@ def make_mixed4m(N, F, chunk, karatsuba):
                    for a in _fourstep4m_constants(N, N1, N2))
     dn = (((1,), (0,)), ((), ()))
     f32, bf16 = jnp.float32, jnp.bfloat16
+
+    if stacked:
+        # K-stack the weight terms AND the complex combination into the
+        # contraction axis (the fused kernel's trick, fused_psd.py
+        # _constants): stage 1 = TWO fat (F, 6·N1, N2)-contracting dots
+        # instead of 12 narrow ones. Concat rides axis 1 — the existing
+        # contraction axis — so the transpose-free layout is preserved.
+        import ml_dtypes
+        c64 = [np.asarray(t, np.float64) for t in c1t]
+        s64 = [np.asarray(t, np.float64) for t in s1t]
+        WR = np.vstack(c64 + [-m for m in s64]).astype(ml_dtypes.bfloat16)
+        WI = np.vstack(s64 + c64).astype(ml_dtypes.bfloat16)
+        WRj, WIj = jnp.asarray(WR), jnp.asarray(WI)
+
+        @jax.jit
+        def step(raw16, nv):
+            re, im = dequant_iq_u16(raw16)
+            fmask = (jax.lax.broadcasted_iota(jnp.int32, (F,), 0)
+                     < nv).astype(jnp.float32)
+            xr = re.reshape(F, N1, N2).astype(bf16)   # exact: integers
+            xi = im.reshape(F, N1, N2).astype(bf16)
+            lhs = jnp.concatenate([xr, xr, xr, xi, xi, xi], axis=1)
+            yr = jax.lax.dot_general(lhs, WRj, dn,
+                                     preferred_element_type=f32)
+            yi = jax.lax.dot_general(lhs, WIj, dn,
+                                     preferred_element_type=f32)
+            Xr, Xi = _fourstep4m_tail(yr, yi, consts, N2, _HI)
+            p = (Xr * Xr + Xi * Xi) * fmask[:, None, None]
+            g = F // chunk
+            s = p.reshape(g, chunk, N1, N2).sum(axis=1).sum(axis=0)
+            return jnp.swapaxes(s, 0, 1).reshape(N)
+
+        return step
 
     def mm(z, wt):
         return jax.lax.dot_general(z, wt, dn, preferred_element_type=f32)
@@ -135,6 +168,8 @@ def main():
             "fs4m": lambda r, nv: ship(r, int(nv)),
             "m4m": make_mixed4m(N, F, chunk, karatsuba=False),
             "m4k": make_mixed4m(N, F, chunk, karatsuba=True),
+            "m4st": make_mixed4m(N, F, chunk, karatsuba=False,
+                                 stacked=True),
             "hybrid": lambda r, nv: hyb(r, int(nv)),
         }
         lowered = dict(steps)

@@ -548,14 +548,13 @@ def select_transform_rung(N: int, F: int, windowed: bool, backend: str,
         #   its unsplit-twiddle term); the compensated form is the
         #   only candidate that passes EVERY audited size (max
         #   <=1.43x, per-seed p99 <=2.8x).
-        # * WINDOWED session sizes (n1 >= 8, N <= 8192, non-pallas):
-        #   with the platform-FFT leg of the enforced yard dead on the
-        #   current toolchain, 60-seed strict-yard audits read the
-        #   plain fourstep at med 1.8-3.4x with per-seed p99 3.7-8.2;
-        #   fourstep4m roughly halves both (0.89x PASS at 512; med
-        #   2.0-2.4x at 1024-4096 — the documented floor zone, see
-        #   BENCHMARKS "Windowed session-size audit") and WINS speed
-        #   outright at 512/2048 (37.1/10.8 vs 7.8/9.9 GS/s).
+        # * WINDOWED below the fourstep4x band (N < 1024 or N not
+        #   divisible by 8): fourstep4m strictly passes at 512 (0.89x;
+        #   and WINS speed, 37.1 vs 7.8 GS/s vs plain fourstep) and
+        #   halves the plain fourstep's distance elsewhere; the
+        #   session band 1024-16384 itself moved to fourstep4x in
+        #   round 5 (med 0.40-1.06x strict — see the fourstep4x block
+        #   above and BENCHMARKS "Windowed session-size stage-1 fix").
         # * WINDOWED (8192, 65536) non-pallas: the plain fourstep
         #   BREACHES the max budget at 12288 (3.27x; med 3.59x) and
         #   fourstep4m dominates or strictly passes (1.64x/2.13x at

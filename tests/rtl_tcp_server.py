@@ -20,6 +20,7 @@ import argparse
 import socket
 import struct
 import sys
+import time
 
 import numpy as np
 
@@ -31,6 +32,11 @@ def main() -> None:
     ap.add_argument("--drop-after", type=int, default=0)
     ap.add_argument("--accepts", type=int, default=1)
     ap.add_argument("--seed", type=int, default=0)
+    # Pace the stream at N bytes/second (0 = as fast as the socket
+    # drains) and loop a bounded pattern buffer when --bytes exceeds
+    # it — how a real dongle behaves (fixed sample rate, endless
+    # stream). Used by the endurance soak (probes/soak_tpu.py).
+    ap.add_argument("--rate", type=int, default=0)
     args = ap.parse_args()
 
     srv = socket.socket()
@@ -41,7 +47,8 @@ def main() -> None:
         f.write(str(srv.getsockname()[1]))
 
     rng = np.random.default_rng(args.seed)
-    payload = rng.integers(0, 256, args.bytes, dtype=np.uint8).tobytes()
+    pattern_len = min(args.bytes, 8 << 20)
+    payload = rng.integers(0, 256, pattern_len, dtype=np.uint8).tobytes()
 
     for accept_i in range(args.accepts):
         try:
@@ -55,9 +62,10 @@ def main() -> None:
         conn.sendall(b"RTL0" + struct.pack(">II", 5, 29))
         conn.settimeout(0.05)
         limit = args.drop_after if (args.drop_after
-                                    and accept_i == 0) else len(payload)
+                                    and accept_i == 0) else args.bytes
         sent = 0
-        while sent < min(limit, len(payload)):
+        t0 = time.monotonic()
+        while sent < limit:
             try:
                 data = conn.recv(5)
                 while len(data) >= 5:
@@ -68,8 +76,15 @@ def main() -> None:
                 pass
             except OSError:
                 break
+            if args.rate:
+                # Hold the cumulative stream position at the device
+                # rate — ahead-of-schedule sends sleep the shortfall.
+                ahead = sent - args.rate * (time.monotonic() - t0)
+                if ahead > 0:
+                    time.sleep(ahead / args.rate)
             try:
-                n = conn.send(payload[sent:sent + 8192])
+                pos = sent % len(payload)
+                n = conn.send(payload[pos:pos + 8192])
                 sent += n
             except socket.timeout:
                 pass

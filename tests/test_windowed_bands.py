@@ -99,19 +99,17 @@ def _tone_realization(N, F, seed):
 def test_windowed_adversarial_tone_class_relative():
     """The class-relative guarantee must hold WITH a window on the auto
     ladder against the ENFORCED yard: max(scipy-f32, platform f32 FFT)
-    per realization, median <= 1.5x / max <= 3x. On toolchains where
-    the platform's monolithic FFT refuses to compile at this size (the
-    2026-08-19 axon toolchain refuses it at EVERY probed size), the
-    yard degrades to scipy-only and the windowed session sizes hit a
-    measured hardware floor: even with exact (float64) twiddle +
-    stage-2 + accumulation the stage-1 HIGHEST matmul on non-integer
-    input reads 1.57x the scipy class at 2048
-    (probes/windowed_attrib.py), and the shipped compensated four-step
-    reads med ~2.1x (60 seeds, probes/windowed_tail_audit.py). The
-    assertion therefore pins 1.5x against the platform-aware yard when
-    available and the DOCUMENTED exception level (med <= 2.75x, the
-    measured floor + margin) against the degraded scipy-only yard;
-    max <= 3x holds in both regimes."""
+    per realization, median <= 1.5x / max <= 3x — in BOTH yard regimes.
+
+    History: round 4 waived the median to <= 2.75x on toolchains whose
+    platform FFT refuses to compile (degrading the yard to scipy-only),
+    under a "measured hardware floor" claim for the windowed session
+    sizes. Round 5 REFUTED the floor at stage 1 itself and shipped the
+    split-pass four-step (fourstep4x): the 60-seed strict-yard
+    admission audit reads med 0.40-1.06x across windowed 1024-12288
+    (probes/windowed_s1x_audit.py, BENCHMARKS "Windowed session-size
+    stage-1 fix"), so the waiver is deleted and the headline budget is
+    enforced even on the degraded (stricter) yard."""
     import jax
     import jax.numpy as jnp
     import scipy.fft
@@ -155,8 +153,7 @@ def test_windowed_adversarial_tone_class_relative():
             except Exception:
                 mono, plat_dead = None, True  # degraded (stricter) yard
         yard.append(max(cls, plat))
-    med_budget = 2.75 if plat_dead else 1.5   # documented floor zone
-    assert np.median(ours) <= med_budget * np.median(yard), \
+    assert np.median(ours) <= 1.5 * np.median(yard), \
         (np.median(ours), np.median(yard), plat_dead)
     assert max(ours) <= 3.0 * max(yard), (max(ours), max(yard))
 
