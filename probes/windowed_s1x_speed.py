@@ -46,6 +46,8 @@ from rtl_power_fftw_tpu.ops.spectral import (PsdStep, adapt_batch,
                                              dequant_iq_u16)
 from rtl_power_fftw_tpu.ops.dft import (_fourstep4m_constants,
                                         _fourstep4m_tail,
+                                        _fourstep4x_tail3,
+                                        _fourstep4x_tail3_split,
                                         _s1x_weight_terms, _S1X_MAX_J)
 
 SEEDS = (int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit()
@@ -123,9 +125,16 @@ def make_w4st(N, F, w, chunk):
                                  preferred_element_type=f32)
         yi = jax.lax.dot_general(lhs, WIj, (((2,), (0,)), ((), ())),
                                  preferred_element_type=f32)
+        g = F // chunk
+        t3 = _fourstep4x_tail3_split(N2)
+        if t3 is not None:   # same tail the shipped transform uses
+            P, Q = t3
+            Xr, Xi = _fourstep4x_tail3(yr, yi, N, N1, N2, P, Q, _HI)
+            p = (Xr * Xr + Xi * Xi) * fmask[:, None, None, None]
+            s = p.reshape(g, chunk, N1, P, Q).sum(axis=1).sum(axis=0)
+            return jnp.transpose(s, (2, 1, 0)).reshape(N)
         Xr, Xi = _fourstep4m_tail(yr, yi, consts, N2, _HI)
         p = (Xr * Xr + Xi * Xi) * fmask[:, None, None]
-        g = F // chunk
         s = p.reshape(g, chunk, N1, N2).sum(axis=1).sum(axis=0)
         return jnp.swapaxes(s, 0, 1).reshape(N)
 

@@ -549,7 +549,93 @@ def _fourstep4x_transform(re: jax.Array, im: jax.Array, N: int,
     ic, is_ = stage1(xi)
     yr = rc - is_
     yi = rs + ic
+    t3 = _fourstep4x_tail3_split(N2)
+    if t3 is not None:
+        # Large-N2 rectangular splits: the direct (N2×N2) stage-2
+        # matmul is quadratic in N2 — compute the stage-2 DFT as its
+        # own four-step. Output layout (F, k1, k_p, k_q); callers
+        # recover the split via _fourstep4x_tail3_split.
+        return _fourstep4x_tail3(yr, yi, N, N1, N2, t3[0], t3[1], prec)
     return _fourstep4m_tail(yr, yi, consts, N2, prec)
+
+
+@functools.lru_cache(maxsize=16)
+def _fourstep4x_tail3_constants(N: int, N1: int, N2: int,
+                                P: int, Q: int):
+    """Constants for the THREE-STAGE split-pass four-step tail: the
+    outer hi+lo split twiddle (n2, k1) plus an inner four-step over the
+    length-N2 stage-2 DFT (N2 = P·Q, its own hi+lo split twiddle) —
+    the direct (N2×N2) stage-2 matmul is quadratic in N2 and falls off
+    a measured cliff once the rectangular stage-1 split pushes N2 past
+    ~256 (8192 = 16×512 ran 2.3 GS/s direct vs 9.4 at 4096 = 16×256,
+    probes/windowed_s1x_speed.py)."""
+    n2 = np.arange(N2, dtype=np.int64)[:, None]
+    k1 = np.arange(N1, dtype=np.int64)[None, :]
+    ang = -2.0 * np.pi * ((n2 * k1) % N).astype(np.float64) / N
+    tr, ti = np.cos(ang), np.sin(ang)
+    thr, thi = tr.astype(np.float32), ti.astype(np.float32)
+    cP, sP = _dft_matrices(P)
+    cQ, sQ = _dft_matrices(Q)
+    q = np.arange(Q, dtype=np.int64)[:, None]
+    kp = np.arange(P, dtype=np.int64)[None, :]
+    ang2 = -2.0 * np.pi * ((q * kp) % N2).astype(np.float64) / N2
+    t2r, t2i = np.cos(ang2), np.sin(ang2)
+    t2hr, t2hi = t2r.astype(np.float32), t2i.astype(np.float32)
+    return (thr, thi, (tr - thr).astype(np.float32),
+            (ti - thi).astype(np.float32),
+            cP, sP, cQ, sQ, t2hr, t2hi,
+            (t2r - t2hr).astype(np.float32),
+            (t2i - t2hi).astype(np.float32))
+
+
+def _fourstep4x_tail3(yr: jax.Array, yi: jax.Array, N: int, N1: int,
+                      N2: int, P: int, Q: int, prec):
+    """Three-stage tail: outer split twiddle, then the length-N2
+    stage-2 DFT computed as a four-step over N2 = P·Q (4-mult HIGHEST
+    stages, inner hi+lo split twiddle — the audited fourstep4m
+    ingredients at O(P+Q) instead of O(N2) MACs/sample). Input
+    (F, n2, k1); returns (Xr, Xi) in the (F, k1, k_p, k_q) layout with
+    bin k = k1 + N1·(k_p + P·k_q)."""
+    F = yr.shape[0]
+    (thr, thi, tlr, tli, cP, sP, cQ, sQ,
+     t2hr, t2hi, t2lr, t2li) = (
+        jnp.asarray(a) for a in _fourstep4x_tail3_constants(
+            N, N1, N2, P, Q))
+    dn = (((1,), (0,)), ((), ()))  # contract axis 1 with weight axis 0
+
+    def dot(a, b):
+        return jax.lax.dot_general(a, b, dn, precision=prec)
+
+    # Outer split twiddle in the stage-1 output layout (F, n2, k1).
+    zr = (yr * thr - yi * thi) + (yr * tlr - yi * tli)
+    zi = (yr * thi + yi * thr) + (yr * tli + yi * tlr)
+    # Inner four-step over n2 = Q·p + q: contract p → (F, Q, N1, k_p).
+    zr4 = zr.reshape(F, P, Q, N1)
+    zi4 = zi.reshape(F, P, Q, N1)
+    ar = dot(zr4, cP) - dot(zi4, sP)
+    ai = dot(zr4, sP) + dot(zi4, cP)
+    # Inner split twiddle W_{N2}^{q·k_p}, layout (Q, k_p).
+    t2h_r = t2hr[None, :, None, :]
+    t2h_i = t2hi[None, :, None, :]
+    t2l_r = t2lr[None, :, None, :]
+    t2l_i = t2li[None, :, None, :]
+    br = (ar * t2h_r - ai * t2h_i) + (ar * t2l_r - ai * t2l_i)
+    bi = (ar * t2h_i + ai * t2h_r) + (ar * t2l_i + ai * t2l_r)
+    # Contract q → (F, N1, k_p, k_q).
+    Xr = dot(br, cQ) - dot(bi, sQ)
+    Xi = dot(br, sQ) + dot(bi, cQ)
+    return Xr, Xi
+
+
+def _fourstep4x_tail3_split(N2: int):
+    """(P, Q) for the three-stage tail, or None when the direct
+    chunked stage-2 matmul should stay (N2 <= 256, or no viable
+    factor). Gated exactly like the band: both factors >= 8 keep the
+    MXU contraction sane."""
+    if N2 <= 256:
+        return None
+    P, Q = best_fourstep_split(N2)
+    return (P, Q) if P >= 8 else None
 
 
 def fourstep4x_psd_partial(re: jax.Array, im: jax.Array, fmask: jax.Array,
@@ -569,8 +655,16 @@ def fourstep4x_psd_partial(re: jax.Array, im: jax.Array, fmask: jax.Array,
     while F % chunk != 0:
         chunk //= 2
     Xr, Xi = _fourstep4x_transform(re, im, N, N1, N2, precision)
-    p = (Xr * Xr + Xi * Xi) * fmask[:, None, None]
+    t3 = _fourstep4x_tail3_split(N2)
     g = F // chunk
+    if t3 is not None:
+        P, Q = t3
+        p = (Xr * Xr + Xi * Xi) * fmask[:, None, None, None]
+        s = p.reshape(g, chunk, N1, P, Q).sum(axis=1).sum(axis=0)
+        # Bin k = k1 + N1·(k_p + P·k_q): flatten (k_q, k_p, k1) —
+        # only the small (N1, P, Q) tile is reordered.
+        return jnp.transpose(s, (2, 1, 0)).reshape(N)
+    p = (Xr * Xr + Xi * Xi) * fmask[:, None, None]
     s = p.reshape(g, chunk, N1, N2).sum(axis=1).sum(axis=0)   # (k1, k2)
     return jnp.swapaxes(s, 0, 1).reshape(N)
 
@@ -588,6 +682,10 @@ def dft_power_fourstep4x(re: jax.Array, im: jax.Array,
         N1, N2 = best_fourstep4x_split(N)
     assert N1 * N2 == N, (N1, N2, N)
     Xr, Xi = _fourstep4x_transform(re, im, N, N1, N2)
+    t3 = _fourstep4x_tail3_split(N2)
+    if t3 is not None:
+        p = Xr * Xr + Xi * Xi                  # (F, k1, k_p, k_q)
+        return jnp.transpose(p, (0, 3, 2, 1)).reshape(F, N)
     p = Xr * Xr + Xi * Xi                      # (F, k1, k2)
     return jnp.transpose(p, (0, 2, 1)).reshape(F, N)
 

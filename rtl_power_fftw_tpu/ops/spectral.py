@@ -488,13 +488,14 @@ def select_transform_rung(N: int, F: int, windowed: bool, backend: str,
                     "a power of two >= 256 whose working set fits VMEM); "
                     "use backend='auto'")
             return "pallas", None
-        lo = 8192 if windowed else 4096
-        # Windowed kernel band shrank 32768 -> 16384 in round 4: at
-        # windowed 32768 the compensated four-step strictly PASSES the
-        # degraded (scipy-only) yard (1.35x/1.56x, p99 2.8) while the
-        # kernel fails the median (1.55x) - probes/windowed_tail_audit.
-        hi = 16384 if windowed else 65536
-        if eligible and lo <= N <= hi and tpu:
+        # The kernel's AUTO band is unwindowed-only since round 5: its
+        # windowed cells (pow-2 8192/16384) fail the strict-yard median
+        # (1.90x/1.55x at 60 seeds, round-4 audit) while the split-pass
+        # four-step passes with margin (0.68x/0.73x screens; 60-seed
+        # audit in BENCHMARKS "Windowed session-size stage-1 fix") —
+        # budget-first, the kernel stays available windowed as the
+        # explicit backend and as the relaxed tier (--precision high).
+        if eligible and 4096 <= N <= 65536 and tpu and not windowed:
             return "pallas", None
     windowed_cpu = windowed and not tpu
     if backend in ("fourstep4x", "auto"):
@@ -768,6 +769,18 @@ class PsdStep:
             from .dft import best_hybrid_split
             path = "hybrid"
             split = best_hybrid_split(N, min_n1=8)
+
+        if (path == "fourstep4x" and self.backend == "auto"
+                and self._precision != jax.lax.Precision.HIGHEST):
+            # Relaxed tier on the windowed session band: the fused
+            # kernel is the fastest relaxed-parity step at its shapes
+            # (12.5-13.0 GS/s vs the split-pass four-step's 2.7-12.6;
+            # its windowed strict-yard medians 1.55-1.90x are exactly
+            # the accuracy --precision high trades away). Non-kernel
+            # shapes keep the budget-true split-pass path.
+            from .kernels.fused_psd import fused_psd_available
+            if fused_psd_available(N, F, windowed=windowed):
+                path, split = "pallas", None
 
         if path == "pallas":
             from .kernels.fused_psd import make_fused_psd_fn

@@ -189,8 +189,12 @@ def test_windowed_tpu_band_selection(monkeypatch):
     assert path(2048) == "fourstep4x"
     assert path(4096) == "fourstep4x"
     assert path(6144) == "fourstep4x"     # non-pow-2 <= 8192
-    assert path(8192) == "pallas"
-    assert path(16384) == "pallas"
+    # The kernel's windowed cells moved too (round 5): pallas fails the
+    # strict-yard median there (1.90x/1.55x, 60 seeds) while the
+    # split-pass four-step passes with margin; the kernel stays the
+    # windowed relaxed tier (--precision high) and explicit backend.
+    assert path(8192) == "fourstep4x"
+    assert path(16384) == "fourstep4x"
     # Windowed (8192, 65536) non-pallas: the plain fourstep BREACHED
     # the max budget at 12288 (3.27x) and the kernel fails the strict
     # median at 32768 where fourstep4m strictly passes — both cells
@@ -248,6 +252,16 @@ def test_precision_high_clamped_on_large_n_hybrid(monkeypatch, capsys):
     step2 = PsdStep(2048, 32, backend="auto", precision="high")
     err2 = capsys.readouterr().err
     assert "measured pure loss" not in err2
+    # Windowed relaxed tier (round 5): the kernel is the fastest
+    # relaxed-parity step at its windowed shapes, so --precision high
+    # moves the fourstep4x band's pow-2 cells back onto it; non-kernel
+    # shapes keep the budget-true split-pass path.
+    w8 = make_window("hann", 8192)
+    step3 = PsdStep(8192, 32, window=w8, backend="auto", precision="high")
+    assert step3.path == "pallas"
+    w6 = make_window("hann", 6144)
+    step4 = PsdStep(6144, 32, window=w6, backend="auto", precision="high")
+    assert step4.path == "fourstep4x"
 
 
 def test_split_window_exactness_and_parity():
