@@ -445,6 +445,33 @@ def _s1x_weight_terms(N1: int, n_terms: int, chunk_k: int):
     return terms(c1), terms(s1)
 
 
+@functools.lru_cache(maxsize=16)
+def _s1x_stacked_weights(N1: int):
+    """K-STACKED split-pass stage-1 weights: the triangular pass set
+    AND the complex combination folded into the contraction axis of
+    two (2·passes·N1, N1) bf16 stacks — the fused kernel's fat-matmul
+    trick (ops/kernels/fused_psd.py _constants; measured there as the
+    difference between 7.7 and 10.4 GS/s at 2048, and measured HERE as
+    1.5–1.9× over the narrow 40-dot form at N ≥ 8192,
+    probes/windowed_s1x_speed.py). lhs blocks are [xr_i per pass] +
+    [xi_i per pass]; yr = lhs @ WR, yi = lhs @ WI. Accumulating all
+    passes in one f32 chain is budget-safe: 9 of the 10 blocks carry
+    terms ≤ 2⁻⁸..2⁻²⁴ of the dominant one, so their accumulation-error
+    contributions scale down proportionally (24-seed screens med
+    0.67–1.10×, 60-seed admission in BENCHMARKS)."""
+    import ml_dtypes
+    passes = [(i, j) for i, mj in enumerate(_S1X_MAX_J)
+              for j in range(mj + 1)]
+    c64, s64 = ([t.astype(np.float64) for t in ts]
+                for ts in _s1x_weight_terms(N1, len(_S1X_MAX_J), 0))
+    WR = np.vstack([c64[j] for _, j in passes]
+                   + [-s64[j] for _, j in passes])
+    WI = np.vstack([s64[j] for _, j in passes]
+                   + [c64[j] for _, j in passes])
+    return (WR.astype(ml_dtypes.bfloat16), WI.astype(ml_dtypes.bfloat16),
+            tuple(i for i, _ in passes))
+
+
 #: Triangular pass set for the split-pass stage 1: input term i is
 #: multiplied by weight terms j ≤ MAX_J[i], i.e. pass (i, j) ships iff
 #: i + j ≤ 3 — every product with relative magnitude ≥ ~2⁻³² (each bf16
@@ -545,10 +572,27 @@ def _fourstep4x_transform(re: jax.Array, im: jax.Array, N: int,
 
     xr = re.reshape(F, N1, N2)
     xi = im.reshape(F, N1, N2)
-    rc, rs = stage1(xr)
-    ic, is_ = stage1(xi)
-    yr = rc - is_
-    yi = rs + ic
+    if N2 >= 512:
+        # K-stacked stage 1 (two fat dots; see _s1x_stacked_weights):
+        # measured 1.5-1.9x the narrow 40-dot form at N >= 8192 where
+        # stage-1 dispatch overhead dominates; at smaller N the narrow
+        # form pipelines as well or better (probes/windowed_s1x_speed).
+        WRnp, WInp, block_i = _s1x_stacked_weights(N1)
+        WR, WI = jnp.asarray(WRnp), jnp.asarray(WInp)
+        zr = trunc_terms(xr)
+        zi = trunc_terms(xi)
+        lhs = jnp.concatenate([zr[i] for i in block_i]
+                              + [zi[i] for i in block_i], axis=1)
+        dns = (((1,), (0,)), ((), ()))   # contract the stacked K axis
+        yr = jax.lax.dot_general(lhs, WR, dns,
+                                 preferred_element_type=f32)
+        yi = jax.lax.dot_general(lhs, WI, dns,
+                                 preferred_element_type=f32)
+    else:
+        rc, rs = stage1(xr)
+        ic, is_ = stage1(xi)
+        yr = rc - is_
+        yi = rs + ic
     t3 = _fourstep4x_tail3_split(N2)
     if t3 is not None:
         # Large-N2 rectangular splits: the direct (N2×N2) stage-2

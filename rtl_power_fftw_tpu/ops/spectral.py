@@ -398,17 +398,16 @@ def select_transform_rung(N: int, F: int, windowed: bool, backend: str,
 
     Measured bands (probes/, BENCHMARKS.md; v5e unless noted):
 
-    * pallas — the fused VMEM kernel, power-of-two 4096–65536 on real
-      TPUs (N=4096 13.4 GS/s vs four-step 9.4; N=8192 13.8 vs 8.3;
-      N=65536 10.5 vs 7.0; below 4096 the stage-1 matmuls are too
-      narrow, and at 2^17 the large-N hybrid matches its speed at ~3×
-      better tone accuracy). WINDOWED band 8192–16384 (round 4
-      shrank the top from 32768: fourstep4m strictly passes the
-      degraded-yard audit there while the kernel fails the median —
-      probes/windowed_tail_audit.py): the in-kernel
-      window multiply costs 40% at 4096 where the direct four-step wins
-      both axes, and at 65536 the four-step wins both axes again
-      (probes/windowed_pow2_direct.py).
+    * pallas — the fused VMEM kernel, UNWINDOWED power-of-two
+      4096–65536 on real TPUs (N=4096 13.4 GS/s vs four-step 9.4;
+      N=8192 13.8 vs 8.3; N=65536 10.5 vs 7.0; below 4096 the stage-1
+      matmuls are too narrow, and at 2^17 the large-N hybrid matches
+      its speed at ~3× better tone accuracy). The kernel left the
+      WINDOWED auto ladder in round 5: its windowed cells fail the
+      strict-yard median (1.90×/1.55× at 8192/16384, 60 seeds —
+      probes/windowed_tail_audit.py) where fourstep4x passes with
+      margin; it remains the windowed --precision high relaxed tier
+      and explicit backend (12.5–13.0 GS/s at those shapes).
     * hybrid — FFT stage 1 + split twiddle + HIGHEST-matmul stage 2,
       lane-matched split (N2 ≈ 128, stage-1 length ≥ 8). Unwindowed
       512–3072 everywhere (fastest at ≤1.3× the FFTW-f32 class error)
