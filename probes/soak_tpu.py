@@ -18,7 +18,12 @@ exit code 0, .bin size == rows*N*4 with rows consistent with .met,
 bucket nonzero means the consumer kept up — with a paced source the
 device always waits on the producer).
 
-Usage:  python probes/soak_tpu.py [seconds]   (default 3720)
+Usage:  python probes/soak_tpu.py [seconds [out_prefix]]
+(defaults 3720, /tmp/soak_tpu). The child session inherits this
+process's env, so a CPU CONTROL run — for attributing any RSS drift
+between the framework and the axon TPU client — is
+  env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
+      python probes/soak_tpu.py 900 /tmp/soak_cpu
 """
 import os
 import signal
@@ -31,7 +36,7 @@ sys.path.insert(0, "/root/repo")
 DUR = int(sys.argv[1]) if len(sys.argv) > 1 else 3720
 RATE = 2_048_000 * 2            # bytes/s at the default 2.048 MS/s
 N = 2048
-OUT = "/tmp/soak_tpu"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/soak_tpu"
 
 
 def rss_mb(pid):
@@ -51,7 +56,7 @@ def main():
             os.remove(OUT + suf)
         except FileNotFoundError:
             pass
-    portfile = "/tmp/soak_tpu.port"
+    portfile = OUT + ".port"
     try:
         os.remove(portfile)
     except FileNotFoundError:
@@ -67,8 +72,8 @@ def main():
         time.sleep(0.1)
     port = open(portfile).read().strip()
 
-    err = open("/tmp/soak_tpu.err", "wb")
-    out = open("/tmp/soak_tpu.out", "wb")
+    err = open(OUT + ".err", "wb")
+    out = open(OUT + ".sout", "wb")
     cli = subprocess.Popen(
         [sys.executable, "-m", "rtl_power_fftw_tpu",
          "-f", "100M:104M", "-b", str(N), "-n", "200", "-c",
@@ -133,7 +138,7 @@ def main():
     met = open(OUT + ".met").read()
     print("--- .met ---", flush=True)
     print(met, flush=True)
-    hist = [ln for ln in open("/tmp/soak_tpu.err", "rb").read()
+    hist = [ln for ln in open(OUT + ".err", "rb").read()
             .decode("utf-8", "replace").splitlines()
             if "queue" in ln.lower()][-3:]
     print("--- last queue histograms ---", flush=True)
